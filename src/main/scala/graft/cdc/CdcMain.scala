@@ -1,0 +1,90 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.changelog.ChangelogGen
+import graft.lake.LakeTable
+
+/**
+ * spark-submit entry point for the CDC engine (north rule: "run via
+ * spark-submit at N and 4N executors").
+ *
+ * Usage:
+ *   CdcMain gen    <changelogDir> <nEvents> [nConvs] [skew] [evolveAt] [segSize]
+ *   CdcMain replay <changelogDir> <lakeDir> [segmentsPerBatch] [nBuckets] [saltBuckets]
+ *   CdcMain state  <lakeDir>       — row count + order-independent checksum
+ *
+ * Parallelism comes from SPARK_GRAFT_CPUS (local[N]) or the real cluster's
+ * spark-submit config; shuffle partitions follow the core count.
+ */
+object CdcMain {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val b = SparkSession.builder()
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    val s = (if (sys.props.contains("spark.master")) b
+             else b.master(s"local[$cpus]")).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: dir :: n :: rest =>
+      val spark = session()
+      val cfg = ChangelogGen.Config(
+        nEvents = n.toLong,
+        nConvs = rest.headOption.map(_.toLong).getOrElse(math.max(n.toLong / 200, 10L)),
+        skew = rest.lift(1).map(_.toDouble).getOrElse(1.0),
+        evolveAt = rest.lift(2).map(_.toLong).getOrElse(-1L),
+        segSize = rest.lift(3).map(_.toLong).getOrElse(100000L),
+        pUpdate = 0.3, pDelete = 0.05, pDup = 0.05)
+      val t0 = System.nanoTime()
+      ChangelogGen.write(spark, dir, cfg)
+      println(f"""{"generated":${cfg.nEvents},"dir":"$dir","sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      spark.stop()
+
+    case "replay" :: changelogDir :: lakeDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val driver = new CdcDriver(spark, changelogDir, lake,
+        segmentsPerBatch = rest.headOption.map(_.toInt).getOrElse(4),
+        nBuckets = rest.lift(1).map(_.toInt).getOrElse(64),
+        saltBuckets = rest.lift(2).map(_.toInt).getOrElse(0))
+      val t0 = System.nanoTime()
+      val stats = driver.run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = stats.map(_.rowsIn).sum
+      println(f"""{"replayed":$rows,"batches":${stats.size},"sec":$sec%.1f,"eventsPerSec":${if (sec > 0) rows / sec else 0.0}%.1f}""")
+      spark.stop()
+
+    case "state" :: lakeDir :: Nil =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      lake.currentSnapshot match {
+        case None => println("""{"rows":0,"checksum":0,"snapshot":null}""")
+        case Some(snap) =>
+          val t = lake.read()
+          val row = t.select(
+            count(lit(1)).as("n"),
+            sum(xxhash64(t.columns.map(col).toIndexedSeq: _*)
+              .cast("decimal(38,0)")).as("ck")).head()
+          println(s"""{"rows":${row.getLong(0)},"checksum":${row.getDecimal(1)},""" +
+            s""""snapshotId":${snap.snapshotId},"epoch":${snap.epoch},""" +
+            s""""schemaVersion":${snap.schemaVersion},""" +
+            s""""lineage":${snap.lineage.map(l =>
+              s"""{"part":${l.srcPart},"lo":${l.minOff},"hi":${l.maxOff}}""")
+              .mkString("[", ",", "]")}}""")
+      }
+      spark.stop()
+
+    case _ =>
+      System.err.println("usage: gen|replay|state ... (see scaladoc)")
+      sys.exit(2)
+  }
+}

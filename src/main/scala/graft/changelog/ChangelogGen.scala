@@ -1,0 +1,154 @@
+package graft.changelog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, fully-distributed synthetic changelog generator.
+ *
+ * Produces the "binlog/WAL" the CDC engine tails: segment directories
+ * `seg=N/` of parquet change events over a transcripts table keyed by
+ * (conv_id, turn_idx). Every field is a pure Catalyst expression of the
+ * global delivery index `i` (via xxhash64), so the output is byte-identical
+ * regardless of parallelism or partitioning — no RNG state, no driver loop.
+ *
+ * Modeled behaviours (mirroring the reference's fixture scenarios,
+ * FIXTURES.md §2.3):
+ *  - inserts / updates / deletes on (conv_id, turn_idx) with strictly
+ *    increasing lsn (= effective event index),
+ *  - at-least-once duplicate deliveries: a delivery slot can re-emit an
+ *    EARLIER event verbatim (same lsn/payload), possibly in a later segment
+ *    (reference analogue: Kafka redelivery + Redis-checksum dedup,
+ *    DeDupEngine.scala:23-42),
+ *  - zipf-ish hot-conversation skew (reference analogue: explicit window
+ *    shards, ActivityAggregateUpdaterStreamTask.scala:80-86),
+ *  - additive schema evolution: `tool_meta` column appears from a cut-in
+ *    delivery index onward (segments before are written without it).
+ */
+object ChangelogGen {
+
+  final case class Config(
+      nEvents: Long,
+      nConvs: Long = 1000L,
+      turnsPerConv: Int = 50,
+      pUpdate: Double = 0.30,
+      pDelete: Double = 0.05,
+      pDup: Double = 0.05,
+      /** >1.0 concentrates events on low conv indices (hot conversations). */
+      skew: Double = 1.0,
+      nSrcPartitions: Int = 8,
+      segSize: Long = 100000L,
+      /** delivery index at which tool_meta starts existing; <0 = never. */
+      evolveAt: Long = -1L,
+      seed: Long = 42L
+  )
+
+  private val vocab: Seq[String] = Seq(
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
+    "window", "small", "hash", "join", "batch", "stream", "spark", "dup",
+    "group", "query", "row", "data", "slow", "filter", "customer", "line",
+    "value", "agg", "column", "big", "vector", "a", "turn", "tool", "model",
+    "chat", "reply", "plan", "code", "test", "run")
+
+  /** Build the change-event DataFrame for delivery indices [lo, hi). */
+  def events(spark: SparkSession, cfg: Config, lo: Long, hi: Long,
+             withEvolution: Boolean): DataFrame = {
+    val df = spark.range(lo, hi).toDF("i")
+
+    def h(c: org.apache.spark.sql.Column, salt: String) =
+      xxhash64(c, lit(cfg.seed), lit(salt))
+    // uniform in [0,1) derived from a 64-bit hash
+    def u01(c: org.apache.spark.sql.Column, salt: String) =
+      (pmod(h(c, salt), lit(1000000L)).cast("double")) / 1000000.0
+
+    // At-least-once duplicate delivery: slot i may re-deliver event i-d.
+    val isDup = (u01(col("i"), "dup") < cfg.pDup) && (col("i") > 0)
+    val back = pmod(h(col("i"), "dupoff"), lit(64L)) + 1L
+    val eRaw = when(isDup, greatest(col("i") - back, lit(0L))).otherwise(col("i"))
+    val withE = df.withColumn("e", eRaw)
+
+    val e = col("e")
+    // zipf-ish conversation pick: skew>1 concentrates on low indices
+    val convIdx = floor(lit(cfg.nConvs.toDouble) *
+      pow(u01(e, "conv"), lit(cfg.skew))).cast("long")
+    val convId = concat(lit("conv-"), lpad(convIdx.cast("string"), 8, "0"))
+    val turnIdx = pmod(h(e, "turn"), lit(cfg.turnsPerConv.toLong)).cast("int")
+
+    val opR = u01(e, "op")
+    val op = when(opR < cfg.pDelete, lit("D"))
+      .when(opR < cfg.pDelete + cfg.pUpdate, lit("U"))
+      .otherwise(lit("I"))
+
+    val roleIdx = pmod(h(e, "role"), lit(4L)).cast("int")
+    val role = element_at(
+      array(lit("user"), lit("assistant"), lit("system"), lit("tool")),
+      roleIdx + 1)
+    val tool = when(role === "tool",
+      concat(lit("tool-"), pmod(h(e, "tool"), lit(7L)).cast("string")))
+      .otherwise(lit(null).cast("string"))
+
+    val vocabArr = array(vocab.map(lit): _*)
+    val nWords = (pmod(h(e, "len"), lit(17L)) + lit(8L)).cast("int")
+    val text = concat_ws(" ",
+      transform(sequence(lit(0), nWords),
+        w => element_at(vocabArr,
+          (pmod(xxhash64(e, w, lit(cfg.seed)), lit(vocab.size.toLong)) + 1L)
+            .cast("int"))))
+
+    val ts = timestamp_seconds(lit(1700000000L) + e)
+    val srcPart = pmod(xxhash64(convId), lit(cfg.nSrcPartitions.toLong)).cast("int")
+
+    val base = withE
+      .withColumn("op", op)
+      .withColumn("conv_id", convId)
+      .withColumn("turn_idx", turnIdx)
+      .withColumn("role", role)
+      .withColumn("text", text)
+      .withColumn("tool", tool)
+      .withColumn("ts", ts)
+      .withColumn("_lsn", e)
+      .withColumn("_src_part", srcPart)
+      .withColumn("_src_off", e)
+
+    val withMeta =
+      if (withEvolution) base.withColumn("tool_meta",
+        when(e >= cfg.evolveAt,
+          concat(lit("""{"v":"""), pmod(h(e, "tm"), lit(100L)).cast("string"),
+            lit("}"))).otherwise(lit(null).cast("string")))
+      else base
+
+    val cols = Seq("op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+      "_lsn", "_src_part", "_src_off") ++
+      (if (withEvolution) Seq("tool_meta") else Nil)
+    withMeta.withColumn("seg", (col("i") / cfg.segSize).cast("long"))
+      .select((cols :+ "seg").map(col): _*)
+  }
+
+  /** Write the changelog as `dir/seg=N/` parquet segment directories.
+    * If `evolveAt >= 0`, segments wholly before the cut-in are written with
+    * the v1 schema (no tool_meta) and later segments with v2 — a genuine
+    * mid-stream additive schema change as seen by the tailer. */
+  def write(spark: SparkSession, dir: String, cfg: Config): Unit = {
+    val cut =
+      if (cfg.evolveAt < 0) cfg.nEvents
+      else (cfg.evolveAt / cfg.segSize) * cfg.segSize // segment-aligned
+    if (cut > 0)
+      events(spark, cfg, 0L, math.min(cut, cfg.nEvents), withEvolution = false)
+        .repartition(col("seg"))
+        .write.mode("overwrite").partitionBy("seg").parquet(dir)
+    if (cut < cfg.nEvents)
+      events(spark, cfg, cut, cfg.nEvents, withEvolution = true)
+        .repartition(col("seg"))
+        .write.mode("append").partitionBy("seg").parquet(dir)
+  }
+
+  /** Sorted list of segment indices present under `dir`. */
+  def listSegments(dir: String): Seq[Long] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(_.getName.stripPrefix("seg=").toLong)
+      .sorted
+  }
+}

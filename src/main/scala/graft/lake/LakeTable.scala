@@ -1,0 +1,152 @@
+package graft.lake
+
+import java.io.File
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** One parquet data file owned by a snapshot, with per-file key stats used
+  * for bucket/key pruning on the MERGE read path (the Spark-side analogue of
+  * the reference's Cassandra partition-key point reads). */
+final case class DataFileMeta(
+    path: String, bucket: Int, rows: Long, minKey: String, maxKey: String)
+
+/** Per-source-partition lineage: the source offset range whose changes are
+  * contained in (this and all ancestor) snapshots. North-rule requirement:
+  * per-partition (source offset range -> snapshot id). */
+final case class PartitionLineage(srcPart: Int, minOff: Long, maxOff: Long)
+
+final case class Snapshot(
+    snapshotId: Long,
+    parentId: Long,
+    /** Fencing token: the checkpointed batch epoch that produced this
+      * snapshot. A commit with epoch <= current snapshot's epoch is a no-op
+      * replay and must be skipped (exactly-once; the stronger form of the
+      * reference's store-checksum-only-after-write discipline,
+      * CollectionProgressCompleteFunction.scala:58-62). */
+    epoch: Long,
+    schemaJson: String,
+    schemaVersion: Int,
+    nBuckets: Int,
+    files: Seq[DataFileMeta],
+    lineage: Seq[PartitionLineage],
+    metrics: Map[String, Double]) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/**
+ * Minimal Iceberg-style copy-on-write lake table: parquet data files +
+ * versioned JSON snapshot metadata, committed by atomic rename. No jar for a
+ * real table format exists in this sandbox, and the north rule's semantics
+ * (idempotent epoch-fenced commits, per-partition lineage, additive schema
+ * evolution, snapshot isolation) are implemented here directly.
+ *
+ * Layout:
+ *   root/meta/v%012d.json   — snapshot metadata, highest version = current
+ *   root/data/snap-<id>-<uuid>/_b=<bucket>/part-*.parquet
+ *
+ * Crash safety: data files are written BEFORE the metadata rename; a crash
+ * in between leaves orphan data directories that no snapshot references —
+ * readers only ever see manifest-listed files (tested in LakeTableSpec).
+ */
+final class LakeTable(val spark: SparkSession, val root: String) {
+  private val metaDir = new File(root, "meta")
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  def dataRoot: String = new File(root, "data").getPath
+
+  private def versionFile(id: Long): File =
+    new File(metaDir, f"v$id%012d.json")
+
+  def currentSnapshot: Option[Snapshot] = {
+    if (!metaDir.exists()) return None
+    val versions = metaDir.listFiles().toSeq
+      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    if (versions.isEmpty) None
+    else Some(mapper.readValue(versionFile(versions.max), classOf[Snapshot]))
+  }
+
+  /** All snapshots, oldest first (time travel / lineage audit). */
+  def snapshots: Seq[Snapshot] = {
+    if (!metaDir.exists()) return Seq.empty
+    metaDir.listFiles().toSeq
+      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
+      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+      .map(v => mapper.readValue(versionFile(v), classOf[Snapshot]))
+  }
+
+  /** Fresh unique directory for a new snapshot's data files. The uuid keeps
+    * retried attempts of the same epoch from colliding. */
+  def newDataDir(snapshotId: Long): String =
+    new File(dataRoot,
+      s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}").getPath
+
+  /** Read the current table state restricted to `buckets` (None = all).
+    * Missing columns in old files (pre-evolution) surface as nulls because
+    * the read is schema-first — the additive-evolution read path. */
+  def readBuckets(buckets: Option[Set[Int]]): DataFrame =
+    currentSnapshot match {
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType())
+      case Some(s) =>
+        val files = buckets match {
+          case None => s.files
+          case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
+        }
+        if (files.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+        else
+          spark.read.schema(s.schema).parquet(files.map(_.path): _*)
+    }
+
+  def read(): DataFrame = readBuckets(None)
+
+  /** Atomically publish `snap` as the next version. Epoch fencing: if an
+    * equal-or-newer epoch is already committed, the commit is skipped and
+    * the existing snapshot returned (idempotent replay). */
+  def commit(snap: Snapshot): Snapshot = {
+    metaDir.mkdirs()
+    currentSnapshot.foreach { cur =>
+      if (cur.epoch >= snap.epoch) return cur // fenced: replayed batch
+      if (snap.snapshotId <= cur.snapshotId)
+        throw new CommitConflictException(
+          s"stale snapshot id ${snap.snapshotId}, current is ${cur.snapshotId}")
+      require(snap.snapshotId == cur.snapshotId + 1,
+        s"snapshot id ${snap.snapshotId} must follow ${cur.snapshotId}")
+    }
+    val target = versionFile(snap.snapshotId)
+    if (target.exists())
+      throw new CommitConflictException(s"version ${snap.snapshotId} exists")
+    val tmp = new File(metaDir, s".tmp-${UUID.randomUUID()}.json")
+    mapper.writerWithDefaultPrettyPrinter().writeValue(tmp, snap)
+    try
+      Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(s"version ${snap.snapshotId} exists")
+    }
+    snap
+  }
+
+  /** Data directories on disk that no snapshot references (crash orphans). */
+  def orphanDataDirs(): Seq[String] = {
+    val referenced = snapshots.flatMap(_.files.map(f =>
+      Paths.get(f.path).getParent.getParent.toString)).toSet
+    val dr = new File(dataRoot)
+    if (!dr.exists()) Seq.empty
+    else dr.listFiles().toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(referenced.contains)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/**
+ * Core data contracts of the CDC engine (SURVEY.md §7.1).
+ *
+ * The changelog event mirrors the reference's envelope identity/ordering
+ * fields: the dedup/order token `lsn` plays the role of the reference's
+ * event checksum + timestamp (reference: jobs-core Event.scala:15-19,54-56),
+ * and (src_partition, src_offset) is the Kafka lineage pair the reference
+ * carries on JobRequest (reference: JobRequestSerde.scala:22-35).
+ */
+object Schemas {
+
+  /** Target lake-table business columns (BASELINE.json input_hint). */
+  val transcriptFields: Seq[StructField] = Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("turn_idx", IntegerType, nullable = false),
+    StructField("role", StringType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("tool", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = true)
+  )
+
+  /** Engine metadata columns persisted in the lake table rows: the change
+    * sequence that won LWW for this row plus its source lineage. */
+  val metaFields: Seq[StructField] = Seq(
+    StructField("_lsn", LongType, nullable = false),
+    StructField("_src_part", IntegerType, nullable = false),
+    StructField("_src_off", LongType, nullable = false)
+  )
+
+  /** Changelog event schema (v1, before schema evolution). */
+  val changeEventSchema: StructType = StructType(
+    StructField("op", StringType, nullable = false) +:
+      transcriptFields ++: metaFields
+  )
+
+  /** Additive evolution column that appears mid-stream (FIXTURES.md §2.3.6). */
+  val evolutionField: StructField =
+    StructField("tool_meta", StringType, nullable = true)
+
+  /** Changelog event schema (v2, after additive evolution). */
+  val changeEventSchemaV2: StructType =
+    StructType(changeEventSchema.fields :+ evolutionField)
+
+  /** Lake row schema for a given set of business columns = business cols +
+    * engine meta cols. Derived from an event schema by dropping `op`. */
+  def lakeSchemaFor(eventSchema: StructType): StructType =
+    StructType(eventSchema.fields.filterNot(_.name == "op"))
+
+  val keyCols: Seq[String] = Seq("conv_id", "turn_idx")
+
+  val OpInsert = "I"
+  val OpUpdate = "U"
+  val OpDelete = "D"
+}

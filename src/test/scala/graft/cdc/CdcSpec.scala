@@ -1,0 +1,137 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.changelog.ChangelogGen
+import graft.lake.LakeTable
+
+/** End-to-end CDC correctness vs the sequential fold oracle — the translated
+  * reference invariants (SURVEY.md §5): replay-idempotence, LWW, deletes,
+  * kill/resume convergence, schema evolution, skew-salting equivalence. */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def changelog(name: String, cfg: ChangelogGen.Config): String = {
+    val dir = TestSpark.tmpDir(name)
+    ChangelogGen.write(spark, dir, cfg)
+    dir
+  }
+
+  private def allEvents(dir: String) =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  test("insert-only replay matches fold oracle") {
+    val dir = changelog("ins", ChangelogGen.Config(
+      nEvents = 2000, nConvs = 40, turnsPerConv = 10,
+      pUpdate = 0.0, pDelete = 0.0, pDup = 0.0, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("ins-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 2, nBuckets = 16,
+      quiet = true).run()
+    assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(allEvents(dir)))
+  }
+
+  test("mixed I/U/D with duplicate deliveries matches fold oracle (LWW)") {
+    val dir = changelog("mix", ChangelogGen.Config(
+      nEvents = 4000, nConvs = 30, turnsPerConv = 8,
+      pUpdate = 0.4, pDelete = 0.1, pDup = 0.15, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("mix-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 3, nBuckets = 16,
+      quiet = true).run()
+    val oracle = CdcOracle.fold(allEvents(dir))
+    assert(oracle.nonEmpty)
+    assert(CdcOracle.tableState(lake.read()) == oracle)
+    // deletes actually happened: some keys were touched then removed
+    assert(lake.read().count() == oracle.size)
+  }
+
+  test("whole-changelog redelivery is a no-op (epoch fencing, exactly-once)") {
+    val dir = changelog("redeliver", ChangelogGen.Config(
+      nEvents = 1500, nConvs = 20, turnsPerConv = 6,
+      pUpdate = 0.3, pDelete = 0.05, pDup = 0.1, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("re-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true).run()
+    val snapAfter = lake.currentSnapshot.get
+    // rerun the whole driver: every batch must be fenced out
+    val stats2 = new CdcDriver(spark, dir, lake, segmentsPerBatch = 1,
+      nBuckets = 8, quiet = true).run()
+    assert(stats2.forall(_.skipped))
+    assert(lake.currentSnapshot.get.snapshotId == snapAfter.snapshotId)
+    // and a manual replay of an old batch is also fenced
+    val oldBatch = spark.read.parquet(s"$dir/seg=0")
+    val s = CdcApply.apply(lake, oldBatch, epoch = 1, nBuckets = 8)
+    assert(s.skipped)
+  }
+
+  test("kill mid-replay and resume from checkpoint converges") {
+    val cfg = ChangelogGen.Config(
+      nEvents = 3000, nConvs = 25, turnsPerConv = 8,
+      pUpdate = 0.35, pDelete = 0.08, pDup = 0.1, segSize = 300)
+    val dir = changelog("kill", cfg)
+    // reference run: single uninterrupted replay
+    val lakeRef = new LakeTable(spark, TestSpark.tmpDir("kill-ref"))
+    new CdcDriver(spark, dir, lakeRef, 2, 8, quiet = true).run()
+    // interrupted run: stop after 2 batches ("kill"), then a brand-new
+    // driver instance resumes purely from the lake commit log
+    val lake = new LakeTable(spark, TestSpark.tmpDir("kill-lake"))
+    val first = new CdcDriver(spark, dir, lake, 2, 8, quiet = true)
+      .run(maxBatches = 2)
+    assert(first.size == 2)
+    new CdcDriver(spark, dir, lake, 2, 8, quiet = true).run()
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.tableState(lakeRef.read()))
+    assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(allEvents(dir)))
+  }
+
+  test("additive schema evolution mid-stream (tool_meta)") {
+    val cfg = ChangelogGen.Config(
+      nEvents = 2000, nConvs = 20, turnsPerConv = 6,
+      pUpdate = 0.3, pDelete = 0.05, pDup = 0.05, segSize = 400,
+      evolveAt = 1200)
+    val dir = changelog("evolve", cfg)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("evolve-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true).run()
+    val snap = lake.currentSnapshot.get
+    assert(snap.schemaVersion == 2)
+    assert(snap.schema.fieldNames.contains("tool_meta"))
+    val state = CdcOracle.tableState(lake.read())
+    assert(state == CdcOracle.fold(allEvents(dir)))
+    // rows whose winner predates the cut-in have null tool_meta, later ones not
+    assert(state.values.exists(t => t.lsn < 1200 && t.toolMeta.isEmpty))
+    assert(state.values.exists(t => t.lsn >= 1200 && t.toolMeta.nonEmpty))
+  }
+
+  test("zipf-skewed changelog: salted run equals unsalted run") {
+    val cfg = ChangelogGen.Config(
+      nEvents = 3000, nConvs = 200, turnsPerConv = 4,
+      pUpdate = 0.5, pDelete = 0.05, pDup = 0.1, skew = 3.0, segSize = 1000)
+    val dir = changelog("zipf", cfg)
+    val plain = new LakeTable(spark, TestSpark.tmpDir("zipf-plain"))
+    new CdcDriver(spark, dir, plain, 2, 8, saltBuckets = 0, quiet = true).run()
+    val salted = new LakeTable(spark, TestSpark.tmpDir("zipf-salted"))
+    new CdcDriver(spark, dir, salted, 2, 8, saltBuckets = 8, quiet = true).run()
+    val st = CdcOracle.tableState(salted.read())
+    assert(st == CdcOracle.tableState(plain.read()))
+    assert(st == CdcOracle.fold(allEvents(dir)))
+  }
+
+  test("lineage records per-source-partition offset ranges and metrics") {
+    val cfg = ChangelogGen.Config(
+      nEvents = 1000, nConvs = 10, turnsPerConv = 5,
+      pDup = 0.0, nSrcPartitions = 4, segSize = 250)
+    val dir = changelog("lineage", cfg)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("lineage-lake"))
+    new CdcDriver(spark, dir, lake, 1, 8, quiet = true).run()
+    val snap = lake.currentSnapshot.get
+    assert(snap.lineage.map(_.srcPart).sorted == Seq(0, 1, 2, 3))
+    assert(snap.lineage.forall(l => l.minOff >= 0 && l.maxOff <= 999))
+    assert(snap.lineage.exists(_.maxOff == 999) ||
+      snap.lineage.map(_.maxOff).max >= 990) // last events present
+    assert(snap.metrics.contains("eventsPerSec") ||
+      snap.metrics.contains("rowsIn"))
+    // every intermediate snapshot also carries metrics
+    assert(lake.snapshots.forall(_.metrics.contains("rowsIn")))
+  }
+}
