@@ -1,0 +1,377 @@
+package graft
+
+/**
+ * DuckDB oracle SQL mirroring each entry in [[Queries.all]]. Column names
+ * and value computations are kept in exact parity with the Spark plans:
+ * integer quantization before sums, integer threshold cross-multiplication,
+ * identical regex dialect subset, identical md5-derived hashes, identical
+ * tie-break orderings. See Queries.scala's determinism contract.
+ */
+object OracleSql {
+
+  /** Normalized text (mirror of TextFunctions.normalized). */
+  private def norm(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Whitespace tokens (mirror of TextFunctions.tokens). */
+  private def toks(c: String) = s"regexp_split_to_array(trim(lower($c)), '\\s+')"
+
+  private def hex4(c: String) =
+    s"((strpos('0123456789abcdef', substring($c,1,1))-1)*4096 + " +
+      s"(strpos('0123456789abcdef', substring($c,2,1))-1)*256 + " +
+      s"(strpos('0123456789abcdef', substring($c,3,1))-1)*16 + " +
+      s"(strpos('0123456789abcdef', substring($c,4,1))-1))"
+
+  private def lex(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+  private val en = lex(graft.functions.TextFunctions.stopwordsEn)
+  private val fr = lex(graft.functions.TextFunctions.stopwordsFr)
+  private val es = lex(graft.functions.TextFunctions.stopwordsEs)
+  private val de = lex(graft.functions.TextFunctions.stopwordsDe)
+
+  private def cents(c: String) = s"CAST(round(($c)*100) AS BIGINT)"
+
+  /** Word shingle table (doc_id, s): distinct word-3-grams of normalized text. */
+  private val wsh3 =
+    s"""wsplit AS (SELECT doc_id, regexp_split_to_array(${norm("text")}, ' ') AS w FROM documents),
+       |wsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+       |        FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-2,1)+1)) AS i FROM wsplit)
+       |        WHERE len(w[i:i+2]) = 3),
+       |cnt AS (SELECT doc_id, count(*) AS c FROM wsh GROUP BY 1)""".stripMargin
+
+  /** Quantized embedding components (vec_id, i, x) + norms (vec_id, nrm). */
+  private val qvec =
+    s"""q AS (SELECT vec_id, i, CAST(round(embedding[i+1]::DOUBLE * 100) AS BIGINT) AS x
+       |      FROM embeddings, generate_series(0, 63) t(i)),
+       |n AS (SELECT vec_id, CAST(sum(x*x) AS BIGINT) AS nrm FROM q GROUP BY 1)""".stripMargin
+
+  /** 16-bit simhash per doc (doc_id, simhash) — mirror of DedupOps.simhash. */
+  private val simhash16 =
+    s"""tok AS (SELECT doc_id, unnest(${toks("text")}) AS w FROM documents),
+       |tv AS (SELECT doc_id, ${hex4("md5(w)")} AS v FROM tok),
+       |bits AS (SELECT doc_id, b, sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM tv, generate_series(0, 15) tb(b) GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM bits GROUP BY 1)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(sum(${cents("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum(${cents("l_extendedprice*(1.0-l_discount)")}) AS BIGINT) AS sum_disc_cents,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      s"""SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  strftime(o_orderdate, '%Y-%m') AS o_month,
+         |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot' ELSE 'cold' END AS priority_class,
+         |  ${cents("o_totalprice")} AS total_cents
+         |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100.0""".stripMargin,
+
+    "q03_explode_wordcount" ->
+      s"""SELECT word, count(*) AS n FROM (
+         |  SELECT unnest(${toks("text")}) AS word FROM documents)
+         |WHERE length(word) > 0 GROUP BY 1""".stripMargin,
+
+    "q04_checksum" ->
+      s"""SELECT event_type, count(*) AS n, count(DISTINCT ck) AS n_distinct FROM (
+         |  SELECT event_type,
+         |    md5(user_id::VARCHAR || '|' || event_type || '|' || event_id::VARCHAR) AS ck
+         |  FROM events) GROUP BY 1""".stripMargin,
+
+    "q05_slugify" ->
+      s"""SELECT p_partkey,
+         |  regexp_replace(regexp_replace(regexp_replace(trim(lower(p_name)),
+         |    '[^a-z0-9\\s-]', '', 'g'), '[\\s-]+', '-', 'g'), '^-|-$$', '', 'g') AS slug
+         |FROM part""".stripMargin,
+
+    "q06_lww_latest" ->
+      s"""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q07_merge_upsert" ->
+      s"""WITH state AS (SELECT user_id, event_id, event_type FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+         |batch AS (SELECT user_id, event_id, event_type FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT coalesce(s.user_id, b.user_id) AS user_id,
+         |    coalesce(b.event_id, s.event_id) AS final_event_id,
+         |    coalesce(b.event_type, s.event_type) AS final_event_type,
+         |    CASE WHEN b.event_id IS NOT NULL AND s.event_id IS NOT NULL THEN 'updated'
+         |         WHEN b.event_id IS NOT NULL THEN 'inserted'
+         |         ELSE 'carried' END AS merge_action
+         |  FROM state s FULL OUTER JOIN batch b ON s.user_id = b.user_id)
+         |WHERE final_event_type <> 'error'""".stripMargin,
+
+    "q08_join_dim" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(sum(${cents("l_extendedprice*(1.0-l_discount)")}) AS BIGINT) AS revenue_cents,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q09_join_fact" ->
+      s"""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1""".stripMargin,
+
+    "q10_left_anti" ->
+      s"""SELECT c_mktsegment, count(*) AS n_no_orders FROM customer
+         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+         |GROUP BY 1""".stripMargin,
+
+    "q11_semi" ->
+      s"""SELECT n_name, count(*) AS n_customers
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         |GROUP BY 1""".stripMargin,
+
+    "q12_full_outer" ->
+      s"""WITH po AS (SELECT o_custkey AS custkey, count(*) AS n_orders,
+         |    CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS ordered_cents
+         |  FROM orders GROUP BY 1),
+         |c AS (SELECT c_custkey AS custkey, ${cents("c_acctbal")} AS acct_cents FROM customer)
+         |SELECT coalesce(c.custkey, po.custkey) AS custkey,
+         |  coalesce(n_orders, 0) AS n_orders,
+         |  coalesce(ordered_cents, 0) AS ordered_cents,
+         |  coalesce(acct_cents, 0) AS acct_cents
+         |FROM c FULL OUTER JOIN po ON c.custkey = po.custkey""".stripMargin,
+
+    "q13_theta_join" ->
+      s"""WITH criteria(priority, min_total) AS (VALUES
+         |  ('1-URGENT', 50000.0), ('2-HIGH', 100000.0), ('3-MEDIUM', 150000.0),
+         |  ('4-NOT SPECIFIED', 200000.0), ('5-LOW', 250000.0))
+         |SELECT priority, count(*) AS n_qualifying,
+         |  CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders JOIN criteria
+         |  ON o_orderpriority = priority AND o_totalprice >= min_total
+         |GROUP BY 1""".stripMargin,
+
+    "q14_argmax" ->
+      s"""SELECT custkey, best_orderkey, best_cents, n_orders FROM (
+         |  SELECT o_custkey AS custkey, o_orderkey AS best_orderkey,
+         |    ${cents("o_totalprice")} AS best_cents,
+         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         |    count(*) OVER (PARTITION BY o_custkey) AS n_orders
+         |  FROM orders) WHERE rn = 1""".stripMargin,
+
+    "q15_rollup" ->
+      s"""SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+         |  count(*) AS n, CAST(sum(${cents("c_acctbal")}) AS BIGINT) AS bal_cents
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+
+    "q16_set_ops" ->
+      s"""WITH segs AS (
+         |  SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segs
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+         |SELECT n_name,
+         |  array_to_string(segs, ',') AS segments_present,
+         |  coalesce(array_to_string(list_filter(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'],
+         |    x -> NOT list_contains(segs, x)), ','), '') AS segments_missing,
+         |  CAST(len(list_filter(['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'],
+         |    x -> list_contains(segs, x))) AS INT) AS n_present
+         |FROM segs""".stripMargin,
+
+    "q17_topk" ->
+      s"""SELECT o_orderkey, ${cents("o_totalprice")} AS total_cents
+         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q18_distinct" ->
+      "SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events",
+
+    "q19_union_evolve" ->
+      s"""WITH v1 AS (SELECT event_id, event_type, NULL::BIGINT AS value_cents
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+         |v2 AS (SELECT event_id, event_type, ${cents("value")} AS value_cents
+         |  FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+         |SELECT event_type, count(*) AS n,
+         |  CAST(sum(coalesce(value_cents, 0)) AS BIGINT) AS sum_value_cents,
+         |  count(value_cents) AS n_with_value
+         |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2) GROUP BY 1""".stripMargin,
+
+    "q20_json_path" ->
+      s"""SELECT event_type,
+         |  CAST(sum(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         |  count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q21_window_time" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+         |  CAST(sum(${cents("value")}) AS BIGINT) AS value_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q22_dedup_exact" ->
+      s"""WITH ck AS (SELECT lang, doc_id, md5(${norm("text")}) AS ck FROM documents),
+         |surv AS (SELECT lang FROM (
+         |  SELECT lang, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM ck)
+         |  WHERE rn = 1)
+         |SELECT d.lang, d.n_docs, u.n_unique
+         |FROM (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1) d
+         |JOIN (SELECT lang, count(*) AS n_unique FROM surv GROUP BY 1) u ON d.lang = u.lang""".stripMargin,
+
+    "q23_minhash_lsh" ->
+      s"""WITH nt AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
+         |csh AS (SELECT doc_id, substring(t, i, 5) AS s
+         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(length(t)-4,1)+1)) AS i FROM nt)
+         |  WHERE length(substring(t, i, 5)) = 5),
+         |sig AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
+         |  FROM csh, generate_series(0, 3) tj(j) GROUP BY 1, 2),
+         |piv AS (SELECT doc_id,
+         |  max(CASE WHEN j=0 THEN m END) AS m0, max(CASE WHEN j=1 THEN m END) AS m1,
+         |  max(CASE WHEN j=2 THEN m END) AS m2, max(CASE WHEN j=3 THEN m END) AS m3
+         |  FROM sig GROUP BY 1),
+         |bnd AS (SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bsig FROM piv
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM piv),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |$wsh3,
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c JOIN wsh a ON a.doc_id = c.id_a
+         |  JOIN wsh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b, CAST(i.inter AS INT) AS inter,
+         |  CAST(ca.c + cb.c - i.inter AS INT) AS uni
+         |FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+         |WHERE i.inter * 5 >= ca.c + cb.c - i.inter""".stripMargin,
+
+    "q24_simhash" ->
+      s"""WITH $simhash16
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+
+    "q25_simhash_pairs" ->
+      s"""WITH $simhash16
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      s"""WITH $wsh3,
+         |d AS (SELECT doc_id, lang FROM documents),
+         |inter AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, count(*) AS inter
+         |  FROM d da JOIN d db ON da.lang = db.lang AND da.doc_id < db.doc_id
+         |  JOIN wsh a ON a.doc_id = da.doc_id
+         |  JOIN wsh b ON b.doc_id = db.doc_id AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b, CAST(i.inter AS INT) AS inter,
+         |  CAST(ca.c + cb.c - i.inter AS INT) AS uni
+         |FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+         |WHERE i.inter * 5 >= ca.c + cb.c - i.inter""".stripMargin,
+
+    "q27_embed_neardup" ->
+      s"""WITH $qvec,
+         |d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(sum(a.x*b.x) AS BIGINT) AS dot
+         |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+         |SELECT vec_a, vec_b,
+         |  round(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS cos_sim
+         |FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+         |WHERE dot > 0 AND dot*dot*25 >= na.nrm*nb.nrm*4""".stripMargin,
+
+    "q28_ann_brute" ->
+      s"""WITH $qvec,
+         |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(sum(a.x*b.x) AS BIGINT) AS dot
+         |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < 20 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |s AS (SELECT query_id, neighbor_id,
+         |    dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)) AS sim
+         |  FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q29_ann_lsh" ->
+      s"""WITH $qvec,
+         |wts AS (SELECT p, i, ${hex4("md5(p::VARCHAR || ':' || i::VARCHAR)")} - 32768 AS w
+         |  FROM generate_series(0, 7) tp(p), generate_series(0, 63) ti(i)),
+         |proj AS (SELECT vec_id, p, sum(x*w) AS s FROM q JOIN wts USING (i) GROUP BY 1, 2),
+         |bkt AS (SELECT vec_id,
+         |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1),
+         |d AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(sum(qa.x*qb.x) AS BIGINT) AS dot
+         |  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         |  JOIN q qa ON qa.vec_id = a.vec_id
+         |  JOIN q qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |s AS (SELECT query_id, neighbor_id,
+         |    dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)) AS sim
+         |  FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q30_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${toks("text")}) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_subwords,
+         |  CAST(length(text) AS INT) AS n_chars_actual,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+         |  CAST(len(list_filter(${toks("text")}, x -> list_contains($en, x))) AS INT) AS stop_en,
+         |  CAST(len(list_filter(${toks("text")}, x -> list_contains($fr, x))) AS INT) AS stop_fr
+         |FROM documents""".stripMargin,
+
+    "q31_lang_id" ->
+      s"""WITH h AS (SELECT lang,
+         |  len(list_filter(${toks("text")}, x -> list_contains($en, x))) AS he,
+         |  len(list_filter(${toks("text")}, x -> list_contains($fr, x))) AS hf,
+         |  len(list_filter(${toks("text")}, x -> list_contains($es, x))) AS hs,
+         |  len(list_filter(${toks("text")}, x -> list_contains($de, x))) AS hd
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN he=0 AND hf=0 AND hs=0 AND hd=0 THEN 'und'
+         |       WHEN he>=hf AND he>=hs AND he>=hd THEN 'en'
+         |       WHEN hf>=hs AND hf>=hd THEN 'fr'
+         |       WHEN hs>=hd THEN 'es'
+         |       ELSE 'de' END AS predicted,
+         |  count(*) AS n
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "q32_fingerprint" ->
+      s"""SELECT doc_id, md5(${norm("text")}) AS checksum,
+         |  md5(array_to_string(list_sort(list_distinct(
+         |    regexp_split_to_array(${norm("text")}, ' '))), ' ')) AS bag_fingerprint
+         |FROM documents""".stripMargin,
+
+    "q33_multimodal" ->
+      s"""SELECT doc_id AS media_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(octet_length(encode(text)) AS INT) AS byte_len
+         |FROM documents""".stripMargin,
+
+    "q34_hierarchy" ->
+      s"""SELECT c_name AS node, n_name || '/' || r_name AS path, r_name AS root, 2 AS depth
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |UNION ALL
+         |SELECT n_name AS node, r_name AS path, r_name AS root, 1 AS depth
+         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q35_transcript_lww" ->
+      s"""SELECT user_id AS conv_id, turn_idx, event_id AS winner_lsn,
+         |  event_type AS winner_type FROM (
+         |  SELECT user_id, CAST(event_id % 20 AS INT) AS turn_idx, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+  )
+}

@@ -1,0 +1,503 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions._
+import graft.operators.{DedupOps, HierarchyOps, MultimodalOps, SimilarityOps}
+
+/**
+ * The operator catalog as runnable queries over the driver's testdata
+ * tables, each paired (in [[SparkEntry.oracleSql]]) with ANSI SQL the DuckDB
+ * oracle replays on the same parquet files.
+ *
+ * Determinism contract (what makes hash-compare possible):
+ *  - float aggregations are quantized to integer cents BEFORE summing
+ *    (sum of int64 is order-independent; sum of double is not);
+ *  - similarity scores are computed from quantized int64 vectors, so both
+ *    engines derive bit-identical doubles;
+ *  - ratio thresholds are integer cross-multiplications (inter*5 >= uni),
+ *    never float comparisons;
+ *  - every output has a unique key column set and no raw timestamps.
+ */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** round(x*100) cents as long — the exact-sum money representation. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------- core SQL
+
+  /** A1 (TPC-H Q1 shape): pushdown filter + hash agg with exact sums. */
+  def q01PricingAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_cents"),
+        count(lit(1)).as("count_order"))
+
+  /** P1/P2/P9: filter + projection with date/case scalar functions. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100.0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_month"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("hot"))
+          .otherwise(lit("cold")).as("priority_class"),
+        cents(col("o_totalprice")).as("total_cents"))
+
+  /** P3: explode/flatMap — word frequencies from document tokens. */
+  def q03ExplodeWordcount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** P4/D1: composite-key MD5 checksum + per-type distinct counts. */
+  def q04Checksum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        md5(concat_ws("|", col("user_id"), col("event_type"),
+          col("event_id"))).as("ck"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("ck")).as("n_distinct"))
+
+  /** P8: slugify scalar over part names. */
+  def q05Slugify(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey"), slugify(col("p_name")).as("slug"))
+
+  /** D2/R1 — THE LWW window: latest event per user (row_number over
+    * (key, order by seq desc) = 1), the core CDC dedup primitive. */
+  def q06LwwLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+  }
+
+  /** J2/D3 — the MERGE image: full-outer state-vs-batch with LWW winner.
+    * State = LWW of first-half events, batch = second half; winner by
+    * highest event_id; 'error' events act as deletes. */
+  def q07MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mid = lit("2024-01-15").cast("timestamp")
+    def lww(df: DataFrame) = {
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }
+    val state = lww(ev.filter(col("ts") < mid))
+    val batch = lww(ev.filter(col("ts") >= mid))
+    state.as("s").join(batch.as("b"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("b.event_id"), col("s.event_id")).as("final_event_id"),
+        coalesce(col("b.event_type"), col("s.event_type")).as("final_event_type"),
+        when(col("b.event_id").isNotNull && col("s.event_id").isNotNull, "updated")
+          .when(col("b.event_id").isNotNull, "inserted")
+          .otherwise("carried").as("merge_action"))
+      .filter(col("final_event_type") =!= "error") // delete semantics
+  }
+
+  /** J1/S9: fact-to-dimension star join (dims broadcast) + exact agg. */
+  def q08JoinDim(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+
+  /** J1: fact-to-fact sort-merge join + agg. */
+  def q09JoinFact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_orderkey").as("n_orders"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+
+  /** J5: left-anti — customers with no pending ('P') orders, per segment. */
+  def q10LeftAnti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_no_orders"))
+
+  /** J6: left-semi — customers with >= 1 finished order, per nation. */
+  def q11Semi(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+
+  /** J2: full-outer reconciliation of per-customer order totals vs account. */
+  def q12FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val po = t(s, dir, "orders").groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("ordered_cents"))
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").as("custkey"), cents(col("c_acctbal")).as("acct_cents"))
+    c.join(po, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("ordered_cents"), lit(0L)).as("ordered_cents"),
+        coalesce(col("acct_cents"), lit(0L)).as("acct_cents"))
+  }
+
+  /** J8: theta join against an inline criteria table (score-vs-threshold). */
+  def q13ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val criteria = Seq(
+      ("1-URGENT", 50000.0), ("2-HIGH", 100000.0), ("3-MEDIUM", 150000.0),
+      ("4-NOT SPECIFIED", 200000.0), ("5-LOW", 250000.0))
+      .toDF("priority", "min_total")
+    t(s, dir, "orders")
+      .join(broadcast(criteria),
+        col("o_orderpriority") === col("priority") &&
+          col("o_totalprice") >= col("min_total"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_qualifying"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"))
+  }
+
+  /** A4/A5: argmax — best order per customer (max total, tiebreak orderkey). */
+  def q14Argmax(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_orders", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("best_orderkey"),
+        cents(col("o_totalprice")).as("best_cents"),
+        col("n_orders"))
+  }
+
+  /** A8: rollup over region/nation with exact cents sums. */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rn"), col("n_name").as("nn"),
+        cents(col("c_acctbal")).as("bc"))
+      .createOrReplaceTempView("q15_base")
+    s.sql(
+      """SELECT coalesce(rn, 'ALL') AS r_name, coalesce(nn, 'ALL') AS n_name,
+        |  count(1) AS n, sum(bc) AS bal_cents
+        |FROM q15_base GROUP BY ROLLUP(rn, nn)""".stripMargin)
+  }
+
+  /** R4: array set ops — segments present/missing per nation. */
+  def q16SetOps(s: SparkSession, dir: String): DataFrame = {
+    val allSegs = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY").map(lit): _*)
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sort_array(collect_set("c_mktsegment")).as("segs"))
+      .select(col("n_name"),
+        array_join(col("segs"), ",").as("segments_present"),
+        array_join(array_except(allSegs, col("segs")), ",").as("segments_missing"),
+        size(array_intersect(allSegs, col("segs"))).as("n_present"))
+  }
+
+  /** R5: deterministic top-k with tiebreak. */
+  def q17TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+
+  /** R3: distinct on a projection. */
+  def q18Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct()
+
+  /** R4/M4: union-by-name with additive schema evolution (missing columns
+    * null-filled), the batch shape of the CDC schema-evolution path. */
+  def q19UnionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mid = lit("2024-01-15").cast("timestamp")
+    val v1 = ev.filter(col("ts") < mid).select(col("event_id"), col("event_type"))
+    val v2 = ev.filter(col("ts") >= mid).select(col("event_id"), col("event_type"),
+      cents(col("value")).as("value_cents"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("value_cents"), lit(0L))).as("sum_value_cents"),
+        count(col("value_cents")).as("n_with_value"))
+  }
+
+  /** P7: JSON field extraction (regex form — identical dialect both sides). */
+  def q20JsonPath(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+
+  /** P9/W2: event-time daily windows per type with exact value sums. */
+  def q21WindowTime(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+
+  // ------------------------------------------------- training-data pipeline
+
+  /** Exact dedup: normalized-content checksum survivors per language. */
+  def q22DedupExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val survivors = DedupOps.exactDedup(docs, "doc_id", "text")
+    docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(survivors.groupBy("lang").agg(count(lit(1)).as("n_unique")), Seq("lang"))
+  }
+
+  /** MinHash(md5 family, k=4) + LSH(2 bands x 2 rows) candidates, verified
+    * with exact word-3-shingle overlap. Integer threshold: inter*5 >= uni. */
+  def q23MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val withSig = docs.select(col("doc_id"), col("text"))
+      .withColumn("_sig", DedupOps.minhashSignature(col("text"), 5, 4))
+    val cands = DedupOps.lshCandidates(withSig, "doc_id", "_sig", bands = 2, rowsPerBand = 2)
+    val sh = docs.select(col("doc_id"),
+      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        (size(col("sha")) + size(col("shb")) -
+          size(array_intersect(col("sha"), col("shb")))).as("uni"))
+      .filter(col("inter") * 5 >= col("uni"))
+  }
+
+  /** 16-bit SimHash fingerprint per document (md5-hex-derived token bits). */
+  def q24Simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), DedupOps.simhash(col("text"), 16).as("simhash"))
+
+  /** SimHash near-dup pairs: hamming <= 3 via pigeonhole chunk join
+    * (complete: 4 chunks > 3 bit flips). */
+  def q25SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val h = q24Simhash(s, dir)
+    DedupOps.simhashPairs(h, "doc_id", "simhash", bits = 16, chunks = 4, maxHamming = 3)
+  }
+
+  /** Word-3-gram Jaccard near-dups blocked by language (inter*5 >= uni). */
+  def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = d.select(col("lang"), col("doc_id"),
+      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
+        (size(col("a.sh")) + size(col("b.sh")) -
+          size(array_intersect(col("a.sh"), col("b.sh")))).as("uni"))
+      .filter(col("inter") * 5 >= col("uni"))
+  }
+
+  /** Quantize embedding to int64 (round(x*100)) — makes every dot product
+    * exact and order-independent, so similarity doubles are bit-identical
+    * across engines and partitionings. */
+  private def quantVec(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 100).cast("long"))
+
+  private def idotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Embedding near-duplicate pairs: cosine >= 0.4 via integer cross-compare
+    * 25*dot^2 >= 4*na*nb (0.4^2 = 4/25), dot > 0. */
+  def q27EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantVec(col("embedding")).as("q"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        idotq(col("a.q"), col("b.q")).as("dot"),
+        idotq(col("a.q"), col("a.q")).as("na"),
+        idotq(col("b.q"), col("b.q")).as("nb"))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos_sim"))
+  }
+
+  /** Brute-force exact ANN: top-5 cosine neighbors for query vectors
+    * (vec_id < 20), similarity from quantized ints (bit-exact). */
+  def q28AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantVec(col("embedding")).as("q"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = broadcast(queries).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (idotq(col("qq"), col("q")).cast("double") /
+          (sqrt(idotq(col("qq"), col("qq")).cast("double")) *
+            sqrt(idotq(col("q"), col("q")).cast("double")))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** LSH-bucketed ANN (oracle-reproducible variant): 8 random-hyperplane
+    * sign bits with md5-derived integer weights, quantized projections,
+    * top-3 within bucket. The xxhash64 production variant is
+    * SimilarityOps.lshTopK. */
+  def q29AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val planes = 8
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantVec(col("embedding")).as("q"))
+    // integer plane weight w(p,i) = hex4(md5("p:i")) - 32768
+    val bucket = (0 until planes).map { p =>
+      val proj = (0 until dim).map { i =>
+        val w = conv(substring(md5(lit(s"$p:$i")), 1, 4), 16, 10).cast("long") - 32768L
+        element_at(col("q"), i + 1) * w
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withB = e.withColumn("bucket", bucket)
+    val scored = withB.as("a").join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        (idotq(col("a.q"), col("b.q")).cast("double") /
+          (sqrt(idotq(col("a.q"), col("a.q")).cast("double")) *
+            sqrt(idotq(col("b.q"), col("b.q")).cast("double")))).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Text quality metrics — all integer-valued (ratios left to consumers). */
+  def q30TextQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      subwordTokenCount(col("text")).as("n_subwords"),
+      length(col("text")).as("n_chars_actual"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).as("n_punct"),
+      stopwordHits(col("text"), "en").as("stop_en"),
+      stopwordHits(col("text"), "fr").as("stop_fr"))
+
+  /** Language-ID confusion matrix: labeled lang vs stopword-argmax predicted. */
+  def q31LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), langId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+
+  /** Document fingerprints: exact checksum + order-independent bag hash. */
+  def q32Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      contentChecksum(col("text")).as("checksum"),
+      bagFingerprint(col("text")).as("bag_fingerprint"))
+
+  /** Multimodal plumbing: binary payload envelope metadata (decode stub's
+    * non-SQL fields are covered by MultimodalSpec instead). */
+  def q33Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"))
+      .as[MultimodalOps.MediaRow]
+    MultimodalOps.decodeMeta(media).toDF()
+      .select(col("media_id"), col("kind"), col("byte_len"))
+  }
+
+  /** Hierarchy flatten: customer -> nation -> region ancestor chains via
+    * iterative self-join (the reference's relation-cache traversal). */
+  def q34Hierarchy(s: SparkSession, dir: String): DataFrame = {
+    val custEdges = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_name").as("child"), col("n_name").as("parent"))
+    val natEdges = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name").as("child"), col("r_name").as("parent"))
+    val edges = custEdges.unionByName(natEdges)
+    HierarchyOps.ancestors(edges, "child", "parent", maxDepth = 4)
+      .select(col("node"), array_join(col("ancestors"), "/").as("path"),
+        col("root"), col("depth"))
+  }
+
+  /** The CDC flagship semantics, oracle-checkable: events as a changelog of
+    * transcript turns keyed by (user_id, turn), LSN = event_id, LWW winner,
+    * 'error' = delete — exactly CdcApply's merge as a batch query. */
+  def q35TranscriptLww(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id").as("conv_id"),
+        pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+        col("event_id").as("lsn"),
+        col("event_type"))
+    val w = Window.partitionBy("conv_id", "turn_idx").orderBy(col("lsn").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("conv_id"), col("turn_idx"), col("lsn").as("winner_lsn"),
+        col("event_type").as("winner_type"))
+  }
+
+  // ----------------------------------------------------------------- wiring
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> (q01PricingAgg _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_explode_wordcount" -> (q03ExplodeWordcount _),
+    "q04_checksum" -> (q04Checksum _),
+    "q05_slugify" -> (q05Slugify _),
+    "q06_lww_latest" -> (q06LwwLatest _),
+    "q07_merge_upsert" -> (q07MergeUpsert _),
+    "q08_join_dim" -> (q08JoinDim _),
+    "q09_join_fact" -> (q09JoinFact _),
+    "q10_left_anti" -> (q10LeftAnti _),
+    "q11_semi" -> (q11Semi _),
+    "q12_full_outer" -> (q12FullOuter _),
+    "q13_theta_join" -> (q13ThetaJoin _),
+    "q14_argmax" -> (q14Argmax _),
+    "q15_rollup" -> (q15Rollup _),
+    "q16_set_ops" -> (q16SetOps _),
+    "q17_topk" -> (q17TopK _),
+    "q18_distinct" -> (q18Distinct _),
+    "q19_union_evolve" -> (q19UnionEvolve _),
+    "q20_json_path" -> (q20JsonPath _),
+    "q21_window_time" -> (q21WindowTime _),
+    "q22_dedup_exact" -> (q22DedupExact _),
+    "q23_minhash_lsh" -> (q23MinhashLsh _),
+    "q24_simhash" -> (q24Simhash _),
+    "q25_simhash_pairs" -> (q25SimhashPairs _),
+    "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q27_embed_neardup" -> (q27EmbedNeardup _),
+    "q28_ann_brute" -> (q28AnnBrute _),
+    "q29_ann_lsh" -> (q29AnnLsh _),
+    "q30_text_quality" -> (q30TextQuality _),
+    "q31_lang_id" -> (q31LangId _),
+    "q32_fingerprint" -> (q32Fingerprint _),
+    "q33_multimodal" -> (q33Multimodal _),
+    "q34_hierarchy" -> (q34Hierarchy _),
+    "q35_transcript_lww" -> (q35TranscriptLww _)
+  )
+}

@@ -1,13 +1,35 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.cdc.CdcDriver
+import graft.changelog.ChangelogGen
+import graft.lake.LakeTable
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the CDC engine end-to-end — generate a deterministic
+    * transcript changelog (inserts/updates/deletes/duplicate deliveries),
+    * replay it through the epoch-fenced LWW MERGE into the lake table, and
+    * return the final transcript state. */
+  def entry(spark: SparkSession): DataFrame = {
+    val base = new java.io.File(s"target/entry-${System.nanoTime()}")
+    base.mkdirs()
+    val changelog = new java.io.File(base, "changelog").getPath
+    ChangelogGen.write(spark, changelog, ChangelogGen.Config(
+      nEvents = 2000, nConvs = 40, turnsPerConv = 10,
+      pUpdate = 0.3, pDelete = 0.05, pDup = 0.05, segSize = 500))
+    val lake = new LakeTable(spark, new java.io.File(base, "lake").getPath)
+    new CdcDriver(spark, changelog, lake, segmentsPerBatch = 2, nBuckets = 16,
+      quiet = true).run()
+    lake.read()
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data-pipeline operator set). Implementations in Queries.scala. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  /** DuckDB-runnable oracle SQL per query (exact parity contract documented
+    * in Queries.scala / OracleSql.scala). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`): brute-force cosine top-k as the exact baseline, plus two
+ * scale paths — random-hyperplane LSH bucketing and IVF coarse quantization.
+ *
+ * Scale design: brute force is O(Q×N) and only acceptable for small query
+ * sets (it broadcasts the query side). The LSH/IVF variants turn the cross
+ * join into an equi-join on a compact bucket key, so the shuffle carries
+ * (bucket, id, vector) once instead of N×Q pairs; candidate scoring stays
+ * inside whole-stage codegen (`zip_with`/`aggregate`, no UDF).
+ */
+object SimilarityOps {
+
+  /** dot(a,b) computed sequentially in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 6 dp so independent evaluation orders
+    * (and external oracles) agree bit-for-bit. */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  /** Exact brute-force top-k cosine neighbors of each query vector.
+    * `queries` is broadcast (small side); ranking tie-breaks on neighbor id
+    * for full determinism. Self-matches are excluded. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH signature: `planes` sign bits, one per
+    * pseudo-random hyperplane. Plane p's component i is derived
+    * deterministically from xxhash64(p, i) — no RNG state, reproducible at
+    * any parallelism. Returns a bigint bucket id. */
+  def rhpSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column =
+    (0 until planes).map { p =>
+      val proj = (0 until dim).map { i =>
+        // hash -> pseudo-uniform in [-0.5, 0.5)
+        val h = xxhash64(lit(seed), lit(p), lit(i))
+        element_at(vec, i + 1).cast("double") *
+          (pmod(h, lit(1000000L)).cast("double") / 1000000.0 - 0.5)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only candidates sharing the query's bucket.
+    * Probing `multiProbe` extra buckets (flipping one sign bit) trades
+    * recall for cost. Returns top-k per query among candidates. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int, k: Int, multiProbe: Int = 0): DataFrame = {
+    val sig = rhpSignature(col(vecCol), dim, planes)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sig.as("_bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sig.as("_qsig"))
+    // probe buckets: exact signature + signatures with one flipped bit
+    val probes = array((lit(0L) +: (0 until math.min(multiProbe, planes))
+      .map(b => lit(1L << b))): _*)
+    val q = qBase.select(col("query_id"), col("_qv"),
+      explode(transform(probes, f => col("_qsig").bitwiseXOR(f))).as("_bucket"))
+    val scored = q.join(c, Seq("_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) ANN: k-means-lite coarse quantizer. Centroids are
+    * the per-cell mean of a deterministic hash-assignment refined by
+    * `iters` Lloyd iterations (all DataFrame aggs, driver collects only
+    * `cells` centroid vectors). Search probes `nProbe` nearest cells. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, cells: Int, k: Int, nProbe: Int = 2, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val base = corpus.select(col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    // initial assignment: hash of id -> cell
+    var assigned = base.withColumn("_cell",
+      pmod(xxhash64(col("_id")), lit(cells.toLong)).cast("int"))
+    var centroids: Array[(Int, Seq[Double])] = null
+    for (_ <- 0 until iters) {
+      // per-dimension mean via posexplode + avg (map-side combinable; the
+      // driver only ever collects `cells` centroid rows)
+      val cents = assigned
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_i", "_x")))
+        .groupBy("_cell", "_i").agg(avg("_x").as("_m"))
+        .groupBy("_cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("_i"), col("_m")))),
+          x => x.getField("_m")).as("_centroid"))
+      centroids = cents.as[(Int, Seq[Double])].collect()
+      assigned = base.withColumn("_cell",
+        nearestCell(col("_v"), centroidLiteral(centroids, dim)))
+    }
+    val centArr = centroidLiteral(centroids, dim)
+
+    val c = assigned.select(col("_id").as("neighbor_id"), col("_v").as("_cv"),
+      col("_cell").as("_probe"))
+    val q = queries
+      .select(col(idCol).as("query_id"), transform(col(vecCol), _.cast("double")).as("_qv"))
+      .withColumn("_probe", explode(nearestCells(col("_qv"), centArr, nProbe)))
+    val scored = q.join(c, Seq("_probe"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("_qv"), col("_cv")).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Centroids as a literal array<struct<cell:int, v:array<double>>> —
+    * broadcast-by-literal (tiny: cells × dim doubles). */
+  private def centroidLiteral(cents: Array[(Int, Seq[Double])], dim: Int): Column =
+    array(cents.sortBy(_._1).map { case (cell, v) =>
+      struct(lit(cell).as("cell"), array(v.map(lit): _*).as("v"))
+    }.toIndexedSeq: _*)
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+
+  private def nearestCell(v: Column, cents: Column): Column =
+    element_at(array_sort(transform(cents,
+      c => struct(l2sq(v, c.getField("v")).as("d"), c.getField("cell").as("cell")))), 1)
+      .getField("cell")
+
+  private def nearestCells(v: Column, cents: Column, n: Int): Column =
+    transform(
+      slice(array_sort(transform(cents,
+        c => struct(l2sq(v, c.getField("v")).as("d"), c.getField("cell").as("cell")))),
+        1, n),
+      x => x.getField("cell"))
+}
