@@ -1,24 +1,98 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.cdc.CdcDriver
+import graft.changelog.ChangelogGen
+import graft.lake.LakeTable
+
+/**
+ * Per-round benchmark main. Emits ONE JSON line:
+ *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+ *    "cdc":{"events":N,"throughput_4n":ev/s,"throughput_n":ev/s,
+ *           "n_cores":8,"four_n_cores":32,"scaling_efficiency":r}}
+ *
+ * The cdc block is the north-rule metric: the same changelog replayed at N
+ * and 4N local cores (shuffle partitions scaled with cores), throughput at
+ * both, efficiency = thr(4N) / (4 * thr(N)).
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  /** Headline query subset: representative, bounded runtime at sf0.1
+    * (the O(n^2) verification pair queries are exercised at sf0.01 by the
+    * correctness gate instead). */
+  private val headline = Seq(
+    "q01_pricing_agg", "q02_filter_project", "q04_checksum", "q06_lww_latest",
+    "q07_merge_upsert", "q08_join_dim", "q09_join_fact", "q12_full_outer",
+    "q14_argmax", "q15_rollup", "q21_window_time", "q22_dedup_exact",
+    "q23_minhash_lsh", "q24_simhash", "q28_ann_brute", "q29_ann_lsh",
+    "q30_text_quality", "q31_lang_id", "q32_fingerprint", "q35_transcript_lww")
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timeSec[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val nCores = math.max(cpus / 4, 1)
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "2000000").toLong
+
+    // ---- query timings at full parallelism
+    var spark = session(cpus)
+    val qTimes = headline.flatMap { name =>
+      Queries.all.get(name).map { fn =>
+        // warm the reader metadata once, then measure
+        val sec = timeSec { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        name -> sec
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- CDC replay bench: same changelog at 4N then N cores
+    val base = new java.io.File(s"target/bench-${System.nanoTime()}")
+    val changelog = new java.io.File(base, "changelog").getPath
+    val cfg = ChangelogGen.Config(
+      nEvents = cdcEvents, nConvs = math.max(cdcEvents / 200, 10L),
+      skew = 1.2, evolveAt = cdcEvents / 2,
+      segSize = math.max(cdcEvents / 8, 1L))
+    ChangelogGen.write(spark, changelog, cfg)
+
+    def replay(s: SparkSession, lakeDir: String): Double = {
+      val lake = new LakeTable(s, lakeDir)
+      val sec = timeSec {
+        new CdcDriver(s, changelog, lake, segmentsPerBatch = 2,
+          nBuckets = 64, quiet = true).run()
+      }
+      cdcEvents / sec
+    }
+
+    val thr4n = replay(spark, new java.io.File(base, "lake4n").getPath)
     spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    spark = session(nCores)
+    val thrN = replay(spark, new java.io.File(base, "lakeN").getPath)
+    val efficiency = thr4n / (4.0 * thrN)
+    spark.stop()
+
+    val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = qTimes.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""cdc":{"events":$cdcEvents,"throughput_4n":$thr4n%.1f,"throughput_n":$thrN%.1f,""" +
+      f""""n_cores":$nCores,"four_n_cores":$cpus,"scaling_efficiency":$efficiency%.3f}}""")
   }
 }

@@ -83,7 +83,11 @@ object CdcApply {
     val spark = lake.spark
 
     // Target schema = current lake schema + any new batch columns (additive).
-    val batchDataFields = batch.schema.fields.filterNot(_.name == "op")
+    // Lake rows additionally carry `_tombstone` (persisted deletes — see the
+    // read-side comment below).
+    val batchDataFields = batch.schema.fields.filterNot(_.name == "op") :+
+      org.apache.spark.sql.types.StructField("_tombstone",
+        org.apache.spark.sql.types.BooleanType, nullable = false)
     val targetSchema = cur match {
       case None => StructType(batchDataFields)
       case Some(s) =>
@@ -132,18 +136,22 @@ object CdcApply {
         (System.nanoTime() - t0) / 1e9)
     }
 
-    // Read-side: only the touched buckets of the current state.
-    val schemaWithOp = StructType(
-      StructType(Seq(org.apache.spark.sql.types.StructField("op",
-        org.apache.spark.sql.types.StringType))) ++ targetSchema)
-    val currentRows = align(
-      lake.readBuckets(Some(touched)).withColumn("op", lit("U")), schemaWithOp)
-    val batchRows = align(batch, schemaWithOp)
+    // Read-side: only the touched buckets of the current state. Deletes are
+    // PERSISTED as tombstone rows (`_tombstone = true`, keeping their lsn):
+    // without them, a delete applied in batch N followed by an at-least-once
+    // re-delivery of an OLDER event in batch N+k would resurrect the key
+    // (the out-of-order case CdcPropertySpec's permutation test exercises).
+    // Public reads filter tombstones (LakeTable.read).
+    val currentRows = align(lake.readBuckets(Some(touched)), targetSchema)
+    val batchRows = align(
+      batch.withColumn("_tombstone",
+        col("op") === lit(graft.model.Schemas.OpDelete)).drop("op"),
+      targetSchema)
     val unioned = currentRows.unionByName(batchRows)
 
     // LWW winner per key, optionally via an explicit salted two-phase
     // aggregate for adversarial hot-key skew.
-    val allCols = schemaWithOp.fieldNames.toIndexedSeq
+    val allCols = targetSchema.fieldNames.toIndexedSeq
     val rowStruct = struct(allCols.map(col): _*)
     val winner0 =
       if (saltBuckets > 0) {
@@ -160,24 +168,23 @@ object CdcApply {
       }
     val merged = winner0
       .select(col("w.*"))
-      .filter(col("op") =!= lit(graft.model.Schemas.OpDelete))
-      .drop("op")
       .withColumn("b", bucketOf(col("conv_id"), nBuckets))
 
-    // Write-side: copy-on-write rewrite of touched buckets only.
+    // Write-side: copy-on-write rewrite of touched buckets only. The winners
+    // are cached so the per-bucket stats pass reads memory, not parquet.
     val dataDir = lake.newDataDir(snapshotId)
-    merged
+    val toWrite = merged
       .repartition(math.max(touched.size, 1), col("b"))
-      .write.partitionBy("b").parquet(dataDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toWrite.write.partitionBy("b").parquet(dataDir)
 
-    // Per-bucket stats from a column-pruned scan of what we just wrote.
-    val written = spark.read.parquet(dataDir)
-    val stats = written.groupBy("b")
+    val stats = toWrite.groupBy("b")
       .agg(count(lit(1)).as("rows"), min("conv_id").as("mn"), max("conv_id").as("mx"))
       .collect()
       .map(r => r.getAs[Int]("b") ->
         (r.getAs[Long]("rows"), r.getAs[String]("mn"), r.getAs[String]("mx")))
       .toMap
+    toWrite.unpersist(blocking = false)
     val rowsOut = stats.values.map(_._1).sum
 
     val newFiles = listBucketFiles(dataDir).flatMap { case (b, paths) =>

@@ -111,7 +111,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           spark.read.schema(s.schema).parquet(files.map(_.path): _*)
     }
 
-  def read(): DataFrame = readBuckets(None)
+  /** Public read: current live rows (tombstoned keys filtered out; the
+    * tombstone mechanics stay internal to the MERGE path). */
+  def read(): DataFrame = {
+    val df = readBuckets(None)
+    if (df.columns.contains("_tombstone"))
+      df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
+        .drop("_tombstone")
+    else df
+  }
 
   /** Atomically publish `snap` as the next version. Epoch fencing: if an
     * equal-or-newer epoch is already committed, the commit is skipped and

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.TextFunctions
+
+class DedupOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "The quick brown fox, jumps over the lazy dog near the river bank today!"), // normalized dup of 0
+    (3L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup (1 word)
+    (4L, "completely different content about spark query engines and distributed merge joins"),
+    (5L, "totally unrelated text describing neural network training corpus pipelines at scale")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per normalized-content group") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 3L, 4L, 5L))
+  }
+
+  test("minhash+LSH finds exact and near dups, not unrelated docs") {
+    val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 8, bands = 4, wordShingleW = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash64: near-dups land within small hamming distance") {
+    val h = docs.select(col("doc_id"), DedupOps.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) == 0) // identical text
+    assert(ham(h(0L), h(3L)) <= 16) // one word changed
+    assert(ham(h(0L), h(4L)) > 16) // unrelated
+  }
+
+  test("simhashPairs chunk join is complete vs brute force (pigeonhole)") {
+    val withH = docs.select(col("doc_id"),
+      DedupOps.simhash(col("text"), 16).as("h"))
+    val viaChunks = DedupOps.simhashPairs(withH, "doc_id", "h",
+        bits = 16, chunks = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = withH.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(viaChunks == brute)
+  }
+
+  test("ngram jaccard blocking finds near dups within buckets") {
+    val withLang = docs.withColumn("lang", lit("en"))
+    val pairs = DedupOps.ngramJaccardPairs(withLang, "doc_id", "text",
+        Seq("lang"), w = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("minhash jaccard estimate correlates with true jaccard") {
+    // identical docs share every band; disjoint docs share none
+    val sig = docs.select(col("doc_id"),
+      DedupOps.minhashSignature(col("text"), 5, 8).as("sig"))
+    val cands = DedupOps.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.contains((4L, 5L)))
+  }
+}

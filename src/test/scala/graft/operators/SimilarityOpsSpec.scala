@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilarityOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic synthetic embeddings: 10 clusters x 20 vectors, dim 16;
+  // cluster centers are axis-ish, members = center + small hash jitter
+  private val dim = 16
+  private lazy val vecs = {
+    def jitter(id: Int, i: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash((id, i))
+      (math.abs(h % 1000) / 1000.0f - 0.5f) * 0.2f
+    }
+    (0 until 200).map { id =>
+      val c = id % 10
+      val v = (0 until dim).map { i =>
+        (if (i == c) 1.0f else if (i == (c + 1) % dim) 0.5f else 0.0f) + jitter(id, i)
+      }.toArray
+      (id.toLong, v)
+    }
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding")
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  private lazy val bruteTruth: Map[Long, Seq[Long]] = vecs.take(20).map { case (qid, qv) =>
+    qid -> vecs.filter(_._1 != qid)
+      .map { case (id, v) => (id, cosine(qv, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+  }.toMap
+
+  test("bruteForceTopK matches an in-memory exact reference") {
+    val queries = df.filter(col("vec_id") < 20)
+    val got = SimilarityOps.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(got == bruteTruth)
+  }
+
+  test("lshTopK achieves high recall vs brute force with multi-probe") {
+    val queries = df.filter(col("vec_id") < 20)
+    val got = SimilarityOps.lshTopK(df, queries, "vec_id", "embedding",
+        dim = dim, planes = 6, k = 5, multiProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val hits = bruteTruth.map { case (q, truth) =>
+      truth.count(got.getOrElse(q, Set.empty).contains).toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.5, s"LSH recall@5 = $recall")
+  }
+
+  test("ivfTopK achieves high recall with nProbe=3") {
+    val queries = df.filter(col("vec_id") < 20)
+    val got = SimilarityOps.ivfTopK(df, queries, "vec_id", "embedding",
+        dim = dim, cells = 8, k = 5, nProbe = 3, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val hits = bruteTruth.map { case (q, truth) =>
+      truth.count(got.getOrElse(q, Set.empty).contains).toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.6, s"IVF recall@5 = $recall")
+  }
+}
