@@ -38,12 +38,17 @@ final class CdcDriver(
     val out = scala.collection.mutable.ArrayBuffer[CdcApply.ApplyStats]()
     pending.grouped(segmentsPerBatch).take(maxBatches).foreach { group =>
       val paths = group.map(s => s"$changelogDir/seg=$s")
-      val batch = spark.read
+      val batch0 = spark.read
         .option("mergeSchema", "true") // additive evolution across segments
+        .option("basePath", changelogDir) // seg=/p= dirs share one root
         .parquet(paths: _*)
+      // `seg=`/`p=` path dirs (sharded binlog layout) surface as partition
+      // columns duplicating the data; their real job is footer probing
+      val batch = batch0.drop("p", "seg")
       // epoch = exclusive upper segment bound -> fencing token
       val epoch = group.max + 1
-      val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets)
+      val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets,
+        probeInfo = probeFromFooters(paths))
       out += stats
       if (!quiet) {
         val s = stats
@@ -56,5 +61,33 @@ final class CdcDriver(
       }
     }
     out.toSeq
+  }
+
+  /** Per-source-partition lineage + row count for a batch straight from the
+    * footers of the changelog's parquet files under `seg=N/p=P/` (driver
+    * metadata IO only; no cluster scan — the reference reads the same token
+    * off each Kafka record, JobRequestSerde.scala:22-35). Returns None if the
+    * layout lacks `p=` dirs (flat segments fall back to the probe scan). */
+  private def probeFromFooters(segDirs: Seq[String]): Option[CdcApply.ProbeInfo] = {
+    val perPart = segDirs.flatMap { d =>
+      val f = new java.io.File(d)
+      if (!f.exists()) Seq.empty
+      else f.listFiles().toSeq
+        .filter(x => x.isDirectory && x.getName.startsWith("p="))
+        .flatMap { pd =>
+          val part = pd.getName.stripPrefix("p=").toInt
+          pd.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+            .map(file => part -> file.getPath)
+        }
+    }
+    if (perPart.isEmpty) return None
+    val stats = graft.lake.ParquetFooters.parMap(perPart) { case (part, path) =>
+      val (n, lo, hi) = graft.lake.ParquetFooters.longStats(path, "_src_off")
+      (part, n, lo, hi)
+    }
+    val lineage = stats.groupBy(_._1).map { case (part, xs) =>
+      graft.lake.PartitionLineage(part, xs.map(_._3).min, xs.map(_._4).max)
+    }.toSeq.sortBy(_.srcPart)
+    Some(CdcApply.ProbeInfo(stats.map(_._2).sum, lineage))
   }
 }

@@ -27,6 +27,9 @@ object CdcMain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // binlog segments are modest files; smaller split size keeps scan
+      // parallelism >= cores even on a handful of segments
+      .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
     val s = (if (sys.props.contains("spark.master")) b
              else b.master(s"local[$cpus]")).getOrCreate()

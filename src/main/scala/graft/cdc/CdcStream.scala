@@ -34,7 +34,10 @@ object CdcStream {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"$changelogDir/seg=*")
+      // recursive lookup: tails both flat `seg=N/` and sharded `seg=N/p=P/`
+      // archive layouts without partition-column inference
+      .option("recursiveFileLookup", "true")
+      .parquet(changelogDir)
     val q = src.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)

@@ -40,6 +40,9 @@ object ChangelogGen {
       segSize: Long = 100000L,
       /** delivery index at which tool_meta starts existing; <0 = never. */
       evolveAt: Long = -1L,
+      /** parquet files per (segment, source partition) — a real binlog
+        * archive is one file chain per shard; >1 adds scan parallelism. */
+      filesPerSeg: Int = 2,
       seed: Long = 42L
   )
 
@@ -124,7 +127,11 @@ object ChangelogGen {
       .select((cols :+ "seg").map(col): _*)
   }
 
-  /** Write the changelog as `dir/seg=N/` parquet segment directories.
+  /** Write the changelog as `dir/seg=N/p=P/` parquet directories — one file
+    * chain per (segment, source partition), the layout of a real sharded
+    * binlog/WAL archive. The `p` path value duplicates the `_src_part` data
+    * column so that tailers can derive per-partition lineage and row counts
+    * from parquet FOOTERS alone (CdcDriver.probeFromFooters), no data scan.
     * If `evolveAt >= 0`, segments wholly before the cut-in are written with
     * the v1 schema (no tool_meta) and later segments with v2 — a genuine
     * mid-stream additive schema change as seen by the tailer. */
@@ -132,14 +139,19 @@ object ChangelogGen {
     val cut =
       if (cfg.evolveAt < 0) cfg.nEvents
       else (cfg.evolveAt / cfg.segSize) * cfg.segSize // segment-aligned
+    val chunk = pmod(xxhash64(col("_lsn")), lit(cfg.filesPerSeg.toLong))
+    def part(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+      df.withColumn("p", col("_src_part"))
+        .repartition(
+          (((hi - lo) / cfg.segSize + 1) * cfg.nSrcPartitions * cfg.filesPerSeg).toInt,
+          col("seg"), col("p"), chunk)
     if (cut > 0)
-      events(spark, cfg, 0L, math.min(cut, cfg.nEvents), withEvolution = false)
-        .repartition(col("seg"))
-        .write.mode("overwrite").partitionBy("seg").parquet(dir)
+      part(events(spark, cfg, 0L, math.min(cut, cfg.nEvents), withEvolution = false),
+        0L, math.min(cut, cfg.nEvents))
+        .write.mode("overwrite").partitionBy("seg", "p").parquet(dir)
     if (cut < cfg.nEvents)
-      events(spark, cfg, cut, cfg.nEvents, withEvolution = true)
-        .repartition(col("seg"))
-        .write.mode("append").partitionBy("seg").parquet(dir)
+      part(events(spark, cfg, cut, cfg.nEvents, withEvolution = true), cut, cfg.nEvents)
+        .write.mode("append").partitionBy("seg", "p").parquet(dir)
   }
 
   /** Sorted list of segment indices present under `dir`. */

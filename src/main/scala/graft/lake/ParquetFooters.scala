@@ -1,0 +1,71 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+/** Driver-side parquet footer metadata reads: row counts + column min/max
+  * without touching data pages — the write/read-side metrics collection a
+  * real table format keeps in its manifests. O(files) small IOs; callers
+  * parallelize over files. */
+object ParquetFooters {
+
+  private val conf = new Configuration()
+
+  /** (rows, min, max) of a string column, from footer statistics. */
+  def stringStats(path: String, column: String): (Long, String, String) = {
+    withFooter(path) { footer =>
+      var rows = 0L; var mn: String = null; var mx: String = null
+      footer.getBlocks.forEach { block =>
+        rows += block.getRowCount
+        block.getColumns.forEach { c =>
+          if (c.getPath.toDotString == column && c.getStatistics != null &&
+              !c.getStatistics.isEmpty) {
+            val lo = c.getStatistics.minAsString()
+            val hi = c.getStatistics.maxAsString()
+            if (mn == null || lo < mn) mn = lo
+            if (mx == null || hi > mx) mx = hi
+          }
+        }
+      }
+      (rows, Option(mn).getOrElse(""), Option(mx).getOrElse(""))
+    }
+  }
+
+  /** (rows, min, max) of an int64 column, from footer statistics. */
+  def longStats(path: String, column: String): (Long, Long, Long) = {
+    withFooter(path) { footer =>
+      var rows = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      footer.getBlocks.forEach { block =>
+        rows += block.getRowCount
+        block.getColumns.forEach { c =>
+          if (c.getPath.toDotString == column && c.getStatistics != null &&
+              !c.getStatistics.isEmpty) {
+            val lo = c.getStatistics.genericGetMin.asInstanceOf[java.lang.Long]
+            val hi = c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long]
+            if (lo < mn) mn = lo
+            if (hi > mx) mx = hi
+          }
+        }
+      }
+      (rows, mn, mx)
+    }
+  }
+
+  private def withFooter[A](path: String)(
+      f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf))
+    try f(reader.getFooter) finally reader.close()
+  }
+
+  /** Parallel map over independent footer reads. */
+  def parMap[A, B](xs: Seq[A], threads: Int = 16)(f: A => B): Seq[B] = {
+    import scala.collection.parallel.CollectionConverters._
+    val par = xs.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(threads))
+    par.map(f).seq
+  }
+}

@@ -38,8 +38,9 @@ class CdcStreamSpec extends AnyFunSuite {
     val more = ChangelogGen.Config(cfg.nEvents + 1000, nConvs = 30,
       turnsPerConv = 8, pUpdate = 0.35, pDelete = 0.08, pDup = 0.1, segSize = 500)
     ChangelogGen.events(spark, more, cfg.nEvents, more.nEvents, withEvolution = false)
+      .withColumn("p", org.apache.spark.sql.functions.col("_src_part"))
       .repartition(1)
-      .write.mode("append").partitionBy("seg").parquet(dir)
+      .write.mode("append").partitionBy("seg", "p").parquet(dir)
     CdcStream.run(spark, dir, lake, ckpt, Schemas.changeEventSchema,
       nBuckets = 8, maxFilesPerTrigger = 2)
     val eventsAll = spark.read.parquet(dir)
