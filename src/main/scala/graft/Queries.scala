@@ -272,11 +272,12 @@ object Queries {
     * with exact word-3-shingle overlap. Integer threshold: inter*5 >= uni. */
   def q23MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val withSig = docs.select(col("doc_id"), col("text"))
-      .withColumn("_sig", DedupOps.minhashSignature(col("text"), 5, 4))
+    val withSig = DedupOps.withMinhashSignature(
+      docs.select(col("doc_id"), col("text")), "text", 5, 4, "_sig")
     val cands = DedupOps.lshCandidates(withSig, "doc_id", "_sig", bands = 2, rowsPerBand = 2)
-    val sh = docs.select(col("doc_id"),
-      array_distinct(wordShingles(col("text"), 3)).as("sh"))
+    val sh = DedupOps.withWordShingleSet(
+        docs.select(col("doc_id"), col("text")), "text", 3, "sh")
+      .select(col("doc_id"), col("sh"))
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
@@ -289,8 +290,8 @@ object Queries {
 
   /** 16-bit SimHash fingerprint per document (md5-hex-derived token bits). */
   def q24Simhash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), DedupOps.simhash(col("text"), 16).as("simhash"))
+    DedupOps.withSimhash(t(s, dir, "documents"), "text", 16, "simhash")
+      .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup pairs: hamming <= 3 via pigeonhole chunk join
     * (complete: 4 chunks > 3 bit flips). */
@@ -299,17 +300,26 @@ object Queries {
     DedupOps.simhashPairs(h, "doc_id", "simhash", bits = 16, chunks = 4, maxHamming = 3)
   }
 
-  /** Word-3-gram Jaccard near-dups blocked by language (inter*5 >= uni). */
+  /** Word-3-gram Jaccard near-dups blocked by language (inter*5 >= uni).
+    * Formulated as an explode + shingle equi-join (not per-pair
+    * array_intersect): intersection counts come from a distributed join on
+    * (lang, shingle), so cost scales with shingle co-occurrence, not with
+    * block-size^2 full-array comparisons. */
   def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sh = d.select(col("lang"), col("doc_id"),
-      array_distinct(wordShingles(col("text"), 3)).as("sh"))
-    sh.as("a").join(sh.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        size(array_intersect(col("a.sh"), col("b.sh"))).as("inter"),
-        (size(col("a.sh")) + size(col("b.sh")) -
-          size(array_intersect(col("a.sh"), col("b.sh")))).as("uni"))
+    val sh = DedupOps.withWordShingleSet(d, "text", 3, "sh")
+      .select(col("lang"), col("doc_id"), explode(col("sh")).as("s"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).cast("int").as("inter"))
+    inter
+      .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
+      .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("ca") + col("cb") - col("inter")).cast("int").as("uni"))
       .filter(col("inter") * 5 >= col("uni"))
   }
 

@@ -51,7 +51,11 @@ object TextFunctions {
   def bagFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(normalized(text), " ")))))
 
-  /** Character k-shingles of the normalized text (MinHash input). */
+  /** Character k-shingles of the normalized text (MinHash input).
+    * NOTE: the lambda references `normalized(text)` per element, so the
+    * normalization regexes re-run PER SHINGLE — fine for tests/small data;
+    * at scale use DedupOps.withCharShingles, which materializes the
+    * normalized text as an attribute first. */
   def charShingles(text: Column, k: Int): Column = {
     val n = normalized(text)
     filter(
@@ -61,7 +65,9 @@ object TextFunctions {
       s => length(s) === k)
   }
 
-  /** Word w-shingles (w consecutive words joined by a space). */
+  /** Word w-shingles (w consecutive words joined by a space).
+    * Same per-element re-evaluation caveat as [[charShingles]] — at scale
+    * use DedupOps.withWordShingleSet. */
   def wordShingles(text: Column, w: Int): Column = {
     val ws = split(normalized(text), " ")
     filter(

@@ -10,16 +10,24 @@ import graft.functions.TextFunctions._
  * Corpus deduplication operators for training-data pipelines: exact
  * (checksum groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard
  * verification. All are declarative DataFrame plans — the heavy lifting
- * (shingle explode → per-doc min-hash → band bucket join) shuffles only on
- * compact keys, never on document text, so the plans survive a 100 TB corpus:
+ * (shingle → per-doc min-hash → band bucket join) shuffles only compact
+ * keys, never document text, so the plans survive a 100 TB corpus:
  *  - shingling/minhashing is per-row (codegen, no shuffle);
- *  - LSH banding turns the O(n²) pair space into a groupBy on (band, sig)
- *    buckets, shuffling only (doc_id, band, sig) triples;
- *  - the verify join rejoins text for candidate pairs only.
+ *  - LSH banding turns the O(n²) pair space into an equi-self-join on
+ *    (band, sig) buckets, shuffling only (doc_id, band, sig) triples;
+ *  - the verify join rejoins shingle sets for candidate pairs only.
+ *
+ * API note — the multi-step operators are DataFrame transformers
+ * (`withX(df, ...)`) rather than single Column expressions: intermediates
+ * like the normalized text and the shingle array MUST be materialized as
+ * attributes before a lambda iterates relative to them. A lambda whose body
+ * references an expensive expression tree (e.g. `normalized(text)` inside
+ * `transform(sequence(...), i => substr(nt, i, k))`) re-evaluates that tree
+ * PER ELEMENT — measured 20x slowdowns on real corpora.
  *
  * Reference analogue: the reference dedups by Redis checksum lookup per event
  * (DeDupEngine.scala:23-42, DeDupHelper.scala:7-10) — a point-lookup design
- * that cannot batch; here the same semantics are a set-level hash groupBy.
+ * that cannot batch; here the same semantics are set-level joins/windows.
  */
 object DedupOps {
 
@@ -34,31 +42,61 @@ object DedupOps {
       .drop("_rn", "_ck")
   }
 
-  /** Per-doc MinHash signature: `numHashes` independent min-hash values over
-    * character `k`-shingles. Hash family h_j(s) = md5(j || ':' || s) compared
-    * lexicographically — md5 so an external SQL oracle can reproduce it
-    * exactly; the xxhash64 family below is the faster production path. */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = charShingles(text, k)
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => md5(concat(lit(j.toString + ":"), s))))
-    }: _*)
-  }
+  /** Adds `outCol` = array of character-k-shingles of the normalized text.
+    * Normalization is materialized first so the per-shingle lambda is a pure
+    * substr over an attribute. */
+  def withCharShingles(df: DataFrame, textCol: String, k: Int,
+                       outCol: String): DataFrame =
+    df.withColumn("_nt", normalized(col(textCol)))
+      .withColumn(outCol,
+        filter(
+          transform(sequence(lit(1), greatest(length(col("_nt")) - (k - 1), lit(1))),
+            i => col("_nt").substr(i, lit(k))),
+          s => length(s) === k))
+      .drop("_nt")
 
-  /** Production minhash: xxhash64 family (8 bytes/hash, codegen'd native
-    * expression — no md5 hex strings on the hot path). */
-  def minhashSignature64(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = charShingles(text, k)
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, s => xxhash64(lit(j), s)))
-    }: _*)
-  }
+  /** Adds `outCol` = array of distinct word-w-shingles (w consecutive words
+    * joined by spaces) of the normalized text. */
+  def withWordShingleSet(df: DataFrame, textCol: String, w: Int,
+                         outCol: String): DataFrame =
+    df.withColumn("_ws", split(normalized(col(textCol)), " "))
+      .withColumn(outCol, array_distinct(
+        filter(
+          transform(sequence(lit(0), greatest(size(col("_ws")) - w, lit(0))),
+            i => concat_ws(" ", slice(col("_ws"), i + 1, lit(w)))),
+          s => size(split(s, " ")) === w)))
+      .drop("_ws")
+
+  /** Adds `outCol` = MinHash signature (array of `numHashes` min-hash
+    * strings) over character `k`-shingles. Hash family h_j(s) =
+    * md5(j || ':' || s) compared lexicographically — md5 so an external SQL
+    * oracle can reproduce it; `sigHash = xxhash64` swaps in the faster
+    * 64-bit family for production. */
+  def withMinhashSignature(df: DataFrame, textCol: String, k: Int,
+                           numHashes: Int, outCol: String): DataFrame =
+    withCharShingles(df, textCol, k, "_mh_sh")
+      .withColumn(outCol, array((0 until numHashes).map { j =>
+        array_min(transform(col("_mh_sh"), s => md5(concat(lit(j + ":"), s))))
+      }: _*))
+      .drop("_mh_sh")
+
+  /** Production 64-bit variant: xxhash64 family, long signatures. */
+  def withMinhashSignature64(df: DataFrame, textCol: String, k: Int,
+                             numHashes: Int, outCol: String): DataFrame =
+    withCharShingles(df, textCol, k, "_mh_sh")
+      .withColumn(outCol, array((0 until numHashes).map { j =>
+        array_min(transform(col("_mh_sh"), s => xxhash64(lit(j), s)))
+      }: _*))
+      .drop("_mh_sh")
 
   /** LSH candidate pairs from minhash signatures banded into `bands` bands
     * of `rowsPerBand` hashes. Docs sharing any band signature are candidates.
     * Scale: the explode produces `bands` rows/doc of (band, sig, id) — the
-    * only shuffled payload; bucket self-join happens post-aggregation on
-    * compact arrays. Returns (id_a, id_b) with id_a < id_b, distinct. */
+    * only shuffled payload; candidates come from an equi-self-join on
+    * (band, sig), which distributes even when one bucket holds thousands of
+    * docs (a collect-the-bucket formulation puts O(bucket²) pairs in a
+    * single row and dies on common-content buckets).
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidates(
       docs: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
@@ -67,22 +105,14 @@ object DedupOps {
       posexplode(array((0 until bands).map { b =>
         md5(array_join(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand), "|"))
       }: _*)).as(Seq("_band", "_sig")))
-    // all ids per bucket, sorted — tiny arrays; avoids a self-join shuffle
-    val buckets = banded.groupBy("_band", "_sig")
-      .agg(sort_array(collect_list("_id")).as("_ids"))
-      .filter(size(col("_ids")) > 1)
-    buckets.select(explode(pairsOf(col("_ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    banded.as("a").join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._sig") === col("b._sig") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .distinct()
   }
 
-  /** All ordered pairs (a<b) from a sorted array — pure expression. */
-  private def pairsOf(ids: Column): Column =
-    flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        b => struct(a.as("_1"), b.as("_2")))))
-
-  /** Exact Jaccard similarity of two word-shingle sets (verification step
+  /** Exact Jaccard similarity of two shingle-set columns (verification step
     * after LSH candidate generation). */
   def jaccard(aShingles: Column, bShingles: Column): Column = {
     val inter = size(array_intersect(aShingles, bShingles)).cast("double")
@@ -91,19 +121,19 @@ object DedupOps {
   }
 
   /** MinHash+LSH near-duplicate pairs with exact shingle-Jaccard verify:
-    * the full pipeline — shingle → minhash → band → bucket → verify-join.
+    * the full pipeline — shingle → minhash → band → bucket-join → verify.
     * Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold. */
   def minhashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, numHashes: Int = 8, bands: Int = 4,
       wordShingleW: Int = 3, threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = docs.select(col(idCol), col(textCol))
-      .withColumn("_sig", minhashSignature(col(textCol), shingleK, numHashes))
+    val withSig = withMinhashSignature(
+      docs.select(col(idCol), col(textCol)), textCol, shingleK, numHashes, "_sig")
     val cands = lshCandidates(withSig, idCol, "_sig", bands, rowsPerBand)
-    val shingled = docs.select(
-      col(idCol).as("_sid"),
-      array_distinct(wordShingles(col(textCol), wordShingleW)).as("_sh"))
+    val shingled = withWordShingleSet(
+        docs.select(col(idCol), col(textCol)), textCol, wordShingleW, "_sh")
+      .select(col(idCol).as("_sid"), col("_sh"))
     cands
       .join(shingled.withColumnRenamed("_sid", "id_a")
         .withColumnRenamed("_sh", "_sha"), "id_a")
@@ -114,31 +144,32 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash over whitespace tokens with `bits` bit positions (<= 16 keeps
-    * the hash oracle-reproducible via md5 hex digits; the 64-bit xxhash64
-    * variant below is the production path). Bit b of token t comes from
-    * md5(t)'s leading 4 hex digits; simhash bit b is set iff the weighted
-    * majority of tokens set it. */
-  def simhash(text: Column, bits: Int): Column = {
+  /** Adds `outCol` = SimHash over whitespace tokens with `bits` bit
+    * positions (<= 16 keeps the hash oracle-reproducible via md5 hex
+    * digits). Token hash values are materialized once; each bit's majority
+    * vote folds over the attribute. */
+  def withSimhash(df: DataFrame, textCol: String, bits: Int,
+                  outCol: String): DataFrame = {
     require(bits <= 16, "md5-4-hex-digit variant supports <= 16 bits")
-    val toks = tokens(text)
-    // per-token 16-bit value from the first 4 hex digits of md5
     val tokVal = (t: Column) => {
       val hex = substring(md5(t), 1, 4)
       aggregate(split(hex, ""), lit(0L),
         (acc, ch) => acc * 16 + (instr(lit("0123456789abcdef"), ch) - 1))
     }
-    val vals = transform(toks, tokVal)
-    simhashOf(vals, bits)
+    df.withColumn("_sh_vals", transform(tokens(col(textCol)), tokVal))
+      .withColumn(outCol, simhashOf(col("_sh_vals"), bits))
+      .drop("_sh_vals")
   }
 
   /** Production 64-bit simhash via xxhash64 token hashes. */
-  def simhash64(text: Column): Column =
-    simhashOf(transform(tokens(text), t => xxhash64(t)), 64)
+  def withSimhash64(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn("_sh_vals", transform(tokens(col(textCol)), t => xxhash64(t)))
+      .withColumn(outCol, simhashOf(col("_sh_vals"), 64))
+      .drop("_sh_vals")
 
-  /** Majority-vote simhash from an array of per-token hash values. Bit
-    * extraction uses `(v >> b) & 1` (mask, not mod — arithmetic shift of a
-    * negative 64-bit hash sign-extends). */
+  /** Majority-vote simhash from an attribute holding per-token hash values.
+    * Bit extraction uses `(v >>> b) & 1` (mask, not mod — arithmetic shift
+    * of a negative 64-bit hash sign-extends). */
   private def simhashOf(vals: Column, bits: Int): Column =
     (0 until bits).map { b =>
       val s = aggregate(vals, lit(0L), (acc, v) =>
@@ -162,21 +193,14 @@ object DedupOps {
       posexplode(array((0 until chunks).map { c =>
         shiftrightunsigned(col(hashCol), c * chunkBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("_chunk", "_cv")))
-    val buckets = banded.groupBy("_chunk", "_cv")
-      .agg(sort_array(collect_list(struct(col("_id"), col("_h")))).as("_xs"))
-      .filter(size(col("_xs")) > 1)
-    buckets
-      .select(explode(pairsOf2(col("_xs"))).as("p"))
-      .select(col("p.a._id").as("id_a"), col("p.b._id").as("id_b"),
-        bit_count(col("p.a._h").bitwiseXOR(col("p.b._h"))).as("hamming"))
+    banded.as("a").join(banded.as("b"),
+        col("a._chunk") === col("b._chunk") && col("a._cv") === col("b._cv") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bit_count(col("a._h").bitwiseXOR(col("b._h"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
-
-  private def pairsOf2(xs: Column): Column =
-    flatten(transform(xs, (a, i) =>
-      transform(slice(xs, i + 2, size(xs)),
-        b => struct(a.as("a"), b.as("b")))))
 
   /** n-gram Jaccard near-dup within explicit blocking buckets: docs are
     * compared only within the same `bucketCols` group (e.g. (lang, source)),
@@ -184,16 +208,13 @@ object DedupOps {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       bucketCols: Seq[String], w: Int, threshold: Double): DataFrame = {
-    val d = docs.select(
-      (bucketCols.map(col) :+ col(idCol).as("_id") :+
-        array_distinct(wordShingles(col(textCol), w)).as("_sh")): _*)
-    val grouped = d.groupBy(bucketCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("_id"), col("_sh")))).as("_xs"))
-      .filter(size(col("_xs")) > 1)
-    grouped
-      .select(explode(pairsOf2(col("_xs"))).as("p"))
-      .select(col("p.a._id").as("id_a"), col("p.b._id").as("id_b"),
-        jaccard(col("p.a._sh"), col("p.b._sh")).as("jaccard"))
+    val d = withWordShingleSet(docs, textCol, w, "_sh")
+      .select((bucketCols.map(col) :+ col(idCol).as("_id") :+ col("_sh")): _*)
+    val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a._id") < col("b._id")
+    d.as("a").join(d.as("b"), joinCond)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        jaccard(col("a._sh"), col("b._sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -37,7 +37,8 @@ class DedupOpsSpec extends AnyFunSuite {
   }
 
   test("simhash64: near-dups land within small hamming distance") {
-    val h = docs.select(col("doc_id"), DedupOps.simhash64(col("text")).as("h"))
+    val h = DedupOps.withSimhash64(docs, "text", "h")
+      .select("doc_id", "h")
       .as[(Long, Long)].collect().toMap
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(h(0L), h(1L)) == 0) // identical text
@@ -46,8 +47,8 @@ class DedupOpsSpec extends AnyFunSuite {
   }
 
   test("simhashPairs chunk join is complete vs brute force (pigeonhole)") {
-    val withH = docs.select(col("doc_id"),
-      DedupOps.simhash(col("text"), 16).as("h"))
+    val withH = DedupOps.withSimhash(docs, "text", 16, "h")
+      .select("doc_id", "h")
     val viaChunks = DedupOps.simhashPairs(withH, "doc_id", "h",
         bits = 16, chunks = 4, maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -70,8 +71,8 @@ class DedupOpsSpec extends AnyFunSuite {
 
   test("minhash jaccard estimate correlates with true jaccard") {
     // identical docs share every band; disjoint docs share none
-    val sig = docs.select(col("doc_id"),
-      DedupOps.minhashSignature(col("text"), 5, 8).as("sig"))
+    val sig = DedupOps.withMinhashSignature(docs, "text", 5, 8, "sig")
+      .select(col("doc_id"), col("sig"))
     val cands = DedupOps.lshCandidates(sig, "doc_id", "sig", bands = 4, rowsPerBand = 2)
       .as[(Long, Long)].collect().toSet
     assert(cands.contains((0L, 1L)))
