@@ -66,6 +66,17 @@ object CdcMain {
       println(f"""{"replayed":$rows,"batches":${stats.size},"sec":$sec%.1f,"eventsPerSec":${if (sec > 0) rows / sec else 0.0}%.1f}""")
       spark.stop()
 
+    case "compact" :: lakeDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val wm = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+      val st = graft.lake.Compaction.compact(lake, wm)
+      println(s"""{"filesBefore":${st.filesBefore},"filesAfter":${st.filesAfter},""" +
+        s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
+        s""""tombstonesDropped":${st.tombstonesDropped},""" +
+        s""""snapshotId":${st.snapshot.snapshotId}}""")
+      spark.stop()
+
     case "state" :: lakeDir :: Nil =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)

@@ -1,0 +1,74 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcApply
+
+/**
+ * Lake maintenance: bucket compaction + tombstone GC.
+ *
+ * Over a long replay every batch rewrites touched buckets, but tombstones
+ * (persisted deletes, see CdcApply) accumulate forever and bucket
+ * directories can collect multiple small files. `compact` rewrites the
+ * whole table into one file chain per bucket, dropping tombstones whose
+ * lsn is below `tombstoneWatermark` — safe once the source can no longer
+ * re-deliver offsets below that watermark (the caller owns that retention
+ * contract, exactly like dropping the reference's 7-day dedup-checksum TTL,
+ * activity-aggregate-updater.conf:36).
+ *
+ * The commit is a maintenance commit: same epoch (no source data consumed),
+ * next snapshot id — so a crashed/rerun CDC driver resumes exactly where it
+ * left off, and time travel to pre-compaction snapshots still works.
+ */
+object Compaction {
+
+  final case class CompactionStats(
+      snapshot: Snapshot, filesBefore: Int, filesAfter: Int,
+      rowsBefore: Long, rowsAfter: Long, tombstonesDropped: Long)
+
+  def compact(
+      lake: LakeTable,
+      tombstoneWatermark: Long = Long.MinValue): CompactionStats = {
+    val cur = lake.currentSnapshot.getOrElse(
+      throw new IllegalStateException("nothing to compact: empty table"))
+    val spark = lake.spark
+
+    val raw = lake.readBuckets(None)
+    val kept =
+      if (raw.columns.contains("_tombstone"))
+        raw.filter(!col("_tombstone") || col("_lsn") >= tombstoneWatermark)
+      else raw
+    val withB = kept.withColumn("b",
+      CdcApply.bucketOf(col("conv_id"), cur.nBuckets))
+
+    val dataDir = lake.newDataDir(cur.snapshotId + 1)
+    withB
+      .repartition(cur.nBuckets, col("b"))
+      .sortWithinPartitions(col("b"), col("conv_id"), col("turn_idx"))
+      .write.partitionBy("b").parquet(dataDir)
+
+    val newFiles = {
+      val work = new java.io.File(dataDir).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("b="))
+        .flatMap { bd =>
+          val b = bd.getName.stripPrefix("b=").toInt
+          bd.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+            .map(f => (b, f.getPath))
+        }
+      ParquetFooters.parMap(work) { case (b, p) =>
+        val (n, mn, mx) = ParquetFooters.stringStats(p, "conv_id")
+        DataFileMeta(p, b, n, mn, mx)
+      }
+    }
+
+    val rowsBefore = cur.files.map(_.rows).sum
+    val rowsAfter = newFiles.map(_.rows).sum
+    val snap = Snapshot(cur.snapshotId + 1, cur.snapshotId, cur.epoch,
+      cur.schemaJson, cur.schemaVersion, cur.nBuckets, newFiles, cur.lineage,
+      Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
+        "rowsAfter" -> rowsAfter.toDouble))
+    val committed = lake.commit(snap, maintenance = true)
+    CompactionStats(committed, cur.files.size, newFiles.size,
+      rowsBefore, rowsAfter, rowsBefore - rowsAfter)
+  }
+}

@@ -123,11 +123,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   /** Atomically publish `snap` as the next version. Epoch fencing: if an
     * equal-or-newer epoch is already committed, the commit is skipped and
-    * the existing snapshot returned (idempotent replay). */
-  def commit(snap: Snapshot): Snapshot = {
+    * the existing snapshot returned (idempotent replay). Maintenance commits
+    * (compaction — no new source data) keep the current epoch: they fence
+    * only on strictly-older epochs and still take the next snapshot id, so
+    * a concurrent duplicate still loses on the version-file atomic rename. */
+  def commit(snap: Snapshot, maintenance: Boolean = false): Snapshot = {
     metaDir.mkdirs()
     currentSnapshot.foreach { cur =>
-      if (cur.epoch >= snap.epoch) return cur // fenced: replayed batch
+      if (maintenance) {
+        require(snap.epoch == cur.epoch,
+          s"maintenance commit must keep epoch ${cur.epoch}, got ${snap.epoch}")
+      } else if (cur.epoch >= snap.epoch) return cur // fenced: replayed batch
       if (snap.snapshotId <= cur.snapshotId)
         throw new CommitConflictException(
           s"stale snapshot id ${snap.snapshotId}, current is ${cur.snapshotId}")

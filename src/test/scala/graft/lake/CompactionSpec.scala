@@ -1,0 +1,67 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.{CdcDriver, CdcOracle}
+import graft.changelog.ChangelogGen
+
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def build(): (String, LakeTable) = {
+    val dir = TestSpark.tmpDir("compact-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 3000, nConvs = 25, turnsPerConv = 6,
+      pUpdate = 0.35, pDelete = 0.15, pDup = 0.1, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("compact-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true).run()
+    (dir, lake)
+  }
+
+  test("compaction drops tombstones, preserves live state, keeps epoch") {
+    val (dir, lake) = build()
+    val before = CdcOracle.tableState(lake.read())
+    val snapBefore = lake.currentSnapshot.get
+    val rawBefore = lake.readBuckets(None).count()
+    assert(rawBefore > before.size) // tombstones present
+
+    val stats = Compaction.compact(lake, tombstoneWatermark = Long.MaxValue)
+    assert(stats.tombstonesDropped == rawBefore - before.size)
+    assert(lake.readBuckets(None).count() == before.size) // all tombstones gone
+    assert(CdcOracle.tableState(lake.read()) == before) // live state unchanged
+    val snapAfter = lake.currentSnapshot.get
+    assert(snapAfter.epoch == snapBefore.epoch) // no source progress consumed
+    assert(snapAfter.snapshotId == snapBefore.snapshotId + 1)
+
+    // a full re-replay after compaction is still completely fenced
+    val stats2 = new CdcDriver(spark, dir, lake, 1, 8, quiet = true).run()
+    assert(stats2.forall(_.skipped))
+  }
+
+  test("partial watermark keeps newer tombstones (late-arrival safety)") {
+    val (_, lake) = build()
+    val raw = lake.readBuckets(None)
+    import org.apache.spark.sql.functions._
+    val tombLsns = raw.filter(col("_tombstone")).select("_lsn")
+      .collect().map(_.getLong(0)).sorted
+    assume(tombLsns.length >= 2)
+    val mid = tombLsns(tombLsns.length / 2)
+    Compaction.compact(lake, tombstoneWatermark = mid)
+    val keptTombs = lake.readBuckets(None).filter(col("_tombstone"))
+      .select("_lsn").collect().map(_.getLong(0)).sorted
+    assert(keptTombs.toSeq == tombLsns.filter(_ >= mid).toSeq)
+  }
+
+  test("time travel: pre-compaction snapshots remain readable") {
+    val (_, lake) = build()
+    val oldSnap = lake.currentSnapshot.get
+    Compaction.compact(lake, tombstoneWatermark = Long.MaxValue)
+    // files listed by the old snapshot still exist on disk
+    assert(oldSnap.files.forall(f => new java.io.File(f.path).exists()))
+    val oldRows = spark.read.schema(oldSnap.schema)
+      .parquet(oldSnap.files.map(_.path): _*)
+    assert(oldRows.count() == oldSnap.files.map(_.rows).sum)
+  }
+}
