@@ -54,11 +54,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "8000000").toLong
+    val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "32000000").toLong
     val scalePair = (2, 8) // N and 4N cores for the scaling-efficiency pair
 
     // ---- query timings at full parallelism
     var spark = session(cpus)
+    // warm up executor pool / codegen / file listing so the first measured
+    // query doesn't absorb session startup
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val qTimes = headline.flatMap { name =>
       Queries.all.get(name).map { fn =>
         val sec = timeSec { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -84,7 +87,7 @@ object Bench {
       if (new java.io.File(lakeDir).exists()) rm(new java.io.File(lakeDir))
       val lake = new LakeTable(s, lakeDir)
       val sec = timeSec {
-        new CdcDriver(s, changelog, lake, segmentsPerBatch = 2,
+        new CdcDriver(s, changelog, lake, segmentsPerBatch = 4,
           nBuckets = 64, quiet = true).run()
       }
       cdcEvents / sec
