@@ -226,12 +226,9 @@ object OracleSql {
          |JOIN (SELECT lang, count(*) AS n_unique FROM surv GROUP BY 1) u ON d.lang = u.lang""".stripMargin,
 
     "q23_minhash_lsh" ->
-      s"""WITH nt AS (SELECT doc_id, ${norm("text")} AS t FROM documents),
-         |csh AS (SELECT doc_id, substring(t, i, 5) AS s
-         |  FROM (SELECT doc_id, t, unnest(range(1, greatest(length(t)-4,1)+1)) AS i FROM nt)
-         |  WHERE length(substring(t, i, 5)) = 5),
+      s"""WITH $wsh3,
          |sig AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
-         |  FROM csh, generate_series(0, 3) tj(j) GROUP BY 1, 2),
+         |  FROM wsh, generate_series(0, 3) tj(j) GROUP BY 1, 2),
          |piv AS (SELECT doc_id,
          |  max(CASE WHEN j=0 THEN m END) AS m0, max(CASE WHEN j=1 THEN m END) AS m1,
          |  max(CASE WHEN j=2 THEN m END) AS m2, max(CASE WHEN j=3 THEN m END) AS m3
@@ -240,7 +237,6 @@ object OracleSql {
          |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM piv),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |$wsh3,
          |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
          |  FROM cand c JOIN wsh a ON a.doc_id = c.id_a
          |  JOIN wsh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2)

@@ -268,12 +268,13 @@ object Queries {
       .join(survivors.groupBy("lang").agg(count(lit(1)).as("n_unique")), Seq("lang"))
   }
 
-  /** MinHash(md5 family, k=4) + LSH(2 bands x 2 rows) candidates, verified
-    * with exact word-3-shingle overlap. Integer threshold: inter*5 >= uni. */
+  /** MinHash(md5 family, 4 hashes over word-3-shingles) + LSH(2 bands x 2
+    * rows) candidates, verified with exact word-3-shingle overlap.
+    * Integer threshold: inter*5 >= uni. */
   def q23MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val withSig = DedupOps.withMinhashSignature(
-      docs.select(col("doc_id"), col("text")), "text", 5, 4, "_sig")
+    val withSig = DedupOps.withMinhashSignatureWords(
+      docs.select(col("doc_id"), col("text")), "text", 3, 4, "_sig")
     val cands = DedupOps.lshCandidates(withSig, "doc_id", "_sig", bands = 2, rowsPerBand = 2)
     val sh = DedupOps.withWordShingleSet(
         docs.select(col("doc_id"), col("text")), "text", 3, "sh")

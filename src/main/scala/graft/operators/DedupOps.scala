@@ -80,6 +80,17 @@ object DedupOps {
       }: _*))
       .drop("_mh_sh")
 
+  /** MinHash over word-w-shingles instead of character shingles — ~5x fewer
+    * hash evaluations per document at equal near-dup quality on natural
+    * text; the standard choice for document-level dedup. */
+  def withMinhashSignatureWords(df: DataFrame, textCol: String, w: Int,
+                                numHashes: Int, outCol: String): DataFrame =
+    withWordShingleSet(df, textCol, w, "_mh_wsh")
+      .withColumn(outCol, array((0 until numHashes).map { j =>
+        array_min(transform(col("_mh_wsh"), s => md5(concat(lit(j + ":"), s))))
+      }: _*))
+      .drop("_mh_wsh")
+
   /** Production 64-bit variant: xxhash64 family, long signatures. */
   def withMinhashSignature64(df: DataFrame, textCol: String, k: Int,
                              numHashes: Int, outCol: String): DataFrame =
