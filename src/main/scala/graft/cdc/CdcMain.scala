@@ -66,6 +66,34 @@ object CdcMain {
       println(f"""{"replayed":$rows,"batches":${stats.size},"sec":$sec%.1f,"eventsPerSec":${if (sec > 0) rows / sec else 0.0}%.1f}""")
       spark.stop()
 
+    case "stream" :: changelogDir :: lakeDir :: ckptDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      // Streaming schema is fixed per run: infer the current (possibly
+      // evolved) changelog schema from the segment footers, so additive
+      // columns are picked up at stream (re)start — the standard Structured
+      // Streaming schema-evolution pattern.
+      val inferred = org.apache.spark.sql.types.StructType(
+        spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true")
+          .parquet(changelogDir).schema
+          .fields.filterNot(f => f.name == "p" || f.name == "seg"))
+      CdcStream.run(spark, changelogDir, lake, ckptDir, inferred,
+        nBuckets = rest.headOption.map(_.toInt).getOrElse(64),
+        saltBuckets = rest.lift(1).map(_.toInt).getOrElse(0),
+        maxFilesPerTrigger = rest.lift(2).map(_.toInt).getOrElse(16))
+      lake.currentSnapshot.foreach(s =>
+        println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
+      spark.stop()
+
+    case "expire" :: lakeDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val (snaps, files) = lake.expireSnapshots(
+        rest.headOption.map(_.toInt).getOrElse(1))
+      println(s"""{"snapshotsExpired":$snaps,"filesDeleted":$files}""")
+      spark.stop()
+
     case "compact" :: lakeDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)

@@ -154,6 +154,24 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     snap
   }
 
+  /** Expire all but the newest `keepLast` snapshots: their metadata files
+    * are removed and any data file referenced ONLY by expired snapshots is
+    * deleted (files are shared across snapshots by carry-over, so retention
+    * is by reference count against the retained set). Returns
+    * (snapshots expired, data files deleted). */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val all = snapshots
+    if (all.size <= keepLast) return (0, 0)
+    val (expired, retained) = all.splitAt(all.size - keepLast)
+    val live = retained.flatMap(_.files.map(_.path)).toSet
+    val dead = expired.flatMap(_.files.map(_.path)).distinct
+      .filterNot(live.contains)
+    dead.foreach(p => new File(p).delete())
+    expired.foreach(s => versionFile(s.snapshotId).delete())
+    (expired.size, dead.size)
+  }
+
   /** Data directories on disk that no snapshot references (crash orphans). */
   def orphanDataDirs(): Seq[String] = {
     val referenced = snapshots.flatMap(_.files.map(f =>
