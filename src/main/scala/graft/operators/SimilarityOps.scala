@@ -31,15 +31,20 @@ object SimilarityOps {
 
   /** Exact brute-force top-k cosine neighbors of each query vector.
     * `queries` is broadcast (small side); ranking tie-breaks on neighbor id
-    * for full determinism. Self-matches are excluded. */
+    * for full determinism. Self-matches are excluded. With `native = true`
+    * the fused-loop `graft_cosine_f32` Catalyst expression scores pairs
+    * (requires `GraftFunctions.register(spark)` / GraftExtensions). */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      native: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val simExpr =
+      if (native) round(call_function("graft_cosine_f32", col("_qv"), col("_cv")), 6)
+      else cosine(col("_qv"), col("_cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("_qv"), col("_cv")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"), simExpr.as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -47,6 +47,17 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(got == bruteTruth)
   }
 
+  test("native-expression scoring equals declarative brute force") {
+    graft.expressions.GraftFunctions.register(spark)
+    val queries = df.filter(col("vec_id") < 20)
+    val nat = SimilarityOps.bruteForceTopK(df, queries, "vec_id", "embedding", 5,
+        native = true)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(nat == bruteTruth)
+  }
+
   test("lshTopK achieves high recall vs brute force with multi-probe") {
     val queries = df.filter(col("vec_id") < 20)
     val got = SimilarityOps.lshTopK(df, queries, "vec_id", "embedding",
