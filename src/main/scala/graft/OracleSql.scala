@@ -363,6 +363,35 @@ object OracleSql {
          |SELECT n_name AS node, r_name AS path, r_name AS root, 1 AS depth
          |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin,
 
+    "q36_sessionize" ->
+      s"""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS tus,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pus
+         |  FROM events),
+         |m AS (SELECT user_id, ts, tus,
+         |    CASE WHEN pus IS NULL OR tus - pus >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |  FROM e),
+         |g AS (SELECT user_id, ts, tus,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM m)
+         |SELECT user_id, CAST(min(tus) AS BIGINT) AS session_start_us,
+         |  count(*) AS n_events,
+         |  CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
+         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q37_dedup_clusters" ->
+      s"""WITH RECURSIVE $simhash16,
+         |edges AS (SELECT a.doc_id AS ea, b.doc_id AS eb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sym AS (SELECT ea AS s, eb AS d FROM edges
+         |  UNION ALL SELECT eb, ea FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.d FROM reach r JOIN sym e ON e.s = r.dst)
+         |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin,
+
     "q35_transcript_lww" ->
       s"""SELECT user_id AS conv_id, turn_idx, event_id AS winner_lsn,
          |  event_type AS winner_type FROM (

@@ -472,6 +472,29 @@ object Queries {
         col("event_type").as("winner_type"))
   }
 
+  /** Event sessionization: per-user sessions with a 30-minute inactivity
+    * gap via Spark's `session_window` (W2/W3 count-or-timeout analogue for
+    * event time). All outputs exact integers (microsecond epochs). */
+  def q36Sessionize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("_mn"), max(col("ts")).as("_mx"))
+      .select(col("user_id"),
+        unix_micros(col("_mn").cast("timestamp")).as("session_start_us"),
+        col("n_events"),
+        (unix_micros(col("_mx").cast("timestamp")) -
+          unix_micros(col("_mn").cast("timestamp"))).as("duration_us"))
+
+  /** Near-duplicate clusters: connected components (min-label) over the
+    * SimHash hamming<=3 pair graph — pairwise candidates to dedup groups. */
+  def q37DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = q25SimhashPairs(s, dir).select("id_a", "id_b")
+    DedupOps.connectedComponents(docs, "doc_id", pairs)
+      .select(col("node").as("doc_id"), col("cluster"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -509,6 +532,8 @@ object Queries {
     "q32_fingerprint" -> (q32Fingerprint _),
     "q33_multimodal" -> (q33Multimodal _),
     "q34_hierarchy" -> (q34Hierarchy _),
-    "q35_transcript_lww" -> (q35TranscriptLww _)
+    "q35_transcript_lww" -> (q35TranscriptLww _),
+    "q36_sessionize" -> (q36Sessionize _),
+    "q37_dedup_clusters" -> (q37DedupClusters _)
   )
 }

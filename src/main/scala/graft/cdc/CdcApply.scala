@@ -12,27 +12,28 @@ import graft.lake.{DataFileMeta, LakeTable, PartitionLineage, Snapshot}
  * Spark-first formulation — instead of translating the reference's
  * read-merge-write loop (ActivityAggregatesFunction.scala:74,218-289: point
  * SELECT .. IN, merge in memory, CQL BATCH UPDATE), the whole upsert is ONE
- * key-partitioned hash aggregate:
+ * shuffle:
  *
  *   union(current-state rows of touched buckets, batch change rows)
- *     groupBy (conv_id, turn_idx)
- *     agg max_by(row, _lsn)          — LSN-ordered last-writer-wins
- *     filter op != 'D'               — delete semantics
+ *     repartition by bucket(conv_id)                  — the only exchange
+ *     sortWithinPartitions(bucket, keyhash, key, lsn desc)
+ *     first-row-per-key via lag window (LWW winner)   — reuses the sort
+ *     write partitionBy(bucket)                       — ordering satisfied
  *
- * This subsumes within-batch dedup (reference D2:
- * AssessmentAggregatorFunction.scala:164-168), LWW-vs-stored-state
- * (reference D3: :138-162) and delete-by-key (CassandraUtil.scala:79-94)
- * in a single shuffle with map-side partial aggregation — which is also the
- * skew story: duplicate deliveries of a hot (conv_id, turn_idx) collapse in
- * the partial agg before they ever hit the exchange. An explicit two-phase
- * salted variant (`saltBuckets > 0`) is provided for adversarial skew
- * (reference analogue: explicit window shards,
+ * Deletes persist as tombstone rows. This subsumes within-batch dedup
+ * (reference D2: AssessmentAggregatorFunction.scala:164-168),
+ * LWW-vs-stored-state (reference D3: :138-162) and delete-by-key
+ * (CassandraUtil.scala:79-94) in a single pass; see lwwDedup for why this
+ * beats the groupBy(max_by(struct)) formulation. An explicit two-phase
+ * salted variant (`saltBuckets > 0`) splits hot buckets for adversarial
+ * skew (reference analogue: explicit window shards,
  * ActivityAggregateUpdaterStreamTask.scala:80-86).
  *
  * Scale design: the table is hash-bucketed by conv_id; only buckets present
  * in the batch are read and rewritten (copy-on-write), so batch cost is
- * O(touched data), not O(table). Bucket discovery, lineage and row counts
- * come from one column-pruned pass over the batch.
+ * O(touched data), not O(table). Lineage/row counts come from changelog
+ * parquet footers (or a two-int-column probe), file stats from written-file
+ * footers — all metadata work is O(files), not O(rows).
  */
 object CdcApply {
 

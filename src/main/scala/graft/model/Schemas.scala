@@ -45,10 +45,16 @@ object Schemas {
   val changeEventSchemaV2: StructType =
     StructType(changeEventSchema.fields :+ evolutionField)
 
-  /** Lake row schema for a given set of business columns = business cols +
-    * engine meta cols. Derived from an event schema by dropping `op`. */
+  /** Tombstone marker column persisted on lake rows (deletes keep their lsn
+    * so out-of-order re-deliveries cannot resurrect keys; public reads
+    * filter it — LakeTable.read). */
+  val tombstoneField: StructField =
+    StructField("_tombstone", BooleanType, nullable = false)
+
+  /** Lake row schema for an event schema: business cols + engine meta cols
+    * (op replaced by the persisted tombstone flag). */
   def lakeSchemaFor(eventSchema: StructType): StructType =
-    StructType(eventSchema.fields.filterNot(_.name == "op"))
+    StructType(eventSchema.fields.filterNot(_.name == "op") :+ tombstoneField)
 
   val keyCols: Seq[String] = Seq("conv_id", "turn_idx")
 

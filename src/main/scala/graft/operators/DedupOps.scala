@@ -213,6 +213,39 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair graph: every node gets
+    * the minimum reachable node id as its cluster label — the step that
+    * turns pairwise candidates into dedup groups (keep one doc per cluster).
+    *
+    * Iterative min-label propagation: each round is one equi-join
+    * (neighbor labels) + one hash aggregate (min), with `localCheckpoint`
+    * truncating lineage so the plan stays flat across rounds. Converges to
+    * the unique min-label fixpoint; rounds needed = graph diameter. */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val neighborLabels = sym
+        .join(labels.select(col("node").as("dst"), col("cluster")), "dst")
+        .select(col("src").as("node"), col("cluster"))
+      val next = labels.union(neighborLabels)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster") < col("o.cluster")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** n-gram Jaccard near-dup within explicit blocking buckets: docs are
     * compared only within the same `bucketCols` group (e.g. (lang, source)),
     * the classic blocking strategy when a domain partition exists. */
