@@ -92,11 +92,12 @@ object CdcApply {
     cur match {
       case Some(s) if s.epoch >= epoch =>
         return ApplyStats(s, skipped = true, 0, 0, 0, 0.0) // fenced
-      case Some(s) =>
-        require(s.nBuckets == nBuckets,
-          s"bucket count mismatch: table=${s.nBuckets} batch=$nBuckets")
-      case None =>
+      case _ =>
     }
+    // The table's bucket count is authoritative once it exists (the caller's
+    // value only seeds a new table) — re-bucketing happens via
+    // Compaction.rebucket, and appliers pick the new count up here.
+    val nB = cur.map(_.nBuckets).getOrElse(nBuckets)
     val spark = lake.spark
 
     // Target schema = current lake schema + any new batch columns (additive).
@@ -139,8 +140,8 @@ object CdcApply {
     // (its rows are rewritten unchanged), excluding a touched one never
     // happens. Small batches do the exact column-pruned scan.
     val touched: Set[Int] = phase("probe-buckets") {
-      if (rowsIn >= nBuckets.toLong * 64) (0 until nBuckets).toSet
-      else batch.select(bucketOf(col("conv_id"), nBuckets).as("b"))
+      if (rowsIn >= nB.toLong * 64) (0 until nB).toSet
+      else batch.select(bucketOf(col("conv_id"), nB).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
     }
     val snapshotId = cur.map(_.snapshotId + 1).getOrElse(0L)
@@ -157,7 +158,7 @@ object CdcApply {
     if (touched.isEmpty) {
       // Empty batch: advance the epoch, carry all files forward.
       val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
-        schemaVersion, nBuckets, cur.map(_.files).getOrElse(Seq.empty),
+        schemaVersion, nB, cur.map(_.files).getOrElse(Seq.empty),
         lineage, Map("rowsIn" -> 0.0, "rowsOut" -> 0.0, "durationSec" -> 0.0))
       return ApplyStats(lake.commit(snap), skipped = false, 0, 0, 0,
         (System.nanoTime() - t0) / 1e9)
@@ -175,7 +176,7 @@ object CdcApply {
         col("op") === lit(graft.model.Schemas.OpDelete)).drop("op"),
       targetSchema)
     val unioned = currentRows.unionByName(batchRows)
-      .withColumn("b", bucketOf(col("conv_id"), nBuckets))
+      .withColumn("b", bucketOf(col("conv_id"), nB))
     val nPart = math.max(touched.size, 1)
 
     // LWW winner per key in ONE shuffle: repartition on the bucket (which is
@@ -245,7 +246,7 @@ object CdcApply {
 
     val durationSec = (System.nanoTime() - t0) / 1e9
     val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
-      schemaVersion, nBuckets, carried ++ newFiles, lineage,
+      schemaVersion, nB, carried ++ newFiles, lineage,
       Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> rowsOut.toDouble,
         "durationSec" -> durationSec,
         "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0)))

@@ -28,22 +28,34 @@ object Compaction {
 
   def compact(
       lake: LakeTable,
-      tombstoneWatermark: Long = Long.MinValue): CompactionStats = {
+      tombstoneWatermark: Long = Long.MinValue): CompactionStats =
+    rewrite(lake, tombstoneWatermark, newBuckets = None)
+
+  /** Re-bucket the table (e.g. 64 -> 4096 as it grows): full rewrite into
+    * `newBuckets` hash buckets as a maintenance commit. Subsequent CDC
+    * applies adopt the new count from the snapshot automatically. */
+  def rebucket(lake: LakeTable, newBuckets: Int): CompactionStats =
+    rewrite(lake, Long.MinValue, Some(newBuckets))
+
+  private def rewrite(
+      lake: LakeTable,
+      tombstoneWatermark: Long,
+      newBuckets: Option[Int]): CompactionStats = {
     val cur = lake.currentSnapshot.getOrElse(
       throw new IllegalStateException("nothing to compact: empty table"))
     val spark = lake.spark
+    val nB = newBuckets.getOrElse(cur.nBuckets)
 
     val raw = lake.readBuckets(None)
     val kept =
       if (raw.columns.contains("_tombstone"))
         raw.filter(!col("_tombstone") || col("_lsn") >= tombstoneWatermark)
       else raw
-    val withB = kept.withColumn("b",
-      CdcApply.bucketOf(col("conv_id"), cur.nBuckets))
+    val withB = kept.withColumn("b", CdcApply.bucketOf(col("conv_id"), nB))
 
     val dataDir = lake.newDataDir(cur.snapshotId + 1)
     withB
-      .repartition(cur.nBuckets, col("b"))
+      .repartition(nB, col("b"))
       .sortWithinPartitions(col("b"), col("conv_id"), col("turn_idx"))
       .write.partitionBy("b").parquet(dataDir)
 
@@ -64,7 +76,7 @@ object Compaction {
     val rowsBefore = cur.files.map(_.rows).sum
     val rowsAfter = newFiles.map(_.rows).sum
     val snap = Snapshot(cur.snapshotId + 1, cur.snapshotId, cur.epoch,
-      cur.schemaJson, cur.schemaVersion, cur.nBuckets, newFiles, cur.lineage,
+      cur.schemaJson, cur.schemaVersion, nB, newFiles, cur.lineage,
       Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
         "rowsAfter" -> rowsAfter.toDouble))
     val committed = lake.commit(snap, maintenance = true)

@@ -54,6 +54,28 @@ class CompactionSpec extends AnyFunSuite {
     assert(keptTombs.toSeq == tombLsns.filter(_ >= mid).toSeq)
   }
 
+  test("rebucket changes bucket count mid-stream; appliers adopt it") {
+    val dir = TestSpark.tmpDir("rebucket-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 3000, nConvs = 25, turnsPerConv = 6,
+      pUpdate = 0.35, pDelete = 0.15, pDup = 0.1, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("rebucket-lake"))
+    // apply first half with 8 buckets
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true).run(maxBatches = 3)
+    assert(lake.currentSnapshot.get.nBuckets == 8)
+    val st = Compaction.rebucket(lake, newBuckets = 32)
+    assert(st.snapshot.nBuckets == 32)
+    assert(lake.currentSnapshot.get.files.forall(_.bucket < 32))
+    // continue the replay: the driver's stale nBuckets=8 seed is ignored,
+    // applies adopt 32 from the snapshot
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true).run()
+    assert(lake.currentSnapshot.get.nBuckets == 32)
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.fold(spark.read.parquet(dir)))
+  }
+
   test("time travel: pre-compaction snapshots remain readable") {
     val (_, lake) = build()
     val oldSnap = lake.currentSnapshot.get
