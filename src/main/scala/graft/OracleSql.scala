@@ -392,6 +392,33 @@ object OracleSql {
          |  SELECT r.src, e.d FROM reach r JOIN sym e ON e.s = r.dst)
          |SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY 1""".stripMargin,
 
+    "q38_percentiles" ->
+      s"""SELECT o_orderpriority,
+         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+         |  ${cents("min(o_totalprice)")} AS min_cents,
+         |  ${cents("max(o_totalprice)")} AS max_cents
+         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q39_pivot" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+         |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+         |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+         |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "q40_range_join" ->
+      s"""WITH ranges(era, lo, hi) AS (VALUES
+         |  ('1995-1996', TIMESTAMP '1995-01-01', TIMESTAMP '1997-01-01'),
+         |  ('1997-1998', TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01'),
+         |  ('1999-2001', TIMESTAMP '1999-01-01', TIMESTAMP '2002-01-01'))
+         |SELECT era, count(*) AS n_orders,
+         |  CAST(sum(${cents("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders JOIN ranges ON o_orderdate >= lo AND o_orderdate < hi
+         |GROUP BY 1""".stripMargin,
+
     "q35_transcript_lww" ->
       s"""SELECT user_id AS conv_id, turn_idx, event_id AS winner_lsn,
          |  event_type AS winner_type FROM (

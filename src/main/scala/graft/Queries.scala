@@ -495,6 +495,47 @@ object Queries {
       .select(col("node").as("doc_id"), col("cluster"))
   }
 
+  /** Exact percentiles (sort-based `percentile`, standard linear
+    * interpolation — parity with quantile_cont) per group. */
+  def q38Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      .select(col("o_orderpriority"),
+        round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"),
+        cents(col("mn")).as("min_cents"), cents(col("mx")).as("max_cents"))
+
+  /** Pivot: per-day event counts fanned out to one column per event type
+    * (explicit value list so the schema is static). */
+  def q39Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Range join: orders against year intervals (broadcast nested-loop on a
+    * tiny inline ranges table — the interval-join shape). */
+  def q40RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranges = Seq(
+      ("1995-1996", "1995-01-01", "1997-01-01"),
+      ("1997-1998", "1997-01-01", "1999-01-01"),
+      ("1999-2001", "1999-01-01", "2002-01-01"))
+      .toDF("era", "lo", "hi")
+      .select(col("era"), col("lo").cast("timestamp"), col("hi").cast("timestamp"))
+    t(s, dir, "orders")
+      .join(broadcast(ranges),
+        col("o_orderdate") >= col("lo") && col("o_orderdate") < col("hi"))
+      .groupBy("era")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -534,6 +575,9 @@ object Queries {
     "q34_hierarchy" -> (q34Hierarchy _),
     "q35_transcript_lww" -> (q35TranscriptLww _),
     "q36_sessionize" -> (q36Sessionize _),
-    "q37_dedup_clusters" -> (q37DedupClusters _)
+    "q37_dedup_clusters" -> (q37DedupClusters _),
+    "q38_percentiles" -> (q38Percentiles _),
+    "q39_pivot" -> (q39Pivot _),
+    "q40_range_join" -> (q40RangeJoin _)
   )
 }
