@@ -250,7 +250,18 @@ object CdcApply {
       Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> rowsOut.toDouble,
         "durationSec" -> durationSec,
         "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0)))
-    val committed = lake.commit(snap)
+    val committed =
+      try lake.commit(snap)
+      catch {
+        // Lost a commit race to a concurrent applier (version file taken).
+        // The atomic rename is the arbiter: re-apply against the refreshed
+        // snapshot — if the winner already covered our epoch the retry is
+        // fenced at entry; otherwise the merge recomputes over the winner's
+        // state (Iceberg-style commit retry; our data dir becomes an orphan
+        // that readers never see). Retries are bounded by epoch progress.
+        case _: graft.lake.CommitConflictException =>
+          return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo)
+      }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
     ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec)
   }
