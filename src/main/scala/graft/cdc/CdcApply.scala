@@ -43,7 +43,9 @@ object CdcApply {
       rowsIn: Long,
       rowsOut: Long,
       touchedBuckets: Int,
-      durationSec: Double) {
+      durationSec: Double,
+      /** the touched bucket ids (drives derived-table maintenance) */
+      touchedSet: Set[Int] = Set.empty) {
     def eventsPerSec: Double = if (durationSec > 0) rowsIn / durationSec else 0
   }
 
@@ -161,7 +163,7 @@ object CdcApply {
         schemaVersion, nB, cur.map(_.files).getOrElse(Seq.empty),
         lineage, Map("rowsIn" -> 0.0, "rowsOut" -> 0.0, "durationSec" -> 0.0))
       return ApplyStats(lake.commit(snap), skipped = false, 0, 0, 0,
-        (System.nanoTime() - t0) / 1e9)
+        (System.nanoTime() - t0) / 1e9, Set.empty)
     }
 
     // Read-side: only the touched buckets of the current state. Deletes are
@@ -263,7 +265,8 @@ object CdcApply {
           return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo)
       }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
-    ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec)
+    ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec,
+      touched)
   }
 
   /** bucket -> parquet files under a `b=<bucket>/` partitioned write dir. */

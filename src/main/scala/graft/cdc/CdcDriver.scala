@@ -27,11 +27,34 @@ final class CdcDriver(
     segmentsPerBatch: Int = 4,
     nBuckets: Int = 64,
     saltBuckets: Int = 0,
-    quiet: Boolean = false) {
+    quiet: Boolean = false,
+    /** optional derived conv_agg table, maintained after every batch
+      * (AggMaintenance) under the same epoch fencing */
+    aggLake: Option[LakeTable] = None) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
   def run(maxBatches: Int = Int.MaxValue): Seq[CdcApply.ApplyStats] = {
+    // Derived-table catch-up: a crash between the main commit and the agg
+    // maintain leaves the agg table at an older epoch while the main batch
+    // is fenced on resume — reconcile here using the buckets written by the
+    // snapshots the agg table has not seen yet (also the path that
+    // backfills a derived table enabled after the fact).
+    aggLake.foreach { al =>
+      val mainEpoch = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
+      val aggEpoch = al.currentSnapshot.map(_.epoch).getOrElse(0L)
+      if (aggEpoch < mainEpoch) {
+        val snaps = lake.snapshots
+        val missedBuckets = snaps.zip(None +: snaps.map(Some(_)))
+          .collect { case (s, parentOpt) if s.epoch > aggEpoch =>
+            val parentFiles = parentOpt.map(_.files.map(_.path).toSet)
+              .getOrElse(Set.empty)
+            s.files.filterNot(f => parentFiles.contains(f.path)).map(_.bucket)
+          }.flatten.toSet
+        if (missedBuckets.nonEmpty)
+          AggMaintenance.maintain(spark, lake, al, missedBuckets, mainEpoch)
+      }
+    }
     val segs = ChangelogGen.listSegments(changelogDir)
     val applied = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
     val pending = segs.filter(_ >= applied)
@@ -49,6 +72,10 @@ final class CdcDriver(
       val epoch = group.max + 1
       val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets,
         probeInfo = probeFromFooters(paths))
+      aggLake.foreach { al =>
+        if (!stats.skipped && stats.touchedSet.nonEmpty)
+          AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
+      }
       out += stats
       if (!quiet) {
         val s = stats

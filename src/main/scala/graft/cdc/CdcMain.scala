@@ -58,7 +58,8 @@ object CdcMain {
       val driver = new CdcDriver(spark, changelogDir, lake,
         segmentsPerBatch = rest.headOption.map(_.toInt).getOrElse(4),
         nBuckets = rest.lift(1).map(_.toInt).getOrElse(64),
-        saltBuckets = rest.lift(2).map(_.toInt).getOrElse(0))
+        saltBuckets = rest.lift(2).map(_.toInt).getOrElse(0),
+        aggLake = rest.lift(3).map(d => new LakeTable(spark, d)))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -112,9 +113,18 @@ object CdcMain {
         case None => println("""{"rows":0,"checksum":0,"snapshot":null}""")
         case Some(snap) =>
           val t = lake.read()
+          // map columns are not hashable (order-ambiguous) — canonicalize
+          // them as sorted-entry JSON before the row hash
+          val hashCols = t.schema.fields.toIndexedSeq.map { f =>
+            f.dataType match {
+              case _: org.apache.spark.sql.types.MapType =>
+                to_json(sort_array(map_entries(col(f.name))))
+              case _ => col(f.name)
+            }
+          }
           val row = t.select(
             count(lit(1)).as("n"),
-            sum(xxhash64(t.columns.map(col).toIndexedSeq: _*)
+            sum(xxhash64(hashCols: _*)
               .cast("decimal(38,0)")).as("ck")).head()
           println(s"""{"rows":${row.getLong(0)},"checksum":${row.getDecimal(1)},""" +
             s""""snapshotId":${snap.snapshotId},"epoch":${snap.epoch},""" +
