@@ -30,7 +30,8 @@ object CdcStream {
       schema: StructType,
       nBuckets: Int = 64,
       saltBuckets: Int = 0,
-      maxFilesPerTrigger: Int = 16): Unit = {
+      maxFilesPerTrigger: Int = 16,
+      aggLake: Option[LakeTable] = None): Unit = {
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -42,7 +43,13 @@ object CdcStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        CdcApply.apply(lake, batch, epoch = batchId + 1, nBuckets, saltBuckets)
+        val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
+          nBuckets, saltBuckets)
+        aggLake.foreach { al =>
+          if (!stats.skipped && stats.touchedSet.nonEmpty)
+            AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
+              epoch = batchId + 1)
+        }
         ()
       }
       .start()

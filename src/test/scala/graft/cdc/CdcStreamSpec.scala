@@ -20,13 +20,20 @@ class CdcStreamSpec extends AnyFunSuite {
     ChangelogGen.write(spark, dir, cfg)
 
     val lake = new LakeTable(spark, TestSpark.tmpDir("stream-lake"))
+    val agg = new LakeTable(spark, TestSpark.tmpDir("stream-agg"))
     val ckpt = TestSpark.tmpDir("stream-ckpt")
 
     // first run: consume at most a few files per trigger, AvailableNow drains all
     CdcStream.run(spark, dir, lake, ckpt, Schemas.changeEventSchema,
-      nBuckets = 8, maxFilesPerTrigger = 2)
+      nBuckets = 8, maxFilesPerTrigger = 2, aggLake = Some(agg))
     val events = spark.read.parquet(dir)
     assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(events))
+    // streaming-maintained derived table equals recompute-from-scratch
+    val gotAgg = agg.read().select("conv_id", "n_turns").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val wantAgg = lake.read().groupBy("conv_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt)).toMap
+    assert(gotAgg == wantAgg)
     val snapAfter = lake.currentSnapshot.get
 
     // re-run against the same checkpoint: nothing new -> no new snapshots
