@@ -21,20 +21,29 @@ import graft.lake.LakeTable
  * upserted into a second LakeTable through CdcApply itself: the agg rows
  * are synthesized as change events keyed (conv_id, turn_idx=0) with
  * lsn = epoch, so exactly-once, fencing, kill/resume and time travel all
- * hold for the derived table for free. Conversations whose turns all
+ * hold for the derived table for free.
+ *
+ * Scale design: the derived table is bucketed by the SAME hash function and
+ * bucket count as the main lake, so a main-table bucket id selects exactly
+ * the agg files holding those conversations — per-batch maintenance cost
+ * (including delete detection) is O(touched buckets) on BOTH tables, never
+ * a full scan of the derived table. Conversations whose turns all
  * disappeared become delete events (tombstoned in the agg table).
  */
 object AggMaintenance {
 
-  /** Recompute aggregates for all conversations in `buckets` of `mainLake`
-    * and upsert them into `aggLake` under `epoch`. */
+  /** Recompute aggregates for all conversations in main-table `buckets` of
+    * `mainLake` and upsert them into `aggLake` under `epoch`. A new aggLake
+    * is seeded with the main lake's bucket count (alignment gives pruned
+    * delete detection); an existing aggLake keeps its own count — if that
+    * count differs from the main lake's (e.g. after Compaction.rebucket of
+    * either table), delete detection falls back to a full agg-table read. */
   def maintain(
       spark: SparkSession,
       mainLake: LakeTable,
       aggLake: LakeTable,
       buckets: Set[Int],
-      epoch: Long,
-      nBuckets: Int = 16): CdcApply.ApplyStats = {
+      epoch: Long): CdcApply.ApplyStats = {
     val mainBuckets = mainLake.currentSnapshot.map(_.nBuckets).getOrElse(64)
     val state = mainLake.readBuckets(Some(buckets))
     val live = if (state.columns.contains("_tombstone"))
@@ -53,12 +62,22 @@ object AggMaintenance {
         sort_array(collect_list(struct(col("role"), col("n"))))).as("role_counts"))
     val upserts = perConv.join(roleCounts, "conv_id")
 
-    // agg rows for touched-bucket conversations that no longer have any live
-    // turn -> deletes (only touched buckets can have changed)
-    val deletedConvs = aggLake.currentSnapshot match {
-      case None => None
-      case Some(_) =>
-        Some(aggLake.read()
+    // Agg rows for touched-bucket conversations that no longer have any live
+    // turn -> deletes. Only touched buckets can have changed, and when the
+    // agg table shares the main bucket scheme the read prunes to exactly the
+    // touched buckets' files (the fix for the round-1 full-scan finding).
+    val aggNB = aggLake.currentSnapshot.map(_.nBuckets)
+    val deletedConvs = aggNB match {
+      case None => None // empty agg table: nothing to delete
+      case Some(n) =>
+        val existing =
+          if (n == mainBuckets) aggLake.readBuckets(Some(buckets))
+          else aggLake.readBuckets(None) // bucket schemes diverged: full read
+        val liveAgg =
+          if (existing.columns.contains("_tombstone"))
+            existing.filter(!col("_tombstone"))
+          else existing
+        Some(liveAgg
           .select(col("conv_id"))
           .filter(CdcApply.bucketOf(col("conv_id"), mainBuckets)
             .isin(buckets.toSeq.map(Integer.valueOf): _*))
@@ -80,6 +99,35 @@ object AggMaintenance {
       .withColumn("_src_part", lit(0))
       .withColumn("_src_off", lit(epoch))
 
-    CdcApply.apply(aggLake, batch, epoch, nBuckets)
+    CdcApply.apply(aggLake, batch, epoch, nBuckets = mainBuckets)
+  }
+
+  /** Reconcile a derived table that lags the main lake: a crash between the
+    * main commit and `maintain` (or attaching a fresh/late agg table) leaves
+    * aggEpoch < mainEpoch while the replayed main batch fences — so the
+    * missed buckets are recovered from the lake commit log itself (files
+    * that appeared in snapshots after aggEpoch). If the main table was
+    * re-bucketed anywhere in the missed range, old-space bucket ids no
+    * longer address current buckets — fall back to maintaining ALL current
+    * buckets rather than silently missing conversations. */
+  def catchUp(
+      spark: SparkSession, mainLake: LakeTable, aggLake: LakeTable): Unit = {
+    val mainSnap = mainLake.currentSnapshot.getOrElse(return)
+    val aggEpoch = aggLake.currentSnapshot.map(_.epoch).getOrElse(0L)
+    if (aggEpoch >= mainSnap.epoch) return
+    val snaps = mainLake.snapshots
+    val missed = snaps.zip(None +: snaps.map(Some(_)))
+      .collect { case (s, parentOpt) if s.epoch > aggEpoch => (s, parentOpt) }
+    val rebucketed = missed.exists(_._1.nBuckets != mainSnap.nBuckets)
+    val missedBuckets =
+      if (rebucketed) (0 until mainSnap.nBuckets).toSet
+      else missed.flatMap { case (s, parentOpt) =>
+        val parentFiles = parentOpt.map(_.files.map(_.path).toSet)
+          .getOrElse(Set.empty)
+        s.files.filterNot(f => parentFiles.contains(f.path)).map(_.bucket)
+      }.toSet
+    if (missedBuckets.nonEmpty)
+      maintain(spark, mainLake, aggLake, missedBuckets, mainSnap.epoch)
+    ()
   }
 }

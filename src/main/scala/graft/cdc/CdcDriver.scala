@@ -37,24 +37,9 @@ final class CdcDriver(
   def run(maxBatches: Int = Int.MaxValue): Seq[CdcApply.ApplyStats] = {
     // Derived-table catch-up: a crash between the main commit and the agg
     // maintain leaves the agg table at an older epoch while the main batch
-    // is fenced on resume — reconcile here using the buckets written by the
-    // snapshots the agg table has not seen yet (also the path that
-    // backfills a derived table enabled after the fact).
-    aggLake.foreach { al =>
-      val mainEpoch = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
-      val aggEpoch = al.currentSnapshot.map(_.epoch).getOrElse(0L)
-      if (aggEpoch < mainEpoch) {
-        val snaps = lake.snapshots
-        val missedBuckets = snaps.zip(None +: snaps.map(Some(_)))
-          .collect { case (s, parentOpt) if s.epoch > aggEpoch =>
-            val parentFiles = parentOpt.map(_.files.map(_.path).toSet)
-              .getOrElse(Set.empty)
-            s.files.filterNot(f => parentFiles.contains(f.path)).map(_.bucket)
-          }.flatten.toSet
-        if (missedBuckets.nonEmpty)
-          AggMaintenance.maintain(spark, lake, al, missedBuckets, mainEpoch)
-      }
-    }
+    // is fenced on resume — reconcile from the lake commit log (also the
+    // path that backfills a derived table enabled after the fact).
+    aggLake.foreach(al => AggMaintenance.catchUp(spark, lake, al))
     val segs = ChangelogGen.listSegments(changelogDir)
     val applied = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
     val pending = segs.filter(_ >= applied)
@@ -109,11 +94,15 @@ final class CdcDriver(
     }
     if (perPart.isEmpty) return None
     val stats = graft.lake.ParquetFooters.parMap(perPart) { case (part, path) =>
-      val (n, lo, hi) = graft.lake.ParquetFooters.longStats(path, "_src_off")
-      (part, n, lo, hi)
+      val (n, bounds) = graft.lake.ParquetFooters.longStats(path, "_src_off")
+      (part, n, bounds)
     }
-    val lineage = stats.groupBy(_._1).map { case (part, xs) =>
-      graft.lake.PartitionLineage(part, xs.map(_._3).min, xs.map(_._4).max)
+    // Any populated file without _src_off footer stats -> fall back to the
+    // two-column probe scan rather than recording corrupted lineage bounds.
+    if (stats.exists(s => s._2 > 0 && s._3.isEmpty)) return None
+    val lineage = stats.filter(_._3.nonEmpty).groupBy(_._1).map { case (part, xs) =>
+      graft.lake.PartitionLineage(part,
+        xs.map(_._3.get._1).min, xs.map(_._3.get._2).max)
     }.toSeq.sortBy(_.srcPart)
     Some(CdcApply.ProbeInfo(stats.map(_._2).sum, lineage))
   }

@@ -79,10 +79,18 @@ object CdcMain {
           .option("recursiveFileLookup", "true")
           .parquet(changelogDir).schema
           .fields.filterNot(f => f.name == "p" || f.name == "seg"))
+      // optional 4th arg: live processing interval in ms (0/absent = drain
+      // the backlog with AvailableNow and exit; >0 = always-on tailer)
+      val liveMs = rest.lift(3).map(_.toLong).getOrElse(0L)
+      val trig =
+        if (liveMs > 0)
+          org.apache.spark.sql.streaming.Trigger.ProcessingTime(liveMs)
+        else org.apache.spark.sql.streaming.Trigger.AvailableNow()
       CdcStream.run(spark, changelogDir, lake, ckptDir, inferred,
         nBuckets = rest.headOption.map(_.toInt).getOrElse(64),
         saltBuckets = rest.lift(1).map(_.toInt).getOrElse(0),
-        maxFilesPerTrigger = rest.lift(2).map(_.toInt).getOrElse(16))
+        maxFilesPerTrigger = rest.lift(2).map(_.toInt).getOrElse(16),
+        trigger = trig)
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()
@@ -98,7 +106,11 @@ object CdcMain {
     case "compact" :: lakeDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)
-      val wm = rest.headOption.map(_.toLong).getOrElse(Long.MaxValue)
+      // Default KEEPS all tombstones (Long.MinValue watermark), matching
+      // Compaction.compact's own safe default — dropping them requires an
+      // explicit watermark argument, because a tombstone GC'd too early lets
+      // an at-least-once redelivery of an older event resurrect deleted keys.
+      val wm = rest.headOption.map(_.toLong).getOrElse(Long.MinValue)
       val st = graft.lake.Compaction.compact(lake, wm)
       println(s"""{"filesBefore":${st.filesBefore},"filesAfter":${st.filesAfter},""" +
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +

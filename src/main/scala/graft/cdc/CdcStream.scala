@@ -1,7 +1,11 @@
 package graft.cdc
 
+import java.io.File
+import java.nio.file.Files
+import java.util.UUID
+
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.lake.LakeTable
@@ -19,9 +23,65 @@ import graft.lake.LakeTable
  *
  * Epochs: streaming batchIds restart at the checkpoint, so they are offset
  * by +1 (epoch = batchId + 1) to keep epoch 0 meaning "nothing applied".
+ * Because epochs are checkpoint-relative, the lake records which checkpoint
+ * drives it (LakeTable.bindStream): pairing a FRESH checkpoint with a
+ * populated lake would restart batchIds at 0 and silently fence every
+ * early batch — the binding check turns that data-loss footgun into a loud
+ * failure at start.
+ *
+ * Triggers: `Trigger.AvailableNow` drains the current backlog and exits
+ * (deterministic replay); `Trigger.ProcessingTime(interval)` is the live
+ * always-on tailer (reference analogue: the count-or-timeout hybrid
+ * trigger, jobs-core CountTriggerWithTimeout.scala:15-48 — size batching
+ * maps to maxFilesPerTrigger, the timeout to the processing interval).
  */
 object CdcStream {
 
+  /** Start the tailer and return the query handle (caller owns stop). */
+  def start(
+      spark: SparkSession,
+      changelogDir: String,
+      lake: LakeTable,
+      checkpointDir: String,
+      schema: StructType,
+      nBuckets: Int = 64,
+      saltBuckets: Int = 0,
+      maxFilesPerTrigger: Int = 16,
+      aggLake: Option[LakeTable] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    bindOrRefuse(lake, checkpointDir)
+    // Derived-table reconciliation: if a crash landed between the main
+    // commit and the agg maintain, the replayed batch will fence and the
+    // per-batch maintain below never runs for it — catch up from the
+    // commit log before tailing (and again whenever a fenced batch shows
+    // the agg table lagging).
+    aggLake.foreach(al => AggMaintenance.catchUp(spark, lake, al))
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // recursive lookup: tails both flat `seg=N/` and sharded `seg=N/p=P/`
+      // archive layouts without partition-column inference
+      .option("recursiveFileLookup", "true")
+      .parquet(changelogDir)
+    src.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
+          nBuckets, saltBuckets)
+        aggLake.foreach { al =>
+          if (!stats.skipped && stats.touchedSet.nonEmpty)
+            AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
+              epoch = batchId + 1)
+          else if (stats.skipped)
+            AggMaintenance.catchUp(spark, lake, al)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Run to termination (AvailableNow: drain-and-exit). */
   def run(
       spark: SparkSession,
       changelogDir: String,
@@ -31,28 +91,50 @@ object CdcStream {
       nBuckets: Int = 64,
       saltBuckets: Int = 0,
       maxFilesPerTrigger: Int = 16,
-      aggLake: Option[LakeTable] = None): Unit = {
-    val src = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      // recursive lookup: tails both flat `seg=N/` and sharded `seg=N/p=P/`
-      // archive layouts without partition-column inference
-      .option("recursiveFileLookup", "true")
-      .parquet(changelogDir)
-    val q = src.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
-          nBuckets, saltBuckets)
-        aggLake.foreach { al =>
-          if (!stats.skipped && stats.touchedSet.nonEmpty)
-            AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
-              epoch = batchId + 1)
-        }
-        ()
+      aggLake: Option[LakeTable] = None,
+      trigger: Trigger = Trigger.AvailableNow()): Unit =
+    start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
+      saltBuckets, maxFilesPerTrigger, aggLake, trigger).awaitTermination()
+
+  /** Enforce the one-lake-one-checkpoint pairing. The checkpoint side
+    * carries `graft-binding.json` (created here on first use); the lake side
+    * stores the same id in its metadata (LakeTable.bindStream). Every
+    * mismatch — fresh checkpoint against a populated lake, a checkpoint
+    * with history against an unbound lake, or two different checkpoints —
+    * fails loudly instead of silently fencing new data. */
+  private def bindOrRefuse(lake: LakeTable, checkpointDir: String): Unit = {
+    val dir = new File(checkpointDir)
+    dir.mkdirs()
+    val f = new File(dir, "graft-binding.json")
+    val fresh = !f.exists()
+    val ckptId =
+      if (fresh) {
+        val id = UUID.randomUUID().toString
+        Files.writeString(f.toPath, s"""{"checkpointId":"$id"}""")
+        id
+      } else {
+        val s = Files.readString(f.toPath)
+        """"checkpointId"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
+          .map(_.group(1))
+          .getOrElse(throw new IllegalStateException(
+            s"unreadable checkpoint binding $f"))
       }
-      .start()
-    q.awaitTermination()
+    lake.streamBinding match {
+      case Some(bound) if bound == ckptId => // matched pairing: resume
+      case Some(bound) =>
+        throw new IllegalStateException(
+          s"lake ${lake.root} is bound to checkpoint $bound but " +
+          s"$checkpointDir carries $ckptId — streaming epochs are " +
+          "checkpoint-relative, so a different checkpoint would silently " +
+          "fence its batches; use the original checkpoint or a fresh lake")
+      case None if lake.currentSnapshot.isEmpty =>
+        lake.bindStream(ckptId) // first pairing: fresh lake + this checkpoint
+      case None =>
+        throw new IllegalStateException(
+          s"refusing checkpoint $checkpointDir against populated unbound " +
+          s"lake ${lake.root}: batchIds would restart at 0 and every early " +
+          "batch would be silently fenced (dropped); stream into a fresh " +
+          "lake, or keep using the batch driver for this one")
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.lake
 
 import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
@@ -145,12 +145,16 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       throw new CommitConflictException(s"version ${snap.snapshotId} exists")
     val tmp = new File(metaDir, s".tmp-${UUID.randomUUID()}.json")
     mapper.writerWithDefaultPrettyPrinter().writeValue(tmp, snap)
-    try
-      Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    // Publish via hard link: link(2) fails with EEXIST atomically, so two
+    // racing committers can never both claim the same version. (A rename —
+    // even ATOMIC_MOVE — maps to rename(2), which silently REPLACES an
+    // existing target on POSIX and would let a maintenance commit overwrite
+    // a just-committed applier snapshot.)
+    try Files.createLink(target.toPath, tmp.toPath)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new CommitConflictException(s"version ${snap.snapshotId} exists")
-    }
+    } finally { tmp.delete(); () }
     snap
   }
 
@@ -170,6 +174,32 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     dead.foreach(p => new File(p).delete())
     expired.foreach(s => versionFile(s.snapshotId).delete())
     (expired.size, dead.size)
+  }
+
+  /** Streaming-checkpoint binding: the identity of the ONE Structured
+    * Streaming checkpoint allowed to drive this lake. Streaming epochs are
+    * derived from checkpoint batchIds, so pairing a fresh checkpoint with a
+    * populated lake would silently fence (drop) every early batch — the
+    * binding lets CdcStream refuse that pairing loudly instead. */
+  private def bindingFile: File = new File(metaDir, "stream-binding.json")
+
+  def streamBinding: Option[String] = {
+    if (!bindingFile.exists()) return None
+    val m = mapper.readValue(bindingFile, classOf[Map[String, String]])
+    m.get("checkpointId")
+  }
+
+  /** Write-once (atomic via link(2)): records the checkpoint identity. */
+  def bindStream(checkpointId: String): Unit = {
+    metaDir.mkdirs()
+    val tmp = new File(metaDir, s".tmp-bind-${UUID.randomUUID()}.json")
+    mapper.writeValue(tmp, Map("checkpointId" -> checkpointId))
+    try Files.createLink(bindingFile.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"lake already bound to checkpoint ${streamBinding.getOrElse("?")}")
+    } finally { tmp.delete(); () }
   }
 
   /** Data directories on disk that no snapshot references (crash orphans). */

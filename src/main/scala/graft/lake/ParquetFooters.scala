@@ -33,23 +33,29 @@ object ParquetFooters {
     }
   }
 
-  /** (rows, min, max) of an int64 column, from footer statistics. */
-  def longStats(path: String, column: String): (Long, Long, Long) = {
+  /** (rows, Some((min, max))) of an int64 column from footer statistics —
+    * None when any populated block lacks statistics for the column, so
+    * callers fall back to a scan instead of recording corrupted bounds. */
+  def longStats(path: String, column: String): (Long, Option[(Long, Long)]) = {
     withFooter(path) { footer =>
       var rows = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var missing = false
       footer.getBlocks.forEach { block =>
         rows += block.getRowCount
+        var found = false
         block.getColumns.forEach { c =>
           if (c.getPath.toDotString == column && c.getStatistics != null &&
               !c.getStatistics.isEmpty) {
+            found = true
             val lo = c.getStatistics.genericGetMin.asInstanceOf[java.lang.Long]
             val hi = c.getStatistics.genericGetMax.asInstanceOf[java.lang.Long]
             if (lo < mn) mn = lo
             if (hi > mx) mx = hi
           }
         }
+        if (!found && block.getRowCount > 0) missing = true
       }
-      (rows, mn, mx)
+      (rows, if (missing || mn > mx) None else Some((mn, mx)))
     }
   }
 

@@ -92,6 +92,71 @@ class AggMaintenanceSpec extends AnyFunSuite {
     assert(agg.currentSnapshot.get.epoch == main.currentSnapshot.get.epoch)
   }
 
+  test("maintenance rewrites only touched buckets of the derived table") {
+    val dir = TestSpark.tmpDir("agg-prune-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 4000, nConvs = 60, turnsPerConv = 4,
+      pUpdate = 0.3, pDelete = 0.1, pDup = 0.05, segSize = 2000))
+    val main = new LakeTable(spark, TestSpark.tmpDir("agg-prune-main"))
+    val agg = new LakeTable(spark, TestSpark.tmpDir("agg-prune-agg"))
+    new CdcDriver(spark, dir, main, segmentsPerBatch = 2, nBuckets = 8,
+      quiet = true, aggLake = Some(agg)).run()
+    // derived table bucketed with the SAME scheme as the main lake — the
+    // alignment that lets delete-detection prune instead of full-scanning
+    assert(agg.currentSnapshot.get.nBuckets ==
+      main.currentSnapshot.get.nBuckets)
+
+    // incremental batch touching exactly one conversation
+    val conv = main.read().select("conv_id").head().getString(0)
+    val mainNB = main.currentSnapshot.get.nBuckets
+    val touchedBucket = main.read()
+      .filter(col("conv_id") === conv)
+      .select(CdcApply.bucketOf(col("conv_id"), mainNB)).head().getInt(0)
+    val epoch = main.currentSnapshot.get.epoch + 1
+    val batch = spark.range(1).select(
+      lit("U").as("op"), lit(conv).as("conv_id"), lit(0).as("turn_idx"),
+      lit("user").as("role"), lit("prune probe").as("text"),
+      lit(null).cast("string").as("tool"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit(10000000L).as("_lsn"), lit(0).as("_src_part"),
+      lit(10000000L).as("_src_off"))
+    val aggBefore = agg.currentSnapshot.get
+    val stats = CdcApply.apply(main, batch, epoch, nBuckets = mainNB)
+    assert(stats.touchedSet == Set(touchedBucket))
+    AggMaintenance.maintain(spark, main, agg, stats.touchedSet, epoch)
+
+    // files-written set of the maintenance commit is confined to the
+    // touched bucket; every other bucket's files carried by path identity
+    val aggAfter = agg.currentSnapshot.get
+    val before = aggBefore.files.map(f => f.path -> f.bucket).toMap
+    val newFiles = aggAfter.files.filterNot(f => before.contains(f.path))
+    assert(newFiles.nonEmpty)
+    assert(newFiles.map(_.bucket).toSet == Set(touchedBucket),
+      s"maintenance rewrote untouched buckets: ${newFiles.map(_.bucket).toSet}")
+    assert(aggAfter.files.filter(_.bucket != touchedBucket).map(_.path).toSet ==
+      aggBefore.files.filter(_.bucket != touchedBucket).map(_.path).toSet)
+  }
+
+  test("diverged bucket schemes fall back to full delete-detection read") {
+    val dir = TestSpark.tmpDir("agg-div-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 2000, nConvs = 20, turnsPerConv = 3,
+      pUpdate = 0.3, pDelete = 0.3, pDup = 0.05, segSize = 500))
+    val main = new LakeTable(spark, TestSpark.tmpDir("agg-div-main"))
+    val agg = new LakeTable(spark, TestSpark.tmpDir("agg-div-agg"))
+    new CdcDriver(spark, dir, main, 2, 8, quiet = true,
+      aggLake = Some(agg)).run(maxBatches = 2)
+    // re-bucket the derived table mid-replay: ids no longer aligned
+    graft.lake.Compaction.rebucket(agg, 5)
+    new CdcDriver(spark, dir, main, 2, 8, quiet = true,
+      aggLake = Some(agg)).run()
+    val got = agg.read().select("conv_id", "n_turns").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    val want = main.read().groupBy("conv_id").count().collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt)).toMap
+    assert(got == want)
+  }
+
   test("kill/resume with derived table converges to the same aggregates") {
     val dir = TestSpark.tmpDir("agg-kill-cl")
     ChangelogGen.write(spark, dir, ChangelogGen.Config(

@@ -54,4 +54,56 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(eventsAll))
     assert(lake.currentSnapshot.get.snapshotId > snapAfter.snapshotId)
   }
+
+  test("live ProcessingTime tailer converges to the same state as replay") {
+    val dir = TestSpark.tmpDir("live-cl")
+    val cfg = ChangelogGen.Config(
+      nEvents = 2000, nConvs = 25, turnsPerConv = 6,
+      pUpdate = 0.3, pDelete = 0.08, pDup = 0.1, segSize = 400)
+    ChangelogGen.write(spark, dir, cfg)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("live-lake"))
+    val q = CdcStream.start(spark, dir, lake, TestSpark.tmpDir("live-ckpt"),
+      Schemas.changeEventSchema, nBuckets = 8, maxFilesPerTrigger = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      q.processAllAvailable() // live trigger: block until backlog drained
+      // the tailer keeps running; state must already equal the full fold
+      assert(CdcOracle.tableState(lake.read()) ==
+        CdcOracle.fold(spark.read.parquet(dir)))
+      // append a segment while live — the running query picks it up
+      val more = ChangelogGen.Config(cfg.nEvents + 800, nConvs = 25,
+        turnsPerConv = 6, pUpdate = 0.3, pDelete = 0.08, pDup = 0.1, segSize = 400)
+      ChangelogGen.events(spark, more, cfg.nEvents, more.nEvents, withEvolution = false)
+        .withColumn("p", org.apache.spark.sql.functions.col("_src_part"))
+        .repartition(1)
+        .write.mode("append").partitionBy("seg", "p").parquet(dir)
+      q.processAllAvailable()
+      assert(CdcOracle.tableState(lake.read()) ==
+        CdcOracle.fold(spark.read.parquet(dir)))
+    } finally { q.stop(); q.awaitTermination() }
+  }
+
+  test("fresh checkpoint against a populated lake fails loudly") {
+    val dir = TestSpark.tmpDir("bind-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 1000, nConvs = 10, turnsPerConv = 5, segSize = 500))
+    // lake populated by the BATCH driver (no stream binding)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("bind-lake"))
+    new CdcDriver(spark, dir, lake, 1, 8, quiet = true).run()
+    val e = intercept[IllegalStateException] {
+      CdcStream.run(spark, dir, lake, TestSpark.tmpDir("bind-ckpt"),
+        Schemas.changeEventSchema, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("fenced"))
+
+    // lake streamed under checkpoint A refuses checkpoint B
+    val lake2 = new LakeTable(spark, TestSpark.tmpDir("bind2-lake"))
+    CdcStream.run(spark, dir, lake2, TestSpark.tmpDir("bind2-ckptA"),
+      Schemas.changeEventSchema, nBuckets = 8)
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.run(spark, dir, lake2, TestSpark.tmpDir("bind2-ckptB"),
+        Schemas.changeEventSchema, nBuckets = 8)
+    }
+    assert(e2.getMessage.contains("bound to checkpoint"))
+  }
 }
