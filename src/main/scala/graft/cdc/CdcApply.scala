@@ -45,12 +45,32 @@ object CdcApply {
       touchedBuckets: Int,
       durationSec: Double,
       /** the touched bucket ids (drives derived-table maintenance) */
-      touchedSet: Set[Int] = Set.empty) {
+      touchedSet: Set[Int] = Set.empty,
+      /** events that failed validation and were quarantined this batch */
+      failedEvents: Long = 0L,
+      /** change-feed breakdown of the touched-bucket merge:
+        * inserted / updated / deleted / delete_noop / carried row counts
+        * (the reference's start/complete/audit delta derivation,
+        * ActivityAggregatesFunction.scala:244-248) */
+      actions: Map[String, Long] = Map.empty) {
     def eventsPerSec: Double = if (durationSec > 0) rowsIn / durationSec else 0
   }
 
   def bucketOf(convId: Column, nBuckets: Int): Column =
     pmod(xxhash64(convId), lit(nBuckets.toLong)).cast("int")
+
+  /** Validation verdict per event: null = valid, else the failure reason.
+    * The engine-level guard the reference applies per event before state
+    * writes (isValidEvent: EnrolmentReconciliationFn.scala:67,
+    * MergeOperations-P5), with failures routed to the dead-letter store
+    * (reference: failedEventOutputTag,
+    * ActivityAggregateUpdaterConfig.scala:66-67,
+    * ActivityAggregatesFunction.scala:135,143). */
+  def invalidReason(allowedOps: Seq[String]): Column =
+    when(col("conv_id").isNull || trim(col("conv_id")) === "", "null_key")
+      .when(col("turn_idx").isNull, "null_turn")
+      .when(col("_lsn").isNull, "null_lsn")
+      .when(col("op").isNull || !col("op").isin(allowedOps: _*), "bad_op")
 
   /** Select `schema`'s columns from df in order, null-filling absentees —
     * the additive-schema-evolution alignment (unionByName semantics made
@@ -88,7 +108,8 @@ object CdcApply {
       epoch: Long,
       nBuckets: Int = 64,
       saltBuckets: Int = 0,
-      probeInfo: Option[ProbeInfo] = None): ApplyStats = {
+      probeInfo: Option[ProbeInfo] = None,
+      validate: Boolean = true): ApplyStats = {
     val t0 = System.nanoTime()
     val cur = lake.currentSnapshot
     cur match {
@@ -101,6 +122,31 @@ object CdcApply {
     // Compaction.rebucket, and appliers pick the new count up here.
     val nB = cur.map(_.nBuckets).getOrElse(nBuckets)
     val spark = lake.spark
+
+    // Dead-letter quarantine: events failing validation never reach the
+    // merge (a null key would otherwise group as a key; an unknown op would
+    // silently upsert). The clean-feed fast path costs one column-pruned
+    // count over the four validation columns; only a corrupted batch pays
+    // the quarantine write. Quarantine output is per-epoch, overwritten on
+    // retry — as idempotent as the merge itself.
+    val reason = invalidReason(Seq(
+      graft.model.Schemas.OpInsert, graft.model.Schemas.OpUpdate,
+      graft.model.Schemas.OpDelete))
+    val nInvalid =
+      if (!validate) 0L
+      else phase("validate") { batch.filter(reason.isNotNull).count() }
+    val cleanBatch =
+      if (nInvalid == 0L) batch
+      else {
+        val qdir = new java.io.File(
+          new java.io.File(lake.root, "quarantine"), f"epoch=$epoch").getPath
+        phase("quarantine") {
+          batch.withColumn("_reason", reason)
+            .filter(col("_reason").isNotNull)
+            .write.mode("overwrite").parquet(qdir)
+        }
+        batch.filter(reason.isNull)
+      }
 
     // Target schema = current lake schema + any new batch columns (additive).
     // Lake rows additionally carry `_tombstone` (persisted deletes — see the
@@ -142,8 +188,8 @@ object CdcApply {
     // (its rows are rewritten unchanged), excluding a touched one never
     // happens. Small batches do the exact column-pruned scan.
     val touched: Set[Int] = phase("probe-buckets") {
-      if (rowsIn >= nB.toLong * 64) (0 until nB).toSet
-      else batch.select(bucketOf(col("conv_id"), nB).as("b"))
+      if (rowsIn - nInvalid >= nB.toLong * 64) (0 until nB).toSet
+      else cleanBatch.select(bucketOf(col("conv_id"), nB).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
     }
     val snapshotId = cur.map(_.snapshotId + 1).getOrElse(0L)
@@ -158,12 +204,14 @@ object CdcApply {
       }.toSeq.sortBy(_.srcPart)
 
     if (touched.isEmpty) {
-      // Empty batch: advance the epoch, carry all files forward.
+      // Empty (or fully-quarantined) batch: advance the epoch, carry all
+      // files forward.
       val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
         schemaVersion, nB, cur.map(_.files).getOrElse(Seq.empty),
-        lineage, Map("rowsIn" -> 0.0, "rowsOut" -> 0.0, "durationSec" -> 0.0))
-      return ApplyStats(lake.commit(snap), skipped = false, 0, 0, 0,
-        (System.nanoTime() - t0) / 1e9, Set.empty)
+        lineage, Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> 0.0,
+          "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble))
+      return ApplyStats(lake.commit(snap), skipped = false, rowsIn, 0, 0,
+        (System.nanoTime() - t0) / 1e9, Set.empty, failedEvents = nInvalid)
     }
 
     // Read-side: only the touched buckets of the current state. Deletes are
@@ -172,13 +220,20 @@ object CdcApply {
     // re-delivery of an OLDER event in batch N+k would resurrect the key
     // (the out-of-order case CdcPropertySpec's permutation test exercises).
     // Public reads filter tombstones (LakeTable.read).
+    // `_st` marks rows that came from stored state (vs the batch); `_hl`
+    // accumulates "this key had a live stored row" through the dedup phases
+    // — together they drive the change-feed action classification below.
     val currentRows = align(lake.readBuckets(Some(touched)), targetSchema)
+      .withColumn("_st", lit(true))
     val batchRows = align(
-      batch.withColumn("_tombstone",
+      cleanBatch.withColumn("_tombstone",
         col("op") === lit(graft.model.Schemas.OpDelete)).drop("op"),
       targetSchema)
+      .withColumn("_st", lit(false))
     val unioned = currentRows.unionByName(batchRows)
       .withColumn("b", bucketOf(col("conv_id"), nB))
+      .withColumn("_hl",
+        when(col("_st") && !col("_tombstone"), 1).otherwise(0))
     val nPart = math.max(touched.size, 1)
 
     // LWW winner per key in ONE shuffle: repartition on the bucket (which is
@@ -193,19 +248,32 @@ object CdcApply {
     // Sort key prefix `_kh` = xxhash64(conv_id): rows of one key stay
     // adjacent (conv_id itself breaks rare hash ties) while the sort runs on
     // radix-friendly longs instead of common-prefix strings.
+    // Ties on lsn (a redelivered duplicate racing the already-stored image)
+    // break in favor of the stored row, so the change feed deterministically
+    // classifies pure redeliveries as `carried`, not `updated`.
+    // `_hl` is rolled up per key with a second window over the SAME
+    // exchange+sort (partition spec extends the sort prefix, so Catalyst
+    // adds no exchange and no re-sort — plan stays
+    // Exchange -> Sort -> Window -> Window -> Filter -> Write).
     def lwwDedup(df0: DataFrame, partCols: Seq[Column]): DataFrame = {
       val df = df0.withColumn("_kh", xxhash64(col("conv_id")))
-      val keyOrder = Seq(col("_kh"), col("conv_id"), col("turn_idx"), col("_lsn").desc)
+      val keyOrder = Seq(col("_kh"), col("conv_id"), col("turn_idx"),
+        col("_lsn").desc, col("_st").desc)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(partCols: _*)
         .orderBy(keyOrder: _*)
+      val wKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(partCols ++ Seq(col("_kh"), col("conv_id"),
+          col("turn_idx")): _*)
       df.repartition(nPart, partCols: _*)
         .sortWithinPartitions(partCols ++ keyOrder: _*)
         .withColumn("_pc", lag("conv_id", 1).over(w))
         .withColumn("_pt", lag("turn_idx", 1).over(w))
+        .withColumn("_hl2", max("_hl").over(wKey))
         .filter(col("_pc").isNull || col("_pc") =!= col("conv_id") ||
           col("_pt") =!= col("turn_idx"))
-        .drop("_pc", "_pt", "_kh")
+        .withColumn("_hl", col("_hl2"))
+        .drop("_pc", "_pt", "_kh", "_hl2")
     }
 
     // Hot-conversation skew: optional two-phase salted dedup — phase 1 splits
@@ -221,9 +289,34 @@ object CdcApply {
         lwwDedup(salted.drop("_salt"), Seq(col("b")))
       } else lwwDedup(unioned, Seq(col("b")))
 
+    // Change-feed classification of each surviving row, counted via
+    // `observe` DURING the write job (zero extra pass), then dropped from
+    // the persisted schema. Reference analogue: start/complete/audit deltas
+    // derived from the pre-vs-post image,
+    // ActivityAggregatesFunction.scala:244-248.
+    val action =
+      when(col("_st"), lit("carried"))
+        .when(col("_tombstone") && col("_hl") === 1, lit("deleted"))
+        .when(col("_tombstone"), lit("delete_noop"))
+        .when(col("_hl") === 1, lit("updated"))
+        .otherwise(lit("inserted"))
+    val obs = org.apache.spark.sql.Observation()
+    val observed = merged
+      .withColumn("_action", action)
+      .observe(obs,
+        sum(when(col("_action") === "inserted", 1L).otherwise(0L)).as("inserted"),
+        sum(when(col("_action") === "updated", 1L).otherwise(0L)).as("updated"),
+        sum(when(col("_action") === "deleted", 1L).otherwise(0L)).as("deleted"),
+        sum(when(col("_action") === "delete_noop", 1L).otherwise(0L)).as("delete_noop"),
+        sum(when(col("_action") === "carried", 1L).otherwise(0L)).as("carried"))
+      .drop("_action", "_st", "_hl")
+
     // Write-side: copy-on-write rewrite of touched buckets only.
     val dataDir = lake.newDataDir(snapshotId)
-    phase("merge+write") { merged.write.partitionBy("b").parquet(dataDir) }
+    phase("merge+write") { observed.write.partitionBy("b").parquet(dataDir) }
+    val actionCounts: Map[String, Long] = obs.get.map { case (k, v) =>
+      k -> (v match { case n: Number => n.longValue(); case _ => 0L })
+    }
 
     // Per-file stats (row count + conv_id min/max) straight from the parquet
     // footers on the driver — no extra Spark job; O(files) metadata work,
@@ -251,22 +344,26 @@ object CdcApply {
       schemaVersion, nB, carried ++ newFiles, lineage,
       Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> rowsOut.toDouble,
         "durationSec" -> durationSec,
-        "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0)))
+        "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0),
+        "failedEvents" -> nInvalid.toDouble) ++
+        actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble })
     val committed =
       try lake.commit(snap)
       catch {
         // Lost a commit race to a concurrent applier (version file taken).
-        // The atomic rename is the arbiter: re-apply against the refreshed
-        // snapshot — if the winner already covered our epoch the retry is
-        // fenced at entry; otherwise the merge recomputes over the winner's
-        // state (Iceberg-style commit retry; our data dir becomes an orphan
-        // that readers never see). Retries are bounded by epoch progress.
+        // The atomic link(2) publish is the arbiter: re-apply against the
+        // refreshed snapshot — if the winner already covered our epoch the
+        // retry is fenced at entry; otherwise the merge recomputes over the
+        // winner's state (Iceberg-style commit retry; our data dir becomes
+        // an orphan that readers never see). Retries bounded by epoch
+        // progress.
         case _: graft.lake.CommitConflictException =>
-          return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo)
+          return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
+            validate)
       }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
     ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec,
-      touched)
+      touched, failedEvents = nInvalid, actions = actionCounts)
   }
 
   /** bucket -> parquet files under a `b=<bucket>/` partitioned write dir. */

@@ -64,12 +64,15 @@ final class CdcDriver(
       out += stats
       if (!quiet) {
         val s = stats
+        val cf = Seq("inserted", "updated", "deleted", "delete_noop", "carried")
+          .map(k => s""""$k":${s.actions.getOrElse(k, 0L)}""").mkString(",")
         println(
           s"""{"batchEpoch":$epoch,"snapshotId":${s.snapshot.snapshotId},""" +
           s""""rowsIn":${s.rowsIn},"rowsOut":${s.rowsOut},""" +
+          s""""failedEvents":${s.failedEvents},""" +
           s""""touchedBuckets":${s.touchedBuckets},""" +
           f""""durationSec":${s.durationSec}%.3f,"rowsPerSec":${s.eventsPerSec}%.1f,""" +
-          s""""skipped":${s.skipped}}""")
+          s""""skipped":${s.skipped},"changeFeed":{$cf}}""")
       }
     }
     out.toSeq

@@ -40,6 +40,9 @@ object ChangelogGen {
       segSize: Long = 100000L,
       /** delivery index at which tool_meta starts existing; <0 = never. */
       evolveAt: Long = -1L,
+      /** probability an event is malformed (null key / null turn / bad op)
+        * — exercises the dead-letter quarantine path. */
+      pBad: Double = 0.0,
       /** parquet files per (segment, source partition) — a real binlog
         * archive is one file chain per shard; >1 adds scan parallelism. */
       filesPerSeg: Int = 2,
@@ -78,9 +81,16 @@ object ChangelogGen {
     val turnIdx = pmod(h(e, "turn"), lit(cfg.turnsPerConv.toLong)).cast("int")
 
     val opR = u01(e, "op")
-    val op = when(opR < cfg.pDelete, lit("D"))
+    val opClean = when(opR < cfg.pDelete, lit("D"))
       .when(opR < cfg.pDelete + cfg.pUpdate, lit("U"))
       .otherwise(lit("I"))
+
+    // Malformed events (deterministic like everything else): kind 0 nulls
+    // the key, kind 1 nulls the turn index, kind 2 emits an unknown op —
+    // each must land in the quarantine, never in the merge.
+    val isBad = u01(e, "bad") < cfg.pBad
+    val badKind = pmod(h(e, "badkind"), lit(3L))
+    val op = when(isBad && badKind === 2, lit("X")).otherwise(opClean)
 
     val roleIdx = pmod(h(e, "role"), lit(4L)).cast("int")
     val role = element_at(
@@ -103,8 +113,10 @@ object ChangelogGen {
 
     val base = withE
       .withColumn("op", op)
-      .withColumn("conv_id", convId)
-      .withColumn("turn_idx", turnIdx)
+      .withColumn("conv_id",
+        when(isBad && badKind === 0, lit(null).cast("string")).otherwise(convId))
+      .withColumn("turn_idx",
+        when(isBad && badKind === 1, lit(null).cast("int")).otherwise(turnIdx))
       .withColumn("role", role)
       .withColumn("text", text)
       .withColumn("tool", tool)

@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
  */
 object Schemas {
 
-  /** Target lake-table business columns (BASELINE.json input_hint). */
+  /** Target lake-table business columns (BASELINE.json input_hint).
+    * Key columns are declared nullable because a real changelog contains
+    * garbage: the engine validates and quarantines rather than assuming
+    * the feed honors the contract (CdcApply.invalidReason). */
   val transcriptFields: Seq[StructField] = Seq(
-    StructField("conv_id", StringType, nullable = false),
-    StructField("turn_idx", IntegerType, nullable = false),
+    StructField("conv_id", StringType, nullable = true),
+    StructField("turn_idx", IntegerType, nullable = true),
     StructField("role", StringType, nullable = true),
     StructField("text", StringType, nullable = true),
     StructField("tool", StringType, nullable = true),
@@ -26,14 +29,14 @@ object Schemas {
   /** Engine metadata columns persisted in the lake table rows: the change
     * sequence that won LWW for this row plus its source lineage. */
   val metaFields: Seq[StructField] = Seq(
-    StructField("_lsn", LongType, nullable = false),
-    StructField("_src_part", IntegerType, nullable = false),
-    StructField("_src_off", LongType, nullable = false)
+    StructField("_lsn", LongType, nullable = true),
+    StructField("_src_part", IntegerType, nullable = true),
+    StructField("_src_off", LongType, nullable = true)
   )
 
   /** Changelog event schema (v1, before schema evolution). */
   val changeEventSchema: StructType = StructType(
-    StructField("op", StringType, nullable = false) +:
+    StructField("op", StringType, nullable = true) +:
       transcriptFields ++: metaFields
   )
 

@@ -20,10 +20,18 @@ object CdcOracle {
     if (hasMeta) Option(r.getAs[String]("tool_meta")) else None)
 
   /** Fold delivered events (any order, duplicates allowed) by ascending lsn:
-    * I/U upsert, D delete. */
+    * I/U upsert, D delete. Malformed events (null key/turn/lsn, unknown op)
+    * are skipped — the engine quarantines them (CdcApply.invalidReason). */
   def fold(events: DataFrame): Map[(String, Int), Turn] = {
     val hasMeta = events.columns.contains("tool_meta")
     val rows = events.collect().toSeq
+      .filter { r =>
+        val cid = r.getAs[String]("conv_id")
+        cid != null && cid.trim.nonEmpty &&
+          !r.isNullAt(r.fieldIndex("turn_idx")) &&
+          !r.isNullAt(r.fieldIndex("_lsn")) &&
+          Set("I", "U", "D").contains(r.getAs[String]("op"))
+      }
       .map(r => (r.getAs[Long]("_lsn"), r))
       .sortBy(_._1)
     rows.foldLeft(Map.empty[(String, Int), Turn]) { case (acc, (_, r)) =>

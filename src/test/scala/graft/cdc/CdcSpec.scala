@@ -117,6 +117,52 @@ class CdcSpec extends AnyFunSuite {
     assert(st == CdcOracle.fold(allEvents(dir)))
   }
 
+  test("change-feed counts reconcile with the fold oracle's state diff") {
+    val cfg = ChangelogGen.Config(
+      nEvents = 3000, nConvs = 30, turnsPerConv = 6,
+      pUpdate = 0.4, pDelete = 0.1, pDup = 0.15, segSize = 500)
+    val dir = changelog("cf", cfg)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("cf-lake"))
+    val driver = new CdcDriver(spark, dir, lake, segmentsPerBatch = 1,
+      nBuckets = 8, quiet = true)
+
+    // incremental oracle: key -> (lsn, live?); an event applies only if its
+    // lsn exceeds the stored one (redelivered old events lose LWW)
+    var oracle = Map.empty[(String, Int), (Long, Boolean)]
+    ChangelogGen.listSegments(dir).foreach { seg =>
+      val stats = driver.run(maxBatches = 1)
+      assert(stats.size == 1 && !stats.head.skipped)
+      val before = oracle
+      spark.read.parquet(s"$dir/seg=$seg")
+        .collect().sortBy(_.getAs[Long]("_lsn"))
+        .foreach { r =>
+          val key = (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
+          val lsn = r.getAs[Long]("_lsn")
+          val live = r.getAs[String]("op") != "D"
+          oracle.get(key) match {
+            case Some((l, _)) if l >= lsn => // older redelivery: ignore
+            case _ => oracle = oracle + (key -> ((lsn, live)))
+          }
+        }
+      def liveKeys(m: Map[(String, Int), (Long, Boolean)]) =
+        m.iterator.filter(_._2._2).map(_._1).toSet
+      val (lb, la) = (liveKeys(before), liveKeys(oracle))
+      val expInserted = (la -- lb).size.toLong
+      val expDeleted = (lb -- la).size.toLong
+      val expUpdated = (la & lb).count(k => before(k)._1 != oracle(k)._1).toLong
+      val a = stats.head.actions
+      assert(a.getOrElse("inserted", 0L) == expInserted, s"seg $seg inserted")
+      assert(a.getOrElse("deleted", 0L) == expDeleted, s"seg $seg deleted")
+      assert(a.getOrElse("updated", 0L) == expUpdated, s"seg $seg updated")
+      // every surviving (live or tombstone) row in touched buckets is
+      // classified exactly once
+      assert(a.values.sum == stats.head.rowsOut, s"seg $seg totals")
+      // and the counts are persisted on the snapshot for consumers
+      assert(stats.head.snapshot.metrics.contains("cf_inserted"))
+    }
+    assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(allEvents(dir)))
+  }
+
   test("lineage records per-source-partition offset ranges and metrics") {
     val cfg = ChangelogGen.Config(
       nEvents = 1000, nConvs = 10, turnsPerConv = 5,

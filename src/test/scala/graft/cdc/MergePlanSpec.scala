@@ -1,0 +1,65 @@
+package graft.cdc
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.changelog.ChangelogGen
+import graft.lake.LakeTable
+
+/** Physical-plan guard for the MERGE hot path: the whole upsert (union →
+  * LWW dedup → change-feed classification → bucket-partitioned write) must
+  * stay ONE shuffle. The round-1 plan was Exchange → Sort → Window(lag) →
+  * Filter → Write; the change-feed rollup adds a second Window whose
+  * partition spec extends the same sort prefix — if a regression ever makes
+  * it demand its own exchange or sort, this spec fails. */
+class MergePlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("merge+write plan has exactly one exchange and one sort") {
+    val dir = TestSpark.tmpDir("plan-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 2000, nConvs = 20, turnsPerConv = 6,
+      pUpdate = 0.3, pDelete = 0.05, pDup = 0.05, segSize = 1000))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("plan-lake"))
+
+    val plans = mutable.ArrayBuffer[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      new CdcDriver(spark, dir, lake, segmentsPerBatch = 2, nBuckets = 8,
+        quiet = true).run()
+      // listener delivery is async; wait for the plans to arrive
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (System.nanoTime() < deadline &&
+        plans.synchronized(!plans.exists(p =>
+          p.contains("WriteFiles") && p.contains("Window")))) Thread.sleep(50)
+      // the merge write job: the one whose plan carries the lake write +
+      // the window dedup
+      val writePlans = plans.synchronized {
+        plans.filter(p => p.contains("WriteFiles") && p.contains("Window"))
+      }
+      assert(writePlans.nonEmpty, "no merge write plan captured")
+      writePlans.foreach { p0 =>
+        // adaptive plans print "Final Plan" and "Initial Plan" sections —
+        // count only the final one
+        val p = p0.split("== Initial Plan ==")(0)
+        val exchanges = "Exchange (hash|range)partitioning".r
+          .findAllIn(p).size
+        val sorts = raw"\bSort \[".r.findAllIn(p).size
+        assert(exchanges == 1, s"merge plan must have ONE exchange:\n$p")
+        assert(sorts == 1, s"merge plan must have ONE sort:\n$p")
+        assert(p.contains("Window"), p)
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
