@@ -75,12 +75,13 @@ object CdcApply {
   /** Select `schema`'s columns from df in order, null-filling absentees —
     * the additive-schema-evolution alignment (unionByName semantics made
     * explicit so both sides get identical column order). */
-  private def align(df: DataFrame, schema: StructType): DataFrame = {
+  private def align(df: DataFrame, schema: StructType,
+                    extras: Seq[(String, Column)] = Nil): DataFrame = {
     val present = df.columns.toSet
     df.select(schema.fields.map { f =>
       if (present.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq ++ extras.map { case (n, c) => c.as(n) }: _*)
   }
 
   /** Apply one batch. `batch` must contain `op` plus the lake columns
@@ -109,7 +110,12 @@ object CdcApply {
       nBuckets: Int = 64,
       saltBuckets: Int = 0,
       probeInfo: Option[ProbeInfo] = None,
-      validate: Boolean = true): ApplyStats = {
+      validate: Boolean = true,
+      /** accept op='P' partial-column patch events (Schemas.OpPatch): only
+        * the event's non-null business columns overwrite the image. Uses an
+        * aggregation-based merge plan instead of the window plan; a feed
+        * declares patch support statically, like a Debezium connector. */
+      patchEnabled: Boolean = false): ApplyStats = {
     val t0 = System.nanoTime()
     val cur = lake.currentSnapshot
     cur match {
@@ -129,9 +135,10 @@ object CdcApply {
     // count over the four validation columns; only a corrupted batch pays
     // the quarantine write. Quarantine output is per-epoch, overwritten on
     // retry — as idempotent as the merge itself.
-    val reason = invalidReason(Seq(
-      graft.model.Schemas.OpInsert, graft.model.Schemas.OpUpdate,
-      graft.model.Schemas.OpDelete))
+    val reason = invalidReason(
+      Seq(graft.model.Schemas.OpInsert, graft.model.Schemas.OpUpdate,
+        graft.model.Schemas.OpDelete) ++
+        (if (patchEnabled) Seq(graft.model.Schemas.OpPatch) else Nil))
     val nInvalid =
       if (!validate) 0L
       else phase("validate") { batch.filter(reason.isNotNull).count() }
@@ -223,13 +230,17 @@ object CdcApply {
     // `_st` marks rows that came from stored state (vs the batch); `_hl`
     // accumulates "this key had a live stored row" through the dedup phases
     // — together they drive the change-feed action classification below.
-    val currentRows = align(lake.readBuckets(Some(touched)), targetSchema)
-      .withColumn("_st", lit(true))
+    val patchExtra =
+      if (patchEnabled)
+        Seq("_patch" -> (col("op") === lit(graft.model.Schemas.OpPatch)))
+      else Nil
+    val currentRows = align(lake.readBuckets(Some(touched)), targetSchema,
+      ("_st" -> lit(true)) +: patchExtra.map { case (n, _) => n -> lit(false) })
     val batchRows = align(
       cleanBatch.withColumn("_tombstone",
-        col("op") === lit(graft.model.Schemas.OpDelete)).drop("op"),
-      targetSchema)
-      .withColumn("_st", lit(false))
+        col("op") === lit(graft.model.Schemas.OpDelete)),
+      targetSchema,
+      ("_st" -> lit(false)) +: patchExtra)
     val unioned = currentRows.unionByName(batchRows)
       .withColumn("b", bucketOf(col("conv_id"), nB))
       .withColumn("_hl",
@@ -281,7 +292,8 @@ object CdcApply {
     // resolves the per-salt winners globally. Identical duplicate deliveries
     // share an lsn and therefore a salt, so phase 1 already collapses them.
     val merged =
-      if (saltBuckets > 0) {
+      if (patchEnabled) patchMerge(unioned, targetSchema)
+      else if (saltBuckets > 0) {
         val salted = lwwDedup(
           unioned.withColumn("_salt",
             pmod(xxhash64(col("_lsn")), lit(saltBuckets.toLong))),
@@ -359,11 +371,79 @@ object CdcApply {
         // progress.
         case _: graft.lake.CommitConflictException =>
           return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
-            validate)
+            validate, patchEnabled)
       }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
     ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec,
       touched, failedEvents = nInvalid, actions = actionCounts)
+  }
+
+  /** Patch-aware merge (op='P'): per key, the winning FULL image (highest
+    * lsn among state rows + batch I/U/D, ties to state) is the base, and
+    * any patch NEWER than the base overlays its non-null columns
+    * column-wise (latest non-null setter wins per column — the map put-all
+    * of the reference, ActivityAggregatesFunction.scala:301-310). A patch
+    * newer than a tombstone resurrects the key with only its own fields;
+    * patches at or below the base lsn are redeliveries and are ignored.
+    *
+    * Plan shape: ONE aggregation exchange on (b, conv_id, turn_idx) with
+    * map-side partial max/max_by combine (skew collapses before the
+    * shuffle, so no salting phase is needed). The window plan cannot
+    * express per-column fold, hence the separate opt-in path; output
+    * contract matches lwwDedup's (`_st` = carried flag, `_hl` = had live
+    * stored row) so the change-feed classification downstream is shared. */
+  private def patchMerge(unioned: DataFrame,
+                         targetSchema: StructType): DataFrame = {
+    val metaCols = Set("_lsn", "_src_part", "_src_off", "_tombstone")
+    val keyCols = Seq("conv_id", "turn_idx")
+    val dataCols = targetSchema.fields.map(_.name)
+      .filterNot(n => keyCols.contains(n) || metaCols(n)).toSeq
+    val isPatch = col("_patch")
+    // ordering key preferring (lsn, state-on-tie); null for patches so
+    // max_by skips them when electing the base image
+    val baseOrder = when(!isPatch, struct(col("_lsn"), col("_st")))
+    val winOrder = struct(col("_lsn"), col("_st"))
+    val aggs = Seq(
+      max_by(struct((dataCols ++ Seq("_tombstone", "_lsn")).map(col): _*),
+        baseOrder).as("_base"),
+      max(col("_lsn")).as("_maxlsn"),
+      max(when(isPatch, col("_lsn"))).as("_maxplsn"),
+      max(when(col("_st"), col("_lsn"))).as("_statelsn"),
+      max(when(col("_st") && !col("_tombstone"), 1).otherwise(0)).as("_hadlive"),
+      max_by(struct(col("_src_part"), col("_src_off")), winOrder).as("_wsrc")
+    ) ++ dataCols.flatMap { c =>
+      val setter = when(isPatch && col(c).isNotNull, col("_lsn"))
+      Seq(max_by(col(c), setter).as(s"_p_$c"),
+        max(setter).as(s"_pl_$c"))
+    }
+    val g = unioned
+      .groupBy(col("b"), col("conv_id"), col("turn_idx"))
+      .agg(aggs.head, aggs.tail: _*)
+    val baseLsn = col("_base").getField("_lsn")
+    val baseTomb = col("_base").getField("_tombstone")
+    val noBase = lit(Long.MinValue)
+    val patchNewer = col("_maxplsn") > coalesce(baseLsn, noBase)
+    val outCols = targetSchema.fields.map(_.name).map {
+      case k if keyCols.contains(k) => col(k)
+      case "_lsn" => col("_maxlsn").as("_lsn")
+      case "_src_part" => col("_wsrc").getField("_src_part").as("_src_part")
+      case "_src_off" => col("_wsrc").getField("_src_off").as("_src_off")
+      case "_tombstone" =>
+        (coalesce(baseTomb, lit(false)) &&
+          !coalesce(patchNewer, lit(false))).as("_tombstone")
+      case c =>
+        when(col(s"_pl_$c") > coalesce(baseLsn, noBase), col(s"_p_$c"))
+          // tombstoned/absent base contributes nothing: resurrection is
+          // patch-fields-only
+          .otherwise(when(!coalesce(baseTomb, lit(true)),
+            col("_base").getField(c)))
+          .as(c)
+    }.toSeq ++ Seq(
+      col("b"),
+      (col("_statelsn").isNotNull && col("_maxlsn") <= col("_statelsn"))
+        .as("_st"),
+      col("_hadlive").as("_hl"))
+    g.select(outCols: _*)
   }
 
   /** bucket -> parquet files under a `b=<bucket>/` partitioned write dir. */

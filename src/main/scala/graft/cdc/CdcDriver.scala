@@ -30,7 +30,9 @@ final class CdcDriver(
     quiet: Boolean = false,
     /** optional derived conv_agg table, maintained after every batch
       * (AggMaintenance) under the same epoch fencing */
-    aggLake: Option[LakeTable] = None) {
+    aggLake: Option[LakeTable] = None,
+    /** the feed contains op='P' partial-column patch events */
+    patchEnabled: Boolean = false) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -56,7 +58,7 @@ final class CdcDriver(
       // epoch = exclusive upper segment bound -> fencing token
       val epoch = group.max + 1
       val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets,
-        probeInfo = probeFromFooters(paths))
+        probeInfo = probeFromFooters(paths), patchEnabled = patchEnabled)
       aggLake.foreach { al =>
         if (!stats.skipped && stats.touchedSet.nonEmpty)
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)

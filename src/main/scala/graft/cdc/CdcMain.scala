@@ -59,7 +59,9 @@ object CdcMain {
         segmentsPerBatch = rest.headOption.map(_.toInt).getOrElse(4),
         nBuckets = rest.lift(1).map(_.toInt).getOrElse(64),
         saltBuckets = rest.lift(2).map(_.toInt).getOrElse(0),
-        aggLake = rest.lift(3).map(d => new LakeTable(spark, d)))
+        aggLake = rest.lift(3).filter(_ != "-")
+          .map(d => new LakeTable(spark, d)),
+        patchEnabled = rest.lift(4).contains("patch"))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9

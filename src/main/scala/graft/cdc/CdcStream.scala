@@ -48,7 +48,8 @@ object CdcStream {
       saltBuckets: Int = 0,
       maxFilesPerTrigger: Int = 16,
       aggLake: Option[LakeTable] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      patchEnabled: Boolean = false): StreamingQuery = {
     bindOrRefuse(lake, checkpointDir)
     // Derived-table reconciliation: if a crash landed between the main
     // commit and the agg maintain, the replayed batch will fence and the
@@ -68,7 +69,7 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
-          nBuckets, saltBuckets)
+          nBuckets, saltBuckets, patchEnabled = patchEnabled)
         aggLake.foreach { al =>
           if (!stats.skipped && stats.touchedSet.nonEmpty)
             AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
@@ -92,9 +93,11 @@ object CdcStream {
       saltBuckets: Int = 0,
       maxFilesPerTrigger: Int = 16,
       aggLake: Option[LakeTable] = None,
-      trigger: Trigger = Trigger.AvailableNow()): Unit =
+      trigger: Trigger = Trigger.AvailableNow(),
+      patchEnabled: Boolean = false): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
-      saltBuckets, maxFilesPerTrigger, aggLake, trigger).awaitTermination()
+      saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled)
+      .awaitTermination()
 
   /** Enforce the one-lake-one-checkpoint pairing. The checkpoint side
     * carries `graft-binding.json` (created here on first use); the lake side

@@ -43,6 +43,9 @@ object ChangelogGen {
       /** probability an event is malformed (null key / null turn / bad op)
         * — exercises the dead-letter quarantine path. */
       pBad: Double = 0.0,
+      /** probability of a partial-column patch event (op='P': only a hashed
+        * subset of role/text/ts is set, the rest null = untouched). */
+      pPatch: Double = 0.0,
       /** parquet files per (segment, source partition) — a real binlog
         * archive is one file chain per shard; >1 adds scan parallelism. */
       filesPerSeg: Int = 2,
@@ -83,6 +86,7 @@ object ChangelogGen {
     val opR = u01(e, "op")
     val opClean = when(opR < cfg.pDelete, lit("D"))
       .when(opR < cfg.pDelete + cfg.pUpdate, lit("U"))
+      .when(opR < cfg.pDelete + cfg.pUpdate + cfg.pPatch, lit("P"))
       .otherwise(lit("I"))
 
     // Malformed events (deterministic like everything else): kind 0 nulls
@@ -111,23 +115,33 @@ object ChangelogGen {
     val ts = timestamp_seconds(lit(1700000000L) + e)
     val srcPart = pmod(xxhash64(convId), lit(cfg.nSrcPartitions.toLong)).cast("int")
 
+    // Patch events set only a hashed non-empty subset of (role, text, ts);
+    // unset columns are null ("not touched"), and tool is never patched.
+    val isP = op === "P"
+    val pbits = pmod(h(e, "pbits"), lit(8L))
+    val setRole = pbits.bitwiseAND(lit(1L)) === 1L
+    val setText = (pbits.bitwiseAND(lit(2L)) === 2L) || pbits === 0L
+    val setTs = pbits.bitwiseAND(lit(4L)) === 4L
+
     val base = withE
       .withColumn("op", op)
       .withColumn("conv_id",
         when(isBad && badKind === 0, lit(null).cast("string")).otherwise(convId))
       .withColumn("turn_idx",
         when(isBad && badKind === 1, lit(null).cast("int")).otherwise(turnIdx))
-      .withColumn("role", role)
-      .withColumn("text", text)
-      .withColumn("tool", tool)
-      .withColumn("ts", ts)
+      .withColumn("role",
+        when(isP && !setRole, lit(null).cast("string")).otherwise(role))
+      .withColumn("text",
+        when(isP && !setText, lit(null).cast("string")).otherwise(text))
+      .withColumn("tool", when(isP, lit(null).cast("string")).otherwise(tool))
+      .withColumn("ts", when(isP && !setTs, lit(null).cast("timestamp")).otherwise(ts))
       .withColumn("_lsn", e)
       .withColumn("_src_part", srcPart)
       .withColumn("_src_off", e)
 
     val withMeta =
       if (withEvolution) base.withColumn("tool_meta",
-        when(e >= cfg.evolveAt,
+        when(e >= cfg.evolveAt && !isP,
           concat(lit("""{"v":"""), pmod(h(e, "tm"), lit(100L)).cast("string"),
             lit("}"))).otherwise(lit(null).cast("string")))
       else base

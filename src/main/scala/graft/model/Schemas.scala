@@ -64,4 +64,12 @@ object Schemas {
   val OpInsert = "I"
   val OpUpdate = "U"
   val OpDelete = "D"
+
+  /** Partial-column (patch) update: only the event's NON-NULL business
+    * columns overwrite the current image; null means "not set" (the
+    * Debezium-partial-image convention). Opt-in via `patchEnabled` — the
+    * reference's map put-all / field-level hash update semantics
+    * (ActivityAggregatesFunction.scala:301-310,
+    * user-cache-updater-2.0 UserMetadataUpdater.scala:86-105). */
+  val OpPatch = "P"
 }

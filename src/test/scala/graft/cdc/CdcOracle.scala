@@ -9,28 +9,33 @@ object CdcOracle {
 
   final case class Turn(
       convId: String, turnIdx: Int, role: String, text: String,
-      tool: String, tsMillis: Long, lsn: Long, srcPart: Int, srcOff: Long,
-      toolMeta: Option[String])
+      tool: String, tsMillis: Option[Long], lsn: Long, srcPart: Int,
+      srcOff: Long, toolMeta: Option[String])
 
   private def turnOf(r: Row, hasMeta: Boolean): Turn = Turn(
     r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
     r.getAs[String]("role"), r.getAs[String]("text"), r.getAs[String]("tool"),
-    r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("_lsn"),
+    Option(r.getAs[java.sql.Timestamp]("ts")).map(_.getTime),
+    r.getAs[Long]("_lsn"),
     r.getAs[Int]("_src_part"), r.getAs[Long]("_src_off"),
     if (hasMeta) Option(r.getAs[String]("tool_meta")) else None)
 
   /** Fold delivered events (any order, duplicates allowed) by ascending lsn:
-    * I/U upsert, D delete. Malformed events (null key/turn/lsn, unknown op)
-    * are skipped — the engine quarantines them (CdcApply.invalidReason). */
-  def fold(events: DataFrame): Map[(String, Int), Turn] = {
+    * I/U upsert, D delete; with `patchEnabled`, P overlays only its
+    * non-null business fields (creating a partial row on an absent/deleted
+    * key). Malformed events (null key/turn/lsn, unknown op) are skipped —
+    * the engine quarantines them (CdcApply.invalidReason). */
+  def fold(events: DataFrame,
+           patchEnabled: Boolean = false): Map[(String, Int), Turn] = {
     val hasMeta = events.columns.contains("tool_meta")
+    val validOps = if (patchEnabled) Set("I", "U", "D", "P") else Set("I", "U", "D")
     val rows = events.collect().toSeq
       .filter { r =>
         val cid = r.getAs[String]("conv_id")
         cid != null && cid.trim.nonEmpty &&
           !r.isNullAt(r.fieldIndex("turn_idx")) &&
           !r.isNullAt(r.fieldIndex("_lsn")) &&
-          Set("I", "U", "D").contains(r.getAs[String]("op"))
+          validOps.contains(r.getAs[String]("op"))
       }
       .map(r => (r.getAs[Long]("_lsn"), r))
       .sortBy(_._1)
@@ -38,6 +43,18 @@ object CdcOracle {
       val key = (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"))
       r.getAs[String]("op") match {
         case "D" => acc - key
+        case "P" =>
+          val t = turnOf(r, hasMeta)
+          val base = acc.getOrElse(key,
+            Turn(key._1, key._2, null, null, null, None, t.lsn, t.srcPart,
+              t.srcOff, None))
+          acc + (key -> base.copy(
+            role = if (t.role != null) t.role else base.role,
+            text = if (t.text != null) t.text else base.text,
+            tool = if (t.tool != null) t.tool else base.tool,
+            tsMillis = t.tsMillis.orElse(base.tsMillis),
+            toolMeta = t.toolMeta.orElse(base.toolMeta),
+            lsn = t.lsn, srcPart = t.srcPart, srcOff = t.srcOff))
         case _ => acc + (key -> turnOf(r, hasMeta))
       }
     }

@@ -1,0 +1,123 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.changelog.ChangelogGen
+import graft.lake.LakeTable
+
+/** Partial-column patch events (op='P'): non-null columns overlay the
+  * current image, nulls leave it untouched — the reference's map put-all /
+  * field-level hash update (ActivityAggregatesFunction.scala:301-310,
+  * UserMetadataUpdater.scala:86-105) as a merge mode. */
+class CdcPatchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def mkEvent(op: String, conv: String, turn: Int, role: String,
+                      text: String, lsn: Long) = {
+    import spark.implicits._
+    Seq((op, conv, turn, role, text, null.asInstanceOf[String],
+      if (op == "P") null else new java.sql.Timestamp(1700000000000L + lsn),
+      lsn, 0, lsn))
+      .toDF("op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "_lsn", "_src_part", "_src_off")
+  }
+
+  test("hand-built patch scenarios: overlay, ignore-stale, resurrect") {
+    val lake = new LakeTable(spark, TestSpark.tmpDir("patch-micro"))
+    def applyB(df: org.apache.spark.sql.DataFrame, epoch: Long) =
+      CdcApply.apply(lake, df, epoch, nBuckets = 4, patchEnabled = true)
+
+    // full insert, then a text-only patch in a later batch
+    applyB(mkEvent("I", "c1", 0, "user", "hello", 10), 1)
+    applyB(mkEvent("P", "c1", 0, null, "patched", 20), 2)
+    val r1 = lake.read().filter(col("conv_id") === "c1").head()
+    assert(r1.getAs[String]("text") == "patched")
+    assert(r1.getAs[String]("role") == "user") // untouched by the patch
+    assert(r1.getAs[Long]("_lsn") == 20)
+
+    // stale patch redelivery (lsn below the image) is a no-op
+    applyB(mkEvent("P", "c1", 0, "assistant", "stale", 15), 3)
+    val r2 = lake.read().filter(col("conv_id") === "c1").head()
+    assert(r2.getAs[String]("text") == "patched" &&
+      r2.getAs[String]("role") == "user" && r2.getAs[Long]("_lsn") == 20)
+
+    // delete, then a newer patch resurrects with ONLY its own fields
+    applyB(mkEvent("D", "c1", 0, "user", "gone", 30), 4)
+    assert(lake.read().filter(col("conv_id") === "c1").isEmpty)
+    applyB(mkEvent("P", "c1", 0, "system", null, 40), 5)
+    val r3 = lake.read().filter(col("conv_id") === "c1").head()
+    assert(r3.getAs[String]("role") == "system")
+    assert(r3.getAs[String]("text") == null) // not inherited from pre-delete
+    assert(r3.getAs[Long]("_lsn") == 40)
+
+    // a patch on a never-seen key creates a partial row
+    applyB(mkEvent("P", "c9", 3, null, "fresh", 50), 6)
+    val r4 = lake.read().filter(col("conv_id") === "c9").head()
+    assert(r4.getAs[String]("text") == "fresh" && r4.getAs[String]("role") == null)
+
+    // patch older than a tombstone does NOT resurrect
+    applyB(mkEvent("D", "c9", 3, null, null, 60), 7)
+    applyB(mkEvent("P", "c9", 3, null, "zombie", 55), 8)
+    assert(lake.read().filter(col("conv_id") === "c9").isEmpty)
+  }
+
+  test("generated patch changelog matches the patch-aware fold oracle") {
+    val dir = TestSpark.tmpDir("patch-cl")
+    val cfg = ChangelogGen.Config(
+      nEvents = 4000, nConvs = 30, turnsPerConv = 6,
+      pUpdate = 0.25, pDelete = 0.08, pDup = 0.1, pPatch = 0.25, segSize = 500)
+    ChangelogGen.write(spark, dir, cfg)
+    val events = spark.read.parquet(dir)
+    assert(events.filter(col("op") === "P").count() > 0)
+
+    val lake = new LakeTable(spark, TestSpark.tmpDir("patch-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 2, nBuckets = 8,
+      quiet = true, patchEnabled = true).run()
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.fold(events, patchEnabled = true))
+
+    // kill/resume convergence with patches in flight
+    val lake2 = new LakeTable(spark, TestSpark.tmpDir("patch-lake2"))
+    new CdcDriver(spark, dir, lake2, 2, 8, quiet = true,
+      patchEnabled = true).run(maxBatches = 2)
+    new CdcDriver(spark, dir, lake2, 2, 8, quiet = true,
+      patchEnabled = true).run()
+    assert(CdcOracle.tableState(lake2.read()) ==
+      CdcOracle.tableState(lake.read()))
+  }
+
+  test("patch events are quarantined when patch support is disabled") {
+    val dir = TestSpark.tmpDir("patch-off-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 1500, nConvs = 15, turnsPerConv = 4,
+      pUpdate = 0.2, pDelete = 0.05, pPatch = 0.2, segSize = 500))
+    val events = spark.read.parquet(dir)
+    val nPatch = events.filter(col("op") === "P").count()
+    assert(nPatch > 0)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("patch-off-lake"))
+    val stats = new CdcDriver(spark, dir, lake, 2, 8, quiet = true).run()
+    assert(stats.map(_.failedEvents).sum == nPatch)
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.fold(events, patchEnabled = false))
+    val quar = spark.read.parquet(s"${lake.root}/quarantine")
+    assert(quar.filter(col("_reason") === "bad_op").count() == nPatch)
+  }
+
+  test("patch changelog with evolution column mid-stream stays correct") {
+    val dir = TestSpark.tmpDir("patch-ev-cl")
+    val cfg = ChangelogGen.Config(
+      nEvents = 2000, nConvs = 20, turnsPerConv = 5,
+      pUpdate = 0.25, pDelete = 0.05, pDup = 0.05, pPatch = 0.2,
+      segSize = 400, evolveAt = 1200)
+    ChangelogGen.write(spark, dir, cfg)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("patch-ev-lake"))
+    new CdcDriver(spark, dir, lake, 1, 8, quiet = true,
+      patchEnabled = true).run()
+    val events = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.fold(events, patchEnabled = true))
+    assert(lake.currentSnapshot.get.schemaVersion == 2)
+  }
+}
