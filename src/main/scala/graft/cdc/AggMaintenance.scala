@@ -122,9 +122,13 @@ object AggMaintenance {
     val missedBuckets =
       if (rebucketed) (0 until mainSnap.nBuckets).toSet
       else missed.flatMap { case (s, parentOpt) =>
-        val parentFiles = parentOpt.map(_.files.map(_.path).toSet)
-          .getOrElse(Set.empty)
-        s.files.filterNot(f => parentFiles.contains(f.path)).map(_.bucket)
+        // a bucket changed in snapshot s iff its manifest ref differs from
+        // the parent's — O(buckets) metadata compare, no manifest loads
+        val parentRefs = parentOpt
+          .map(_.manifests.map(r => r.bucket -> r.path).toMap)
+          .getOrElse(Map.empty[Int, String])
+        s.manifests.filter(r => !parentRefs.get(r.bucket).contains(r.path))
+          .map(_.bucket)
       }.toSet
     if (missedBuckets.nonEmpty)
       maintain(spark, mainLake, aggLake, missedBuckets, mainSnap.epoch)

@@ -214,7 +214,7 @@ object CdcApply {
       // Empty (or fully-quarantined) batch: advance the epoch, carry all
       // files forward.
       val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
-        schemaVersion, nB, cur.map(_.files).getOrElse(Seq.empty),
+        schemaVersion, nB, cur.map(_.manifests).getOrElse(Seq.empty),
         lineage, Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> 0.0,
           "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble))
       return ApplyStats(lake.commit(snap), skipped = false, rowsIn, 0, 0,
@@ -348,12 +348,15 @@ object CdcApply {
       }.seq
     }
     val rowsOut = newFiles.map(_.rows).sum
-    val carried = cur.map(_.files).getOrElse(Seq.empty)
-      .filterNot(f => touched.contains(f.bucket))
+    // Commit metadata is O(touched): one manifest file per rewritten bucket;
+    // untouched buckets carry the parent's manifest refs by path.
+    val newRefs = lake.writeManifests(snapshotId, newFiles.groupBy(_.bucket))
+    val carried = cur.map(_.manifests).getOrElse(Seq.empty)
+      .filterNot(r => touched.contains(r.bucket))
 
     val durationSec = (System.nanoTime() - t0) / 1e9
     val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
-      schemaVersion, nB, carried ++ newFiles, lineage,
+      schemaVersion, nB, carried ++ newRefs, lineage,
       Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> rowsOut.toDouble,
         "durationSec" -> durationSec,
         "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0),

@@ -28,19 +28,25 @@ object Compaction {
 
   def compact(
       lake: LakeTable,
-      tombstoneWatermark: Long = Long.MinValue): CompactionStats =
-    rewrite(lake, tombstoneWatermark, newBuckets = None)
+      tombstoneWatermark: Long = Long.MinValue,
+      /** split bucket files at this many rows (0 = one file per bucket).
+        * Compacted files are conv_id-sorted, so splitting yields
+        * key-range-disjoint files — what makes LakeTable.lookup's
+        * min/max pruning tight. */
+      targetFileRows: Long = 0L): CompactionStats =
+    rewrite(lake, tombstoneWatermark, newBuckets = None, targetFileRows)
 
   /** Re-bucket the table (e.g. 64 -> 4096 as it grows): full rewrite into
     * `newBuckets` hash buckets as a maintenance commit. Subsequent CDC
     * applies adopt the new count from the snapshot automatically. */
   def rebucket(lake: LakeTable, newBuckets: Int): CompactionStats =
-    rewrite(lake, Long.MinValue, Some(newBuckets))
+    rewrite(lake, Long.MinValue, Some(newBuckets), 0L)
 
   private def rewrite(
       lake: LakeTable,
       tombstoneWatermark: Long,
-      newBuckets: Option[Int]): CompactionStats = {
+      newBuckets: Option[Int],
+      targetFileRows: Long): CompactionStats = {
     val cur = lake.currentSnapshot.getOrElse(
       throw new IllegalStateException("nothing to compact: empty table"))
     val spark = lake.spark
@@ -54,10 +60,13 @@ object Compaction {
     val withB = kept.withColumn("b", CdcApply.bucketOf(col("conv_id"), nB))
 
     val dataDir = lake.newDataDir(cur.snapshotId + 1)
-    withB
+    val writer = withB
       .repartition(nB, col("b"))
       .sortWithinPartitions(col("b"), col("conv_id"), col("turn_idx"))
-      .write.partitionBy("b").parquet(dataDir)
+      .write.partitionBy("b")
+    (if (targetFileRows > 0)
+       writer.option("maxRecordsPerFile", targetFileRows)
+     else writer).parquet(dataDir)
 
     val newFiles = {
       val work = new java.io.File(dataDir).listFiles().toSeq
@@ -73,14 +82,16 @@ object Compaction {
       }
     }
 
-    val rowsBefore = cur.files.map(_.rows).sum
+    val rowsBefore = cur.totalRows
     val rowsAfter = newFiles.map(_.rows).sum
+    val newRefs = lake.writeManifests(cur.snapshotId + 1,
+      newFiles.groupBy(_.bucket))
     val snap = Snapshot(cur.snapshotId + 1, cur.snapshotId, cur.epoch,
-      cur.schemaJson, cur.schemaVersion, nB, newFiles, cur.lineage,
+      cur.schemaJson, cur.schemaVersion, nB, newRefs, cur.lineage,
       Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
         "rowsAfter" -> rowsAfter.toDouble))
     val committed = lake.commit(snap, maintenance = true)
-    CompactionStats(committed, cur.files.size, newFiles.size,
+    CompactionStats(committed, cur.totalFiles, newFiles.size,
       rowsBefore, rowsAfter, rowsBefore - rowsAfter)
   }
 }

@@ -20,6 +20,27 @@ final case class DataFileMeta(
   * per-partition (source offset range -> snapshot id). */
 final case class PartitionLineage(srcPart: Int, minOff: Long, maxOff: Long)
 
+/** One per-bucket manifest file owned by a snapshot: `path` is a JSON list
+  * of the bucket's [[DataFileMeta]]. A commit writes manifests only for the
+  * buckets it rewrote and carries the parent's refs for the rest, so commit
+  * metadata is O(touched buckets), not O(table files) — the manifest-tree
+  * shape real table formats use (a flat in-snapshot file list stops
+  * scaling once the table holds millions of files). */
+final case class ManifestRef(bucket: Int, path: String, rows: Long, nFiles: Int)
+
+object Manifests {
+  private[lake] val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  def load(ref: ManifestRef): Seq[DataFileMeta] =
+    mapper.readValue(new File(ref.path), classOf[Array[DataFileMeta]]).toSeq
+
+  def loadAll(refs: Seq[ManifestRef]): Seq[DataFileMeta] =
+    if (refs.size > 8) ParquetFooters.parMap(refs)(load).flatten
+    else refs.flatMap(load)
+}
+
 final case class Snapshot(
     snapshotId: Long,
     parentId: Long,
@@ -32,10 +53,21 @@ final case class Snapshot(
     schemaJson: String,
     schemaVersion: Int,
     nBuckets: Int,
-    files: Seq[DataFileMeta],
+    manifests: Seq[ManifestRef],
     lineage: Seq[PartitionLineage],
     metrics: Map[String, Double]) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** All data files, resolved through the per-bucket manifests. Cold-path
+    * convenience (expire, audits, tests) — hot paths resolve only the
+    * buckets they touch. */
+  @com.fasterxml.jackson.annotation.JsonIgnore
+  def files: Seq[DataFileMeta] = Manifests.loadAll(manifests)
+
+  @com.fasterxml.jackson.annotation.JsonIgnore
+  def totalRows: Long = manifests.map(_.rows).sum
+  @com.fasterxml.jackson.annotation.JsonIgnore
+  def totalFiles: Int = manifests.map(_.nFiles).sum
 }
 
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
@@ -91,25 +123,75 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     new File(dataRoot,
       s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}").getPath
 
+  /** Write one manifest file per bucket in `byBucket`; the returned refs go
+    * into the new snapshot alongside the parent's refs for untouched
+    * buckets. Written BEFORE the snapshot publish — a crash in between
+    * leaves orphan manifests no snapshot references. */
+  def writeManifests(snapshotId: Long,
+                     byBucket: Map[Int, Seq[DataFileMeta]]): Seq[ManifestRef] = {
+    val mdir = new File(metaDir, "manifests")
+    mdir.mkdirs()
+    byBucket.toSeq.sortBy(_._1).map { case (b, fs) =>
+      val f = new File(mdir,
+        s"m-$snapshotId-b$b-${UUID.randomUUID().toString.take(8)}.json")
+      mapper.writeValue(f, fs.toArray)
+      ManifestRef(b, f.getPath, fs.map(_.rows).sum, fs.size)
+    }
+  }
+
   /** Read the current table state restricted to `buckets` (None = all).
-    * Missing columns in old files (pre-evolution) surface as nulls because
-    * the read is schema-first — the additive-evolution read path. */
+    * Only the selected buckets' manifests are opened — metadata IO on the
+    * read path is O(selected buckets) like the data IO. Missing columns in
+    * old files (pre-evolution) surface as nulls because the read is
+    * schema-first — the additive-evolution read path. */
   def readBuckets(buckets: Option[Set[Int]]): DataFrame =
     currentSnapshot match {
       case None =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           new StructType())
       case Some(s) =>
-        val files = buckets match {
-          case None => s.files
-          case Some(bs) => s.files.filter(f => bs.contains(f.bucket))
+        val refs = buckets match {
+          case None => s.manifests
+          case Some(bs) => s.manifests.filter(r => bs.contains(r.bucket))
         }
+        val files = Manifests.loadAll(refs)
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
         else
           spark.read.schema(s.schema).parquet(files.map(_.path): _*)
     }
+
+  /** The data files a point lookup for `convId` must open: the key's bucket
+    * manifest filtered by per-file [minKey, maxKey] — the read-path consumer
+    * of the footer stats the writer collects (the reference's entire access
+    * pattern is key point reads, jobs-core CassandraUtil.scala:29-77).
+    * File ranges are tight after compaction (bucket files are key-sorted
+    * and split by maxRecordsPerFile); fresh merge output is hash-sorted so
+    * ranges may span the bucket. */
+  def lookupFiles(convId: String): Seq[DataFileMeta] =
+    currentSnapshot match {
+      case None => Seq.empty
+      case Some(s) =>
+        val b = LakeTable.bucketOfValue(convId, s.nBuckets)
+        s.manifests.filter(_.bucket == b).flatMap(Manifests.load)
+          .filter(f => f.minKey <= convId && convId <= f.maxKey)
+    }
+
+  /** Key-range-pruned point lookup of one conversation's live rows. */
+  def lookup(convId: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    val s = currentSnapshot.getOrElse(return spark.emptyDataFrame)
+    val files = lookupFiles(convId)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    val df = spark.read.schema(s.schema).parquet(files.map(_.path): _*)
+      .filter(col("conv_id") === convId)
+    if (df.columns.contains("_tombstone"))
+      df.filter(not(col("_tombstone"))).drop("_tombstone")
+    else df
+  }
 
   /** Public read: current live rows (tombstoned keys filtered out; the
     * tombstone mechanics stay internal to the MERGE path). */
@@ -159,19 +241,23 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   }
 
   /** Expire all but the newest `keepLast` snapshots: their metadata files
-    * are removed and any data file referenced ONLY by expired snapshots is
-    * deleted (files are shared across snapshots by carry-over, so retention
-    * is by reference count against the retained set). Returns
+    * are removed and any data file or manifest referenced ONLY by expired
+    * snapshots is deleted (both are shared across snapshots by carry-over,
+    * so retention is by reference count against the retained set). Returns
     * (snapshots expired, data files deleted). */
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots
     if (all.size <= keepLast) return (0, 0)
     val (expired, retained) = all.splitAt(all.size - keepLast)
+    val liveManifests = retained.flatMap(_.manifests.map(_.path)).toSet
+    val deadManifests = expired.flatMap(_.manifests.map(_.path)).distinct
+      .filterNot(liveManifests.contains)
     val live = retained.flatMap(_.files.map(_.path)).toSet
     val dead = expired.flatMap(_.files.map(_.path)).distinct
       .filterNot(live.contains)
     dead.foreach(p => new File(p).delete())
+    deadManifests.foreach(p => new File(p).delete())
     expired.foreach(s => versionFile(s.snapshotId).delete())
     (expired.size, dead.size)
   }
@@ -210,5 +296,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     if (!dr.exists()) Seq.empty
     else dr.listFiles().toSeq.filter(_.isDirectory).map(_.getPath)
       .filterNot(referenced.contains)
+  }
+}
+
+object LakeTable {
+  /** Driver-side mirror of CdcApply.bucketOf — evaluates Spark's own
+    * XxHash64 expression (seed 42, the `functions.xxhash64` default) so a
+    * point lookup lands in exactly the bucket the writer used. */
+  def bucketOfValue(convId: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(convId)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 }

@@ -1,0 +1,102 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.{CdcApply, CdcDriver}
+import graft.changelog.ChangelogGen
+
+/** Manifest-tree metadata scaling: a commit writes one manifest per TOUCHED
+  * bucket and carries the parent's refs for the rest, so commit metadata
+  * stays O(touched) as the table grows — plus key-range-pruned point
+  * lookups over the per-file min/max stats. */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def build(n: Int, buckets: Int): (LakeTable, String) = {
+    val dir = TestSpark.tmpDir("man-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = n, nConvs = 60, turnsPerConv = 4,
+      pUpdate = 0.3, pDelete = 0.05, pDup = 0.05, segSize = n / 4))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("man-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 2, nBuckets = buckets,
+      quiet = true).run()
+    (lake, dir)
+  }
+
+  test("single-bucket commit writes exactly one new manifest, carries rest") {
+    val (lake, _) = build(4000, 16)
+    val before = lake.currentSnapshot.get
+    assert(before.manifests.size == 16)
+
+    val conv = lake.read().select("conv_id").head().getString(0)
+    val batch = spark.range(1).select(
+      lit("U").as("op"), lit(conv).as("conv_id"), lit(0).as("turn_idx"),
+      lit("user").as("role"), lit("manifest probe").as("text"),
+      lit(null).cast("string").as("tool"),
+      lit("2024-01-01").cast("timestamp").as("ts"),
+      lit(9999999L).as("_lsn"), lit(0).as("_src_part"),
+      lit(9999999L).as("_src_off"))
+    val manifestsDir = new java.io.File(s"${lake.root}/meta/manifests")
+    val nManifestsBefore = manifestsDir.listFiles().length
+    val stats = CdcApply.apply(lake, batch, before.epoch + 1, nBuckets = 16)
+    assert(stats.touchedSet.size == 1)
+
+    val after = lake.currentSnapshot.get
+    // exactly one manifest written by this commit
+    assert(manifestsDir.listFiles().length == nManifestsBefore + 1)
+    // untouched buckets carry the parent's refs by PATH identity
+    val changed = after.manifests.toSet -- before.manifests.toSet
+    assert(changed.map(_.bucket) == stats.touchedSet)
+    assert(after.manifests.count(r => !stats.touchedSet(r.bucket)) == 15)
+    assert(after.manifests.filter(r => !stats.touchedSet(r.bucket)).toSet ==
+      before.manifests.filterNot(r => stats.touchedSet(r.bucket)).toSet)
+    // snapshot json itself is O(buckets), not O(files): it never embeds
+    // the file list
+    val snapJson = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"${lake.root}/meta", f"v${after.snapshotId}%012d.json"))
+    assert(!snapJson.contains(".parquet"))
+    // and the state is intact
+    assert(lake.read().filter(col("conv_id") === conv &&
+      col("turn_idx") === 0).head().getAs[String]("text") == "manifest probe")
+  }
+
+  test("point lookup opens only min/max-matching files of one bucket") {
+    val (lake, _) = build(6000, 2)
+    // compact with small files so each bucket splits into several
+    // key-range-disjoint parquet files
+    Compaction.compact(lake, targetFileRows = 15L)
+    val snap = lake.currentSnapshot.get
+    val conv = lake.read().select("conv_id").distinct().head().getString(0)
+    val bucket = LakeTable.bucketOfValue(conv, snap.nBuckets)
+    val bucketFiles = snap.files.filter(_.bucket == bucket)
+    assert(bucketFiles.size > 3, s"need a multi-file bucket, got ${bucketFiles.size}")
+
+    val opened = lake.lookupFiles(conv)
+    assert(opened.nonEmpty)
+    assert(opened.forall(_.bucket == bucket))
+    assert(opened.size < bucketFiles.size,
+      s"lookup should prune within the bucket: ${opened.size} vs ${bucketFiles.size}")
+
+    // and the lookup result equals the full-scan answer
+    val got = lake.lookup(conv).collect().map(_.toSeq).toSet
+    val want = lake.read().filter(col("conv_id") === conv)
+      .collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("expire removes manifests referenced only by expired snapshots") {
+    val (lake, _) = build(3000, 8)
+    val manifestsDir = new java.io.File(s"${lake.root}/meta/manifests")
+    val before = manifestsDir.listFiles().length
+    val (snaps, _) = lake.expireSnapshots(1)
+    assert(snaps > 0)
+    val live = lake.currentSnapshot.get.manifests.map(_.path).toSet
+    val onDisk = manifestsDir.listFiles().map(_.getPath).toSet
+    assert(onDisk == live, "only the retained snapshot's manifests remain")
+    assert(onDisk.size < before)
+    // table still reads fine
+    assert(lake.read().count() > 0)
+  }
+}
