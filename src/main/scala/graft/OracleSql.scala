@@ -258,21 +258,35 @@ object OracleSql {
 
     "q26_ngram_jaccard" ->
       s"""WITH $wsh3,
-         |d AS (SELECT doc_id, lang FROM documents),
-         |inter AS (SELECT da.doc_id AS id_a, db.doc_id AS id_b, count(*) AS inter
-         |  FROM d da JOIN d db ON da.lang = db.lang AND da.doc_id < db.doc_id
-         |  JOIN wsh a ON a.doc_id = da.doc_id
-         |  JOIN wsh b ON b.doc_id = db.doc_id AND b.s = a.s
+         |wl AS (SELECT w.doc_id, d.lang, w.s FROM wsh w JOIN documents d USING (doc_id)),
+         |dfq AS (SELECT lang, s, count(*) AS df FROM wl GROUP BY 1, 2),
+         |rare AS (SELECT wl.doc_id, wl.lang, wl.s FROM wl
+         |  JOIN dfq ON dfq.lang = wl.lang AND dfq.s = wl.s WHERE dfq.df <= 50),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rare a JOIN rare b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id),
+         |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |  FROM cand c JOIN wsh a ON a.doc_id = c.id_a
+         |  JOIN wsh b ON b.doc_id = c.id_b AND b.s = a.s
          |  GROUP BY 1, 2)
          |SELECT i.id_a, i.id_b, CAST(i.inter AS INT) AS inter,
          |  CAST(ca.c + cb.c - i.inter AS INT) AS uni
-         |FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+         |FROM i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
          |WHERE i.inter * 5 >= ca.c + cb.c - i.inter""".stripMargin,
 
     "q27_embed_neardup" ->
       s"""WITH $qvec,
-         |d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(sum(a.x*b.x) AS BIGINT) AS dot
-         |  FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+         |wts AS (SELECT p, i, ${hex4("md5(p::VARCHAR || ':' || i::VARCHAR)")} - 32768 AS w
+         |  FROM generate_series(0, 17) tp(p), generate_series(0, 63) ti(i)),
+         |proj AS (SELECT vec_id, p, sum(x*w) AS s FROM q JOIN wts USING (i) GROUP BY 1, 2),
+         |bkt AS (SELECT vec_id, CAST(p // 3 AS INT) AS t,
+         |    CAST(sum(CASE WHEN s >= 0 THEN CAST(pow(2, p % 3) AS BIGINT) ELSE 0 END) AS BIGINT) AS bk
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |d AS (SELECT c.vec_a, c.vec_b, CAST(sum(qa.x*qb.x) AS BIGINT) AS dot
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.vec_a
+         |  JOIN q qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
+         |  GROUP BY 1, 2)
          |SELECT vec_a, vec_b,
          |  round(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 6) AS cos_sim
          |FROM d JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
@@ -424,6 +438,108 @@ object OracleSql {
          |  event_type AS winner_type FROM (
          |  SELECT user_id, CAST(event_id % 20 AS INT) AS turn_idx, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
-         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "q41_ann_ivf" ->
+      s"""WITH $qvec,
+         |asg AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM embeddings),
+         |cent AS (SELECT asg.cell, q.i, CAST(sum(q.x) AS BIGINT) AS sx
+         |  FROM q JOIN asg USING (vec_id) GROUP BY 1, 2),
+         |ccnt AS (SELECT cell, count(*) AS c FROM asg GROUP BY 1),
+         |qd AS (SELECT q.vec_id, cent.cell,
+         |    CAST(sum((q.x * ccnt.c - cent.sx) * (q.x * ccnt.c - cent.sx)) AS BIGINT) AS di
+         |  FROM q JOIN cent ON cent.i = q.i JOIN ccnt ON ccnt.cell = cent.cell
+         |  WHERE q.vec_id < 20 GROUP BY 1, 2),
+         |pr AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY di::DOUBLE / (c*c) ASC, cell ASC) AS rk
+         |  FROM qd JOIN ccnt USING (cell)),
+         |probe AS (SELECT vec_id AS query_id, cell FROM pr WHERE rk <= 2),
+         |d AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CAST(sum(qa.x*qb.x) AS BIGINT) AS dot
+         |  FROM probe p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN q qa ON qa.vec_id = p.query_id
+         |  JOIN q qb ON qb.vec_id = a.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |s AS (SELECT query_id, neighbor_id,
+         |    dot::DOUBLE / (sqrt(nq.nrm::DOUBLE) * sqrt(nn.nrm::DOUBLE)) AS sim
+         |  FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(sim, 6) AS sim
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "q42_quarantine" ->
+      s"""WITH ev AS (SELECT
+         |  CASE WHEN event_id % 97 = 0 THEN NULL
+         |       ELSE 'u' || CAST(user_id AS VARCHAR) END AS conv_id,
+         |  CASE WHEN event_id % 83 = 0 THEN NULL
+         |       ELSE CAST(event_id % 20 AS INT) END AS turn_idx,
+         |  CASE WHEN event_id % 89 = 0 THEN 'X'
+         |       WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         |  CASE WHEN event_id % 101 = 0 THEN NULL ELSE event_id END AS lsn
+         |  FROM events)
+         |SELECT CASE
+         |    WHEN conv_id IS NULL OR trim(conv_id) = '' THEN 'null_key'
+         |    WHEN turn_idx IS NULL THEN 'null_turn'
+         |    WHEN lsn IS NULL THEN 'null_lsn'
+         |    WHEN op IS NULL OR op NOT IN ('I','U','D') THEN 'bad_op'
+         |    ELSE 'valid' END AS reason,
+         |  count(*) AS n
+         |FROM ev GROUP BY 1""".stripMargin,
+
+    "q43_patch_merge" ->
+      s"""WITH e0 AS (SELECT user_id AS conv_id, CAST(event_id % 7 AS INT) AS turn_idx,
+         |    event_id AS lsn,
+         |    CASE WHEN event_type = 'error' THEN 'D'
+         |         WHEN event_type = 'signup' THEN 'P' ELSE 'U' END AS op,
+         |    event_type AS tag0, ${cents("value")} AS v0 FROM events),
+         |e2 AS (SELECT conv_id, turn_idx, lsn, op,
+         |    CASE WHEN op = 'P' AND lsn % 2 = 0 THEN NULL ELSE tag0 END AS tag,
+         |    CASE WHEN op = 'P' AND lsn % 2 = 1 THEN NULL ELSE v0 END AS v
+         |  FROM e0),
+         |g AS (SELECT conv_id, turn_idx,
+         |    arg_max(tag, CASE WHEN op <> 'P' THEN lsn END) AS btag,
+         |    arg_max(v, CASE WHEN op <> 'P' THEN lsn END) AS bv,
+         |    arg_max(op = 'D', CASE WHEN op <> 'P' THEN lsn END) AS btomb,
+         |    max(CASE WHEN op <> 'P' THEN lsn END) AS blsn,
+         |    max(lsn) AS maxlsn,
+         |    max(CASE WHEN op = 'P' THEN lsn END) AS maxplsn,
+         |    arg_max(tag, CASE WHEN op = 'P' AND tag IS NOT NULL THEN lsn END) AS ptag,
+         |    max(CASE WHEN op = 'P' AND tag IS NOT NULL THEN lsn END) AS pltag,
+         |    arg_max(v, CASE WHEN op = 'P' AND v IS NOT NULL THEN lsn END) AS pv,
+         |    max(CASE WHEN op = 'P' AND v IS NOT NULL THEN lsn END) AS plv
+         |  FROM e2 GROUP BY 1, 2)
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN pltag > coalesce(blsn, -9223372036854775807 - 1) THEN ptag
+         |       WHEN NOT coalesce(btomb, TRUE) THEN btag END AS tag,
+         |  CASE WHEN plv > coalesce(blsn, -9223372036854775807 - 1) THEN pv
+         |       WHEN NOT coalesce(btomb, TRUE) THEN bv END AS v_cents,
+         |  maxlsn AS last_lsn
+         |FROM g
+         |WHERE NOT (coalesce(btomb, FALSE) AND NOT
+         |  (coalesce(maxplsn, -9223372036854775807 - 1) >
+         |   coalesce(blsn, -9223372036854775807 - 1)))""".stripMargin,
+
+    "q44_change_feed" ->
+      s"""WITH s AS (SELECT user_id, event_id, event_type = 'error' AS tomb FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+         |b AS (SELECT user_id, event_id, event_type = 'error' AS tomb FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1),
+         |j AS (SELECT s.event_id AS se, b.event_id AS be, s.tomb AS st, b.tomb AS bt
+         |  FROM s FULL OUTER JOIN b ON s.user_id = b.user_id)
+         |SELECT CASE WHEN be IS NULL THEN 'carried'
+         |    WHEN se IS NOT NULL AND be < se THEN 'carried'
+         |    WHEN bt AND coalesce(NOT st, FALSE) THEN 'deleted'
+         |    WHEN bt THEN 'delete_noop'
+         |    WHEN coalesce(NOT st, FALSE) THEN 'updated'
+         |    ELSE 'inserted' END AS action,
+         |  count(*) AS n
+         |FROM j GROUP BY 1""".stripMargin
   )
 }

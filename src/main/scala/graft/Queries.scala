@@ -302,25 +302,35 @@ object Queries {
   }
 
   /** Word-3-gram Jaccard near-dups blocked by language (inter*5 >= uni).
-    * Formulated as an explode + shingle equi-join (not per-pair
-    * array_intersect): intersection counts come from a distributed join on
-    * (lang, shingle), so cost scales with shingle co-occurrence, not with
-    * block-size^2 full-array comparisons. */
+    * Scale shape: candidate pairs come from an equi-join restricted to RARE
+    * shingles (document frequency <= 50 within the language block) — a hot
+    * shingle shared by d documents would otherwise contribute d² join rows
+    * ("one of the" makes that quadratic at corpus scale) — then candidates
+    * are verified EXACTLY against the full shingle sets, so the df cap
+    * affects only candidate recall, never a reported pair's inter/uni.
+    * The operator form (with drop logging) is DedupOps.ngramJaccardPairs. */
   def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val dfCap = 50
     val d = t(s, dir, "documents")
-    val sh = DedupOps.withWordShingleSet(d, "text", 3, "sh")
-      .select(col("lang"), col("doc_id"), explode(col("sh")).as("s"))
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("c"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val shingled = DedupOps.withWordShingleSet(d, "text", 3, "sh")
+    val sh = shingled.select(col("lang"), col("doc_id"), explode(col("sh")).as("s"))
+    val rare = sh.join(
+      sh.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap),
+      Seq("lang", "s"))
+    val cands = rare.as("a").join(rare.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).cast("int").as("inter"))
-    inter
-      .join(cnt.select(col("doc_id").as("id_a"), col("c").as("ca")), "id_a")
-      .join(cnt.select(col("doc_id").as("id_b"), col("c").as("cb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("inter"),
-        (col("ca") + col("cb") - col("inter")).cast("int").as("uni"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sets = shingled.select(col("doc_id"), col("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        (size(col("sha")) + size(col("shb")) -
+          size(array_intersect(col("sha"), col("shb")))).cast("int").as("uni"))
       .filter(col("inter") * 5 >= col("uni"))
   }
 
@@ -333,16 +343,49 @@ object Queries {
   private def idotq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** md5-derived integer hyperplane projection sign bit sum for planes
+    * [pFrom, pTo): the oracle-reproducible random-hyperplane family shared
+    * by q27 and q29 (weight w(p,i) = hex4(md5("p:i")) - 32768). */
+  private def md5PlaneBucket(q: Column, dim: Int, pFrom: Int, pTo: Int): Column =
+    (pFrom until pTo).map { p =>
+      val proj = (0 until dim).map { i =>
+        val w = conv(substring(md5(lit(s"$p:$i")), 1, 4), 16, 10).cast("long") - 32768L
+        element_at(q, i + 1) * w
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << (p - pFrom))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Embedding near-duplicate pairs: cosine >= 0.4 via integer cross-compare
-    * 25*dot^2 >= 4*na*nb (0.4^2 = 4/25), dot > 0. */
+    * 25*dot^2 >= 4*na*nb (0.4^2 = 4/25), dot > 0.
+    * Scale shape (round-2 fix): candidates come from 6 random-hyperplane
+    * hash TABLES of 3 planes each (multi-table LSH: a pair is a candidate
+    * if it collides in ANY table — P[collide] ≈ 1-(1-(1-θ/π)³)⁶ ≈ 0.8 at
+    * cos 0.4) and are then verified EXACTLY, replacing the old all-pairs
+    * O(n²) self-join. Brute force remains as the recall baseline
+    * (SimilarityOps.bruteForceTopK; recall measured in SimilarityOpsSpec). */
   def q27EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val tables = 6; val planesPerTable = 3
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), quantVec(col("embedding")).as("q"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        idotq(col("a.q"), col("b.q")).as("dot"),
-        idotq(col("a.q"), col("a.q")).as("na"),
-        idotq(col("b.q"), col("b.q")).as("nb"))
+    val tb = array((0 until tables).map { tt =>
+      struct(lit(tt).as("t"),
+        md5PlaneBucket(col("q"), dim, tt * planesPerTable,
+          (tt + 1) * planesPerTable).as("bk"))
+    }: _*)
+    val banded = e.select(col("vec_id"), explode(tb).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bk").as("bk"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("q").as("qa")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("q").as("qb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        idotq(col("qa"), col("qb")).as("dot"),
+        idotq(col("qa"), col("qa")).as("na"),
+        idotq(col("qb"), col("qb")).as("nb"))
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * 25 >= col("na") * col("nb") * 4)
       .select(col("vec_a"), col("vec_b"),
@@ -379,15 +422,8 @@ object Queries {
     val dim = 64; val planes = 8
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"), quantVec(col("embedding")).as("q"))
-    // integer plane weight w(p,i) = hex4(md5("p:i")) - 32768
-    val bucket = (0 until planes).map { p =>
-      val proj = (0 until dim).map { i =>
-        val w = conv(substring(md5(lit(s"$p:$i")), 1, 4), 16, 10).cast("long") - 32768L
-        element_at(col("q"), i + 1) * w
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withB = e.withColumn("bucket", bucket)
+    val withB = e.withColumn("bucket",
+      md5PlaneBucket(col("q"), dim, 0, planes))
     val scored = withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
@@ -536,6 +572,162 @@ object Queries {
         sum(cents(col("o_totalprice"))).as("sum_cents"))
   }
 
+  /** IVF ANN, oracle-parity variant: coarse quantizer cells are vec_id % 8
+    * (deterministic seed assignment), centroids are per-cell integer
+    * component sums (exact in any engine / any order), probe ranking uses
+    * the cross-multiplied integer distance sum((c*x - S)^2) scaled by 1/c²
+    * in a single double division (deterministic), candidates are scored
+    * with the exact integer cosine. The production variant (xxhash64 init +
+    * Lloyd refinement) is SimilarityOps.ivfTopK. */
+  def q41AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val cells = 8; val nProbe = 2; val k = 3
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), quantVec(col("embedding")).as("q"))
+    val assigned = e.withColumn("cell",
+      pmod(col("vec_id"), lit(cells)).cast("int"))
+    // centroid = (count, per-dim integer sum) per cell — collected to the
+    // driver as a literal (cells × dim longs; tiny)
+    val sums = assigned
+      .select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(sum("x").as("sx"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sx")))),
+        x => x.getField("sx")).as("sv"))
+    val cnts = assigned.groupBy("cell").agg(count(lit(1)).as("c"))
+    val centroids = sums.join(cnts, "cell")
+      .select("cell", "c", "sv").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    val centLit = array(centroids.map { case (cell, c, sv) =>
+      struct(lit(cell).as("cell"), lit(c).as("c"),
+        array(sv.map(lit): _*).as("sv"))
+    }.toIndexedSeq: _*)
+    // probe the nProbe nearest cells: integer distance sum((c*x - S)^2),
+    // one double division by c² as the common sort scale, tie-break on cell
+    val probes = transform(
+      slice(array_sort(transform(centLit, ct => {
+        val c = ct.getField("c")
+        val d = aggregate(zip_with(col("q"), ct.getField("sv"),
+          (x, sx) => (x * c - sx) * (x * c - sx)), lit(0L), (acc, v) => acc + v)
+        struct((d.cast("double") / (c * c).cast("double")).as("d"),
+          ct.getField("cell").as("cell"))
+      })), 1, nProbe),
+      x => x.getField("cell"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        explode(probes).as("cell"))
+    val scored = q.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("q"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (idotq(col("qq"), col("q")).cast("double") /
+          (sqrt(idotq(col("qq"), col("qq")).cast("double")) *
+            sqrt(idotq(col("q"), col("q")).cast("double")))).as("sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Engine validation surface as a query: deterministic corruption of the
+    * events stream (hash-picked null keys / null turns / null lsns / bad
+    * ops), classified by the ENGINE's own predicate
+    * (CdcApply.invalidReason) — per-reason counts. */
+  def q42Quarantine(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(pmod(col("event_id"), lit(97)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("u"), col("user_id"))).as("conv_id"),
+      when(pmod(col("event_id"), lit(83)) === 0, lit(null).cast("int"))
+        .otherwise(pmod(col("event_id"), lit(20)).cast("int")).as("turn_idx"),
+      when(pmod(col("event_id"), lit(89)) === 0, lit("X"))
+        .when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U")).as("op"),
+      when(pmod(col("event_id"), lit(101)) === 0, lit(null).cast("long"))
+        .otherwise(col("event_id")).as("_lsn"))
+    ev.select(coalesce(
+        graft.cdc.CdcApply.invalidReason(Seq("I", "U", "D")), lit("valid"))
+        .as("reason"))
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+  }
+
+  /** Partial-column patch merge semantics as a batch query: events as a
+    * changelog keyed (user_id, event_id%7) with lsn = event_id; 'error' =
+    * delete, 'signup' = patch (sets tag on odd lsn, cents on even lsn),
+    * everything else a full upsert. Final image = base full-image winner +
+    * newer patches overlaid column-wise (exactly CdcApply.patchMerge). */
+  def q43PatchMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(7)).cast("int").as("turn_idx"),
+      col("event_id").as("lsn"),
+      when(col("event_type") === "error", "D")
+        .when(col("event_type") === "signup", "P")
+        .otherwise(lit("U")).as("op"),
+      col("event_type").as("tag0"),
+      cents(col("value")).as("v0"))
+    val e2 = ev.select(col("conv_id"), col("turn_idx"), col("lsn"), col("op"),
+      when(col("op") === "P" && pmod(col("lsn"), lit(2)) === 0,
+        lit(null).cast("string")).otherwise(col("tag0")).as("tag"),
+      when(col("op") === "P" && pmod(col("lsn"), lit(2)) === 1,
+        lit(null).cast("long")).otherwise(col("v0")).as("v"))
+    val isPatch = col("op") === "P"
+    val g = e2.groupBy("conv_id", "turn_idx").agg(
+      max_by(struct(col("tag"), col("v"), (col("op") === "D").as("tomb"),
+        col("lsn")), when(!isPatch, col("lsn"))).as("base"),
+      max(col("lsn")).as("maxlsn"),
+      max(when(isPatch, col("lsn"))).as("maxplsn"),
+      max_by(col("tag"), when(isPatch && col("tag").isNotNull, col("lsn")))
+        .as("ptag"),
+      max(when(isPatch && col("tag").isNotNull, col("lsn"))).as("pltag"),
+      max_by(col("v"), when(isPatch && col("v").isNotNull, col("lsn"))).as("pv"),
+      max(when(isPatch && col("v").isNotNull, col("lsn"))).as("plv"))
+    val baseLsn = col("base").getField("lsn")
+    val baseTomb = col("base").getField("tomb")
+    val noBase = lit(Long.MinValue)
+    g.select(col("conv_id"), col("turn_idx"),
+        when(col("pltag") > coalesce(baseLsn, noBase), col("ptag"))
+          .otherwise(when(!coalesce(baseTomb, lit(true)),
+            col("base").getField("tag"))).as("tag"),
+        when(col("plv") > coalesce(baseLsn, noBase), col("pv"))
+          .otherwise(when(!coalesce(baseTomb, lit(true)),
+            col("base").getField("v"))).as("v_cents"),
+        col("maxlsn").as("last_lsn"),
+        (coalesce(baseTomb, lit(false)) &&
+          !(coalesce(col("maxplsn"), noBase) > coalesce(baseLsn, noBase)))
+          .as("tomb"))
+      .filter(!col("tomb")).drop("tomb")
+  }
+
+  /** Change-feed action breakdown (the engine's cf_* metrics as a query):
+    * first-half LWW state vs second-half LWW batch, each key classified
+    * inserted/updated/deleted/delete_noop/carried ('error' = delete). */
+  def q44ChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mid = lit("2024-01-15").cast("timestamp")
+    def lww(df: DataFrame) = {
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          (col("event_type") === "error").as("tomb"))
+    }
+    val state = lww(ev.filter(col("ts") < mid))
+    val batch = lww(ev.filter(col("ts") >= mid))
+    state.as("s").join(batch.as("b"), Seq("user_id"), "full_outer")
+      .select(
+        when(col("b.event_id").isNull, "carried")
+          .when(col("s.event_id").isNotNull &&
+            col("b.event_id") < col("s.event_id"), "carried")
+          .when(col("b.tomb") &&
+            coalesce(!col("s.tomb"), lit(false)), "deleted")
+          .when(col("b.tomb"), "delete_noop")
+          .when(coalesce(!col("s.tomb"), lit(false)), "updated")
+          .otherwise(lit("inserted")).as("action"))
+      .groupBy("action").agg(count(lit(1)).as("n"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -578,6 +770,10 @@ object Queries {
     "q37_dedup_clusters" -> (q37DedupClusters _),
     "q38_percentiles" -> (q38Percentiles _),
     "q39_pivot" -> (q39Pivot _),
-    "q40_range_join" -> (q40RangeJoin _)
+    "q40_range_join" -> (q40RangeJoin _),
+    "q41_ann_ivf" -> (q41AnnIvf _),
+    "q42_quarantine" -> (q42Quarantine _),
+    "q43_patch_merge" -> (q43PatchMerge _),
+    "q44_change_feed" -> (q44ChangeFeed _)
   )
 }

@@ -248,17 +248,55 @@ object DedupOps {
 
   /** n-gram Jaccard near-dup within explicit blocking buckets: docs are
     * compared only within the same `bucketCols` group (e.g. (lang, source)),
-    * the classic blocking strategy when a domain partition exists. */
+    * the classic blocking strategy when a domain partition exists.
+    *
+    * Scale path (`dfCap > 0`, the default): candidate pairs come from an
+    * equi-join on RARE shingles only — a shingle occurring in d docs of a
+    * block contributes d² join rows, so ubiquitous n-grams ("one of the")
+    * make the naive join quadratic at corpus scale. Shingles with document
+    * frequency > dfCap are dropped from CANDIDATE GENERATION only (their
+    * count is logged); every candidate is then verified EXACTLY against
+    * the full shingle sets, so the cap trades candidate recall, never the
+    * correctness of a reported pair. dfCap = 0 reverts to the exhaustive
+    * within-block all-pairs compare (verification baseline). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      bucketCols: Seq[String], w: Int, threshold: Double): DataFrame = {
+      bucketCols: Seq[String], w: Int, threshold: Double,
+      dfCap: Int = 128, logDrops: Boolean = false): DataFrame = {
     val d = withWordShingleSet(docs, textCol, w, "_sh")
       .select((bucketCols.map(col) :+ col(idCol).as("_id") :+ col("_sh")): _*)
-    val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a._id") < col("b._id")
-    d.as("a").join(d.as("b"), joinCond)
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        jaccard(col("a._sh"), col("b._sh")).as("jaccard"))
+    if (dfCap <= 0) {
+      val joinCond = bucketCols.map(c => col(s"a.$c") === col(s"b.$c"))
+        .reduce(_ && _) && col("a._id") < col("b._id")
+      return d.as("a").join(d.as("b"), joinCond)
+        .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+          jaccard(col("a._sh"), col("b._sh")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+    val sh = d.select((bucketCols.map(col) :+ col("_id") :+
+      explode(col("_sh")).as("_s")): _*)
+    val dfc = sh.groupBy((bucketCols :+ "_s").map(col): _*)
+      .agg(count(lit(1)).as("_df"))
+    if (logDrops) {
+      val dropped = dfc.filter(col("_df") > dfCap).count()
+      System.err.println(
+        s"[ngramJaccardPairs] dropped $dropped hot shingles (df > $dfCap) " +
+          "from candidate generation (exact verify unaffected)")
+    }
+    val rare = sh.join(dfc.filter(col("_df") <= dfCap),
+      (bucketCols :+ "_s").toSeq)
+    val joinCond = (bucketCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a._s") === col("b._s")) :+ (col("a._id") < col("b._id")))
+      .reduce(_ && _)
+    val cands = rare.as("a").join(rare.as("b"), joinCond)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .distinct()
+    val sets = d.select(col("_id"), col("_sh"))
+    cands
+      .join(sets.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(sets.select(col("_id").as("id_b"), col("_sh").as("_shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("_sha"), col("_shb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

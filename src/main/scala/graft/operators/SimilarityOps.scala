@@ -66,19 +66,33 @@ object SimilarityOps {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Planes needed so the expected bucket occupancy ~= targetBucketSize:
+    * log2(n / target), clamped to [4, 24]. A FIXED plane count is the
+    * round-1 scale bug: 8 planes = 256 buckets forever, so within-bucket
+    * all-pairs scoring grows ~N²/256 — plane count must grow with the
+    * corpus. */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
+    val ratio = math.max(corpusSize.toDouble / math.max(targetBucketSize, 1L), 2.0)
+    math.min(24, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
   /** LSH-bucketed ANN: score only candidates sharing the query's bucket.
     * Probing `multiProbe` extra buckets (flipping one sign bit) trades
-    * recall for cost. Returns top-k per query among candidates. */
+    * recall for cost. Returns top-k per query among candidates.
+    * `planes <= 0` derives the plane count from the corpus size
+    * (planesFor), keeping bucket occupancy — and therefore candidate-pair
+    * cost — bounded as the corpus grows. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, planes: Int, k: Int, multiProbe: Int = 0): DataFrame = {
-    val sig = rhpSignature(col(vecCol), dim, planes)
+    val nPlanes = if (planes > 0) planes else planesFor(corpus.count())
+    val sig = rhpSignature(col(vecCol), dim, nPlanes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       sig.as("_bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       sig.as("_qsig"))
     // probe buckets: exact signature + signatures with one flipped bit
-    val probes = array((lit(0L) +: (0 until math.min(multiProbe, planes))
+    val probes = array((lit(0L) +: (0 until math.min(multiProbe, nPlanes))
       .map(b => lit(1L << b))): _*)
     val q = qBase.select(col("query_id"), col("_qv"),
       explode(transform(probes, f => col("_qsig").bitwiseXOR(f))).as("_bucket"))

@@ -69,6 +69,53 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  test("df cap bounds candidate pairs on a hot-shingle corpus, verify exact") {
+    // 60 docs all sharing one ubiquitous template shingle ("click here now"),
+    // plus 2 genuine near-dups. Without the cap the hot shingle alone
+    // contributes C(60,2)=1770 candidate pairs; with it, only the near-dups
+    // (sharing rare shingles) surface — and their jaccard is still exact.
+    val hot = (0 until 60).map { i =>
+      (i.toLong, s"click here now unique${i}a token${i}b filler${i}c word${i}d extra${i}e more${i}f")
+    }
+    val docs2 = (hot :+
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa") :+
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+
+    def candCount(dfCap: Int): Long = {
+      // count candidates the same way the operator builds them
+      val d = DedupOps.withWordShingleSet(docs2, "text", 3, "_sh")
+        .select(col("lang"), col("doc_id").as("_id"), explode(col("_sh")).as("_s"))
+      val base = if (dfCap > 0) {
+        val dfc = d.groupBy("lang", "_s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= dfCap)
+        d.join(dfc, Seq("lang", "_s"))
+      } else d
+      base.as("a").join(base.as("b"),
+          col("a.lang") === col("b.lang") && col("a._s") === col("b._s") &&
+            col("a._id") < col("b._id"))
+        .select("a._id", "b._id").distinct().count()
+    }
+    val uncapped = candCount(0)
+    val capped = candCount(10)
+    assert(uncapped >= 1770, s"hot shingle should explode candidates: $uncapped")
+    assert(capped < 100, s"df cap must bound candidates: $capped")
+
+    // capped operator still finds the genuine near-dup pair, with the SAME
+    // exact jaccard as the exhaustive baseline
+    val cappedPairs = DedupOps.ngramJaccardPairs(docs2, "doc_id", "text",
+        Seq("lang"), w = 3, threshold = 0.5, dfCap = 10)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val exhaustive = DedupOps.ngramJaccardPairs(docs2, "doc_id", "text",
+        Seq("lang"), w = 3, threshold = 0.5, dfCap = 0)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cappedPairs.contains(
+      exhaustive.find(p => p._1 == 100L && p._2 == 101L).get))
+    assert(cappedPairs.subsetOf(exhaustive))
+  }
+
   test("minhash jaccard estimate correlates with true jaccard") {
     // identical docs share every band; disjoint docs share none
     val sig = DedupOps.withMinhashSignature(docs, "text", 5, 8, "sig")

@@ -71,6 +71,63 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall@5 = $recall")
   }
 
+  test("adaptive plane count grows with corpus size and stays usable") {
+    // planesFor: bucket occupancy target holds as N scales
+    assert(SimilarityOps.planesFor(1000) == 4)
+    assert(SimilarityOps.planesFor(100000) == 11)
+    assert(SimilarityOps.planesFor(10000000) == 18)
+    assert(SimilarityOps.planesFor(100000000000L) == 24) // clamp
+    assert(SimilarityOps.planesFor(10) == 4) // floor
+    // planes <= 0 derives from the corpus (200 vecs -> 4 planes) and still
+    // returns useful neighbors
+    val queries = df.filter(col("vec_id") < 20)
+    val got = SimilarityOps.lshTopK(df, queries, "vec_id", "embedding",
+        dim = dim, planes = 0, k = 5, multiProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val hits = bruteTruth.map { case (q, truth) =>
+      truth.count(got.getOrElse(q, Set.empty).contains).toDouble / truth.size
+    }
+    assert(hits.sum / hits.size >= 0.5)
+  }
+
+  test("multi-table LSH candidate generation recalls most true near-dup pairs") {
+    // the q27 shape: L tables of k hyperplanes, candidates = collide in any
+    // table, then exact verify — recall measured against the brute-force
+    // all-pairs truth at cosine >= 0.4
+    val tables = 6; val k = 3
+    val sig = (t: Int) => {
+      val h = (p: Int, i: Int) => {
+        val x = scala.util.hashing.MurmurHash3.productHash((p, i))
+        (math.abs(x % 65536) - 32768).toDouble
+      }
+      (id: Long, v: Array[Float]) =>
+        (0 until k).map { pp =>
+          val p = t * k + pp
+          val proj = (0 until dim).map(i => v(i) * h(p, i)).sum
+          if (proj >= 0) 1L << pp else 0L
+        }.sum
+    }
+    val truth = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      if cosine(va, vb) >= 0.4
+    } yield (a, b)).toSet
+    // note: iterate bucket VALUES — a for/flatMap over the groupBy Map that
+    // yields tuples would rebuild a Map and silently dedup by first element
+    val cands = (0 until tables).flatMap { tt =>
+      vecs.groupBy(v => sig(tt)(v._1, v._2)).valuesIterator.flatMap { grp =>
+        val ids = grp.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size)
+          yield (ids(i), ids(j))
+      }
+    }.toSet
+    val recall = truth.count(cands.contains).toDouble / math.max(truth.size, 1)
+    assert(truth.size > 50, s"need a meaningful truth set: ${truth.size}")
+    assert(recall >= 0.6, s"multi-table LSH candidate recall = $recall")
+    // and the candidate set is far from all-pairs
+    assert(cands.size < vecs.size.toLong * (vecs.size - 1) / 2)
+  }
+
   test("ivfTopK achieves high recall with nProbe=3") {
     val queries = df.filter(col("vec_id") < 20)
     val got = SimilarityOps.ivfTopK(df, queries, "vec_id", "embedding",
