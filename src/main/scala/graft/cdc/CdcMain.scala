@@ -97,6 +97,16 @@ object CdcMain {
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()
 
+    case "merge" :: lakeDir :: fromConv :: toConv :: Nil =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val epoch = lake.currentSnapshot.map(_.epoch).getOrElse(0L) + 1
+      val st = CrossMerge.mergeConversations(lake, Seq(fromConv -> toConv), epoch)
+      println(s"""{"merged":"$fromConv->$toConv","epoch":$epoch,""" +
+        s""""rowsOut":${st.rowsOut},"actions":{${st.actions.map { case (k, v) =>
+          s""""$k":$v""" }.mkString(",")}}}""")
+      spark.stop()
+
     case "expire" :: lakeDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)

@@ -1,0 +1,92 @@
+package graft.cdc
+
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeTable
+
+/**
+ * Cross-entity migration merge as a lake-to-lake engine operation — the
+ * reference's merge-user-courses job (MergeOperations.scala:49: migrate
+ * only the batches missing from the target = anti-join;
+ * MergeOperations.scala:78-99 + Commons.scala:76-118: field-level merge for
+ * colliding rows), restated over the transcript lake: merge conversation
+ * `from` into conversation `to`.
+ *
+ * Semantics per (from, to) pair:
+ *  - turns present only in `from` migrate to `to` (anti-join inserts),
+ *  - colliding turns keep the image with the higher original lsn
+ *    (the LWW analogue of the reference's max-merge combiner),
+ *  - all `from` turns are deleted.
+ *
+ * The whole operation is ONE synthesized change batch applied through
+ * CdcApply under the caller's epoch — so exactly-once fencing, change-feed
+ * accounting, quarantine, derived-table maintenance (via touchedSet) and
+ * time travel all hold for migrations exactly as for source batches. Reads
+ * are bucket-pruned to the conversations' buckets (point-read shape).
+ */
+object CrossMerge {
+
+  /** Merge each (from, to) conversation pair; `from` conversations are
+    * consumed. Pairs must not chain within one call (a conv may appear on
+    * only one side). */
+  def mergeConversations(
+      lake: LakeTable,
+      pairs: Seq[(String, String)],
+      epoch: Long): CdcApply.ApplyStats = {
+    require(pairs.nonEmpty, "no pairs to merge")
+    val froms = pairs.map(_._1).toSet
+    val tos = pairs.map(_._2).toSet
+    require(froms.intersect(tos).isEmpty && froms.size == pairs.size,
+      "pairs must not chain or repeat a source within one merge batch")
+    val spark = lake.spark
+    import spark.implicits._
+
+    val snap = lake.currentSnapshot.getOrElse(
+      throw new IllegalStateException("cannot migrate in an empty lake"))
+    val nB = snap.nBuckets
+    val buckets = pairs.flatMap { case (f, t) =>
+      Seq(LakeTable.bucketOfValue(f, nB), LakeTable.bucketOfValue(t, nB))
+    }.toSet
+    val state = lake.readBuckets(Some(buckets))
+    val live =
+      if (state.columns.contains("_tombstone"))
+        state.filter(!col("_tombstone")).drop("_tombstone")
+      else state
+
+    val pairDf = broadcast(pairs.toDF("_mg_from", "_mg_to"))
+    val fromRows = live.join(pairDf, col("conv_id") === col("_mg_from"))
+    val toLsn = live.join(pairDf, col("conv_id") === col("_mg_to"))
+      .select(col("_mg_from").as("_c_from"), col("turn_idx").as("_c_turn"),
+        col("_lsn").as("_c_lsn"))
+
+    // winner election per target turn: the from-image migrates iff the
+    // target lacks the turn or holds an older image
+    val migrating = fromRows.join(toLsn,
+        col("_mg_from") === col("_c_from") &&
+          col("turn_idx") === col("_c_turn"), "left")
+      .filter(col("_c_lsn").isNull || col("_lsn") > col("_c_lsn"))
+
+    val dataCols = live.columns.toSeq
+      .filterNot(Set("conv_id", "_lsn", "_src_part", "_src_off",
+        "_mg_from", "_mg_to", "_c_from", "_c_turn", "_c_lsn"))
+    // synthesized lsn: above every existing lsn of the touched rows, so the
+    // migration wins LWW deterministically (one lsn for the whole batch —
+    // upserts and deletes never collide on a key)
+    val maxLsnRow = live.join(pairDf,
+        col("conv_id") === col("_mg_from") || col("conv_id") === col("_mg_to"))
+      .agg(max("_lsn")).head()
+    val synthLsn = (if (maxLsnRow.isNullAt(0)) 0L else maxLsnRow.getLong(0)) + 1
+
+    val upserts = migrating.select(
+      (Seq(lit("U").as("op"), col("_mg_to").as("conv_id")) ++
+        dataCols.map(col)): _*)
+    val deletes = fromRows.select(
+      (Seq(lit("D").as("op"), col("conv_id")) ++ dataCols.map(col)): _*)
+    val batch = upserts.unionByName(deletes)
+      .withColumn("_lsn", lit(synthLsn))
+      .withColumn("_src_part", lit(-1)) // engine-synthesized, not source data
+      .withColumn("_src_off", lit(synthLsn))
+
+    CdcApply.apply(lake, batch, epoch, nBuckets = nB)
+  }
+}
