@@ -109,6 +109,33 @@ object Bench {
     val thr4n = bestOf(scalePair._2, 2)
     val efficiency = thr4n / (4.0 * thrN)
 
+    // ---- 10^8-event soak replay at full cores (round-over-round tracked;
+    // SPARK_GRAFT_SOAK_EVENTS=0 disables). 25M-event batches per the heap
+    // guidance (build.sbt default -Xmx24g).
+    val soakEvents = sys.env.getOrElse("SPARK_GRAFT_SOAK_EVENTS", "100000000").toLong
+    val soak: Option[(Long, Double, Int)] =
+      if (soakEvents <= 0) None
+      else {
+        val s = session(cpus)
+        val soakCl = new java.io.File(base, "soak-changelog").getPath
+        ChangelogGen.write(s, soakCl, ChangelogGen.Config(
+          nEvents = soakEvents, nConvs = math.max(soakEvents / 200, 10L),
+          skew = 1.2, evolveAt = soakEvents / 2,
+          segSize = math.max(soakEvents / 4, 1L)))
+        val lake = new LakeTable(s, new java.io.File(base, "lake-soak").getPath)
+        var batches = 0
+        val sec = timeSec {
+          batches = new CdcDriver(s, soakCl, lake, segmentsPerBatch = 1,
+            nBuckets = 64, quiet = true).run().size
+        }
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        Some((soakEvents, soakEvents / sec, batches))
+      }
+    val soakJson = soak.map { case (n, thr, b) =>
+      f""","soak":{"events":$n,"throughput":$thr%.1f,"batches":$b,"cores":$cpus}"""
+    }.getOrElse("")
+
     val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum
     println(
@@ -116,6 +143,6 @@ object Bench {
       f""""cdc":{"events":$cdcEvents,"throughput_full":$thrFull%.1f,"full_cores":$cpus,""" +
       f""""throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,""" +
       f""""n_cores":${scalePair._1},"four_n_cores":${scalePair._2},""" +
-      f""""scaling_efficiency":$efficiency%.3f}}""")
+      f""""scaling_efficiency":$efficiency%.3f$soakJson}}""")
   }
 }
