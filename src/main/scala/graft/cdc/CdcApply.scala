@@ -389,6 +389,15 @@ object CdcApply {
     * newer than a tombstone resurrects the key with only its own fields;
     * patches at or below the base lsn are redeliveries and are ignored.
     *
+    * ORDERING CONTRACT: patch feeds assume per-key in-order FIRST delivery
+    * (the Kafka-partition / Debezium guarantee) — the stored image's lsn is
+    * a per-key high watermark, so a patch first-delivered AFTER a
+    * higher-lsn image has already been applied would be dropped (its column
+    * effects are unrecoverable from a partial event). At-least-once
+    * REdelivery in any order remains safe (redelivered patches were already
+    * folded into the image when first seen). Full-image feeds (I/U/D only)
+    * stay permutation-invariant as before (CdcPropertySpec).
+    *
     * Plan shape: ONE aggregation exchange on (b, conv_id, turn_idx) with
     * map-side partial max/max_by combine (skew collapses before the
     * shuffle, so no salting phase is needed). The window plan cannot

@@ -203,6 +203,25 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     else df
   }
 
+  /** Time travel: the table's live rows as of `snapshotId` (snapshot must
+    * not have been expired). Carried-forward files and manifests are shared
+    * between snapshots, so this costs only the old snapshot's metadata. */
+  def readAt(snapshotId: Long): DataFrame = {
+    val s = snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new NoSuchElementException(
+        s"no snapshot $snapshotId in $root (expired or never committed)"))
+    val files = s.files
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+      else spark.read.schema(s.schema).parquet(files.map(_.path): _*)
+    if (df.columns.contains("_tombstone"))
+      df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
+        .drop("_tombstone")
+    else df
+  }
+
   /** Atomically publish `snap` as the next version. Epoch fencing: if an
     * equal-or-newer epoch is already committed, the commit is skipped and
     * the existing snapshot returned (idempotent replay). Maintenance commits

@@ -106,21 +106,30 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Standard IVF sizing: nlist ≈ sqrt(N), clamped to [8, 65536] — cell
+    * count must grow with the corpus or per-cell candidate lists become
+    * the same O(N) scan IVF exists to avoid. */
+  def cellsFor(corpusSize: Long): Int =
+    math.min(65536, math.max(8, math.ceil(math.sqrt(
+      math.max(corpusSize, 1L).toDouble)).toInt))
+
   /** IVF (inverted-file) ANN: k-means-lite coarse quantizer. Centroids are
     * the per-cell mean of a deterministic hash-assignment refined by
     * `iters` Lloyd iterations (all DataFrame aggs, driver collects only
-    * `cells` centroid vectors). Search probes `nProbe` nearest cells. */
+    * `cells` centroid vectors). Search probes `nProbe` nearest cells.
+    * `cells <= 0` derives the cell count from the corpus size (cellsFor). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, cells: Int, k: Int, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val nCells = if (cells > 0) cells else cellsFor(corpus.count())
 
     val base = corpus.select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
     // initial assignment: hash of id -> cell
     var assigned = base.withColumn("_cell",
-      pmod(xxhash64(col("_id")), lit(cells.toLong)).cast("int"))
+      pmod(xxhash64(col("_id")), lit(nCells.toLong)).cast("int"))
     var centroids: Array[(Int, Seq[Double])] = null
     for (_ <- 0 until iters) {
       // per-dimension mean via posexplode + avg (map-side combinable; the

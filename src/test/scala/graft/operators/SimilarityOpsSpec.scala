@@ -78,6 +78,11 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(SimilarityOps.planesFor(10000000) == 18)
     assert(SimilarityOps.planesFor(100000000000L) == 24) // clamp
     assert(SimilarityOps.planesFor(10) == 4) // floor
+    // IVF sizing follows sqrt(N)
+    assert(SimilarityOps.cellsFor(100) == 10)
+    assert(SimilarityOps.cellsFor(1000000) == 1000)
+    assert(SimilarityOps.cellsFor(1) == 8) // floor
+    assert(SimilarityOps.cellsFor(100000000000L) == 65536) // clamp
     // planes <= 0 derives from the corpus (200 vecs -> 4 planes) and still
     // returns useful neighbors
     val queries = df.filter(col("vec_id") < 20)
