@@ -100,8 +100,11 @@ object CdcApply {
   }
 
   /** Lineage + row count when the caller derived them from changelog file
-    * footers (CdcDriver.probeFromFooters) — skips the probe scan. */
-  final case class ProbeInfo(rowsIn: Long, lineage: Seq[PartitionLineage])
+    * footers (CdcDriver.probeFromFooters) — skips the probe scan.
+    * `keysNullFree`: footer null-counts prove conv_id/turn_idx/_lsn contain
+    * no nulls, so validation reduces to a one-column op scan. */
+  final case class ProbeInfo(rowsIn: Long, lineage: Seq[PartitionLineage],
+                             keysNullFree: Boolean = false)
 
   def apply(
       lake: LakeTable,
@@ -135,13 +138,22 @@ object CdcApply {
     // count over the four validation columns; only a corrupted batch pays
     // the quarantine write. Quarantine output is per-epoch, overwritten on
     // retry — as idempotent as the merge itself.
-    val reason = invalidReason(
+    val allowedOps =
       Seq(graft.model.Schemas.OpInsert, graft.model.Schemas.OpUpdate,
         graft.model.Schemas.OpDelete) ++
-        (if (patchEnabled) Seq(graft.model.Schemas.OpPatch) else Nil))
+        (if (patchEnabled) Seq(graft.model.Schemas.OpPatch) else Nil)
+    val reason = invalidReason(allowedOps)
+    // Fast-path predicate: when footer null-counts prove the key columns
+    // null-free (ProbeInfo.keysNullFree), the clean-feed check scans ONLY
+    // the op column; op validity can never come from footers (unknown op
+    // codes sort inside the [min,max] of the valid ones).
+    val checkPred =
+      if (probeInfo.exists(_.keysNullFree))
+        (col("op").isNull || !col("op").isin(allowedOps: _*))
+      else reason.isNotNull
     val nInvalid =
       if (!validate) 0L
-      else phase("validate") { batch.filter(reason.isNotNull).count() }
+      else phase("validate") { batch.filter(checkPred).count() }
     val cleanBatch =
       if (nInvalid == 0L) batch
       else {

@@ -98,9 +98,14 @@ final class CdcDriver(
         }
     }
     if (perPart.isEmpty) return None
+    val keyCols = Set("conv_id", "turn_idx", "_lsn")
     val stats = graft.lake.ParquetFooters.parMap(perPart) { case (part, path) =>
       val (n, bounds) = graft.lake.ParquetFooters.longStats(path, "_src_off")
-      (part, n, bounds)
+      // key-column null counts let the applier skip the 4-column
+      // validation scan when the feed is provably null-free
+      val nullFree = graft.lake.ParquetFooters.nullCounts(path, keyCols)
+        .exists(_.values.forall(_ == 0L))
+      (part, n, bounds, nullFree)
     }
     // Any populated file without _src_off footer stats -> fall back to the
     // two-column probe scan rather than recording corrupted lineage bounds.
@@ -109,6 +114,7 @@ final class CdcDriver(
       graft.lake.PartitionLineage(part,
         xs.map(_._3.get._1).min, xs.map(_._3.get._2).max)
     }.toSeq.sortBy(_.srcPart)
-    Some(CdcApply.ProbeInfo(stats.map(_._2).sum, lineage))
+    Some(CdcApply.ProbeInfo(stats.map(_._2).sum, lineage,
+      keysNullFree = stats.forall(_._4)))
   }
 }

@@ -59,6 +59,29 @@ object ParquetFooters {
     }
   }
 
+  /** Total null counts for `columns`, or None if any populated block lacks
+    * statistics for one of them (callers must then assume nulls exist). */
+  def nullCounts(path: String, columns: Set[String]): Option[Map[String, Long]] = {
+    withFooter(path) { footer =>
+      val acc = scala.collection.mutable.Map(columns.toSeq.map(_ -> 0L): _*)
+      var missing = false
+      footer.getBlocks.forEach { block =>
+        val seen = scala.collection.mutable.Set[String]()
+        block.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          if (columns.contains(name)) {
+            if (c.getStatistics != null && c.getStatistics.isNumNullsSet) {
+              acc(name) += c.getStatistics.getNumNulls
+              seen += name
+            }
+          }
+        }
+        if (block.getRowCount > 0 && seen.size < columns.size) missing = true
+      }
+      if (missing) None else Some(acc.toMap)
+    }
+  }
+
   private def withFooter[A](path: String)(
       f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
     val reader = ParquetFileReader.open(

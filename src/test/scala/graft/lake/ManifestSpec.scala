@@ -108,6 +108,27 @@ class ManifestSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { lake.readAt(9999L) }
   }
 
+  test("footer null-counts distinguish clean and corrupted changelogs") {
+    val clean = TestSpark.tmpDir("nc-clean")
+    ChangelogGen.write(spark, clean, ChangelogGen.Config(
+      nEvents = 1000, nConvs = 10, turnsPerConv = 4, segSize = 1000))
+    val dirty = TestSpark.tmpDir("nc-dirty")
+    ChangelogGen.write(spark, dirty, ChangelogGen.Config(
+      nEvents = 1000, nConvs = 10, turnsPerConv = 4, segSize = 1000,
+      pBad = 0.3))
+    def files(d: String) =
+      new java.io.File(s"$d/seg=0").listFiles().toSeq
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val keys = Set("conv_id", "turn_idx", "_lsn")
+    val cleanCounts = files(clean).flatMap(p =>
+      ParquetFooters.nullCounts(p, keys))
+    assert(cleanCounts.nonEmpty && cleanCounts.forall(_.values.forall(_ == 0L)))
+    val dirtyTotal = files(dirty).flatMap(p =>
+      ParquetFooters.nullCounts(p, keys)).flatMap(_.values).sum
+    assert(dirtyTotal > 0L, "corrupted changelog must show footer nulls")
+  }
+
   test("expire removes manifests referenced only by expired snapshots") {
     val (lake, _) = build(3000, 8)
     val manifestsDir = new java.io.File(s"${lake.root}/meta/manifests")
