@@ -118,7 +118,12 @@ object CdcApply {
         * the event's non-null business columns overwrite the image. Uses an
         * aggregation-based merge plan instead of the window plan; a feed
         * declares patch support statically, like a Debezium connector. */
-      patchEnabled: Boolean = false): ApplyStats = {
+      patchEnabled: Boolean = false,
+      /** classify every surviving row (inserted/updated/deleted/...) and
+        * count via observe — the audit change feed. Costs one extra window
+        * over the merge's existing exchange+sort; opt out for pure-ingest
+        * throughput (counts then absent from metrics). */
+      changeFeed: Boolean = true): ApplyStats = {
     val t0 = System.nanoTime()
     val cur = lake.currentSnapshot
     cur match {
@@ -292,7 +297,8 @@ object CdcApply {
         .sortWithinPartitions(partCols ++ keyOrder: _*)
         .withColumn("_pc", lag("conv_id", 1).over(w))
         .withColumn("_pt", lag("turn_idx", 1).over(w))
-        .withColumn("_hl2", max("_hl").over(wKey))
+        .withColumn("_hl2",
+          if (changeFeed) max("_hl").over(wKey) else col("_hl"))
         .filter(col("_pc").isNull || col("_pc") =!= col("conv_id") ||
           col("_pt") =!= col("turn_idx"))
         .withColumn("_hl", col("_hl2"))
@@ -325,7 +331,7 @@ object CdcApply {
         .when(col("_hl") === 1, lit("updated"))
         .otherwise(lit("inserted"))
     val obs = org.apache.spark.sql.Observation()
-    val observed = merged
+    val observed = if (!changeFeed) merged.drop("_st", "_hl") else merged
       .withColumn("_action", action)
       .observe(obs,
         sum(when(col("_action") === "inserted", 1L).otherwise(0L)).as("inserted"),
@@ -338,9 +344,11 @@ object CdcApply {
     // Write-side: copy-on-write rewrite of touched buckets only.
     val dataDir = lake.newDataDir(snapshotId)
     phase("merge+write") { observed.write.partitionBy("b").parquet(dataDir) }
-    val actionCounts: Map[String, Long] = obs.get.map { case (k, v) =>
-      k -> (v match { case n: Number => n.longValue(); case _ => 0L })
-    }
+    val actionCounts: Map[String, Long] =
+      if (!changeFeed) Map.empty
+      else obs.get.map { case (k, v) =>
+        k -> (v match { case n: Number => n.longValue(); case _ => 0L })
+      }
 
     // Per-file stats (row count + conv_id min/max) straight from the parquet
     // footers on the driver — no extra Spark job; O(files) metadata work,
@@ -386,7 +394,7 @@ object CdcApply {
         // progress.
         case _: graft.lake.CommitConflictException =>
           return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
-            validate, patchEnabled)
+            validate, patchEnabled, changeFeed)
       }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
     ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec,
