@@ -522,6 +522,48 @@ object OracleSql {
          |  (coalesce(maxplsn, -9223372036854775807 - 1) >
          |   coalesce(blsn, -9223372036854775807 - 1)))""".stripMargin,
 
+    "q45_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref ' ||
+         |      CAST(doc_id*31 + 1000000 AS VARCHAR) AS text2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{6,}')) AS INT) AS n_numbers,
+         |  md5(regexp_replace(
+         |    regexp_replace(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5
+         |FROM p""".stripMargin,
+
+    "q46_decontaminate" ->
+      s"""WITH $wsh3,
+         |ev AS (SELECT doc_id AS eval_id, s FROM wsh WHERE doc_id % 40 = 0),
+         |co AS (SELECT doc_id, s FROM wsh WHERE doc_id % 40 <> 0)
+         |SELECT co.doc_id,
+         |  CAST(count(DISTINCT ev.eval_id) AS INT) AS n_eval_docs,
+         |  CAST(count(DISTINCT co.s) AS INT) AS n_shared
+         |FROM co JOIN ev ON co.s = ev.s
+         |GROUP BY 1 HAVING count(DISTINCT co.s) >= 3""".stripMargin,
+
+    "q47_repetition" ->
+      s"""WITH wsplit AS (SELECT doc_id, regexp_split_to_array(${norm("text")}, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+         |      FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w)-2,1)+1)) AS i FROM wsplit)
+         |      WHERE len(w[i:i+2]) = 3),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS INT) AS n_total,
+         |  CAST(count(*) AS INT) AS n_distinct, CAST(max(c) AS INT) AS max_rep
+         |FROM c GROUP BY 1""".stripMargin,
+
+    "q48_split" ->
+      s"""SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS n_tokens
+         |FROM (SELECT ${hex4("md5(CAST(doc_id AS VARCHAR))")} % 100 AS h,
+         |  len(${toks("text")}) AS tc FROM documents)
+         |GROUP BY 1""".stripMargin,
+
     "q44_change_feed" ->
       s"""WITH s AS (SELECT user_id, event_id, event_type = 'error' AS tomb FROM (
          |    SELECT user_id, event_id, event_type,

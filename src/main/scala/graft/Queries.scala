@@ -728,6 +728,81 @@ object Queries {
       .groupBy("action").agg(count(lit(1)).as("n"))
   }
 
+  /** PII scrubbing (reference: the ml-user-delete job's PII scrub across
+    * collections, UserDeleteFunction.scala:37-100): deterministic synthetic
+    * PII is injected, then masked with shared-dialect regexes; outputs
+    * per-doc match counts + a checksum of the scrubbed text proving the
+    * masking itself matches across engines. */
+  def q45PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val numRe = "[0-9]{6,}"
+    val withPii = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+        (col("doc_id") * 31 + 1000000).cast("string")).as("text2"))
+    withPii.select(
+      col("doc_id"),
+      regexp_count(col("text2"), lit(emailRe)).cast("int").as("n_emails"),
+      regexp_count(
+        regexp_replace(col("text2"), emailRe, "<EMAIL>"), lit(numRe))
+        .cast("int").as("n_numbers"),
+      md5(regexp_replace(
+        regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+        numRe, "<NUM>")).as("scrubbed_md5"))
+  }
+
+  /** Benchmark decontamination: corpus docs sharing >= 3 distinct
+    * word-3-shingles with any doc of the eval set (doc_id % 40 == 0) are
+    * flagged — the shingle-overlap test-set leak detector every training
+    * pipeline needs. Shuffles only (doc_id, shingle) pairs. */
+  def q46Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sh = DedupOps.withWordShingleSet(d, "text", 3, "sh")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val eval_ = sh.filter(pmod(col("doc_id"), lit(40)) === 0)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val corpus = sh.filter(pmod(col("doc_id"), lit(40)) =!= 0)
+    corpus.join(eval_, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct("eval_id").cast("int").as("n_eval_docs"),
+        countDistinct("s").cast("int").as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** Intra-document repetition metrics (a core quality signal for training
+    * corpora): total vs distinct word-3-grams and the hottest gram's
+    * count. Integer-only outputs. */
+  def q47Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("_ws", split(normalized(col("text")), " "))
+      .select(col("doc_id"),
+        explode(filter(
+          transform(sequence(lit(0), greatest(size(col("_ws")) - 3, lit(0))),
+            i => concat_ws(" ", slice(col("_ws"), i + 1, lit(3)))),
+          x => size(split(x, " ")) === 3)).as("g"))
+    d.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("int").as("n_total"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        max("c").cast("int").as("max_rep"))
+  }
+
+  /** Deterministic train/val/test split by content-stable hash (md5 of the
+    * id — reproducible in any engine, stable under re-partitioning):
+    * 80/10/10 with per-split doc and token totals. */
+  def q48Split(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    t(s, dir, "documents")
+      .select(
+        when(h < 80, "train").when(h < 90, "val").otherwise(lit("test"))
+          .as("split"),
+        tokenCount(col("text")).as("tc"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -774,6 +849,10 @@ object Queries {
     "q41_ann_ivf" -> (q41AnnIvf _),
     "q42_quarantine" -> (q42Quarantine _),
     "q43_patch_merge" -> (q43PatchMerge _),
-    "q44_change_feed" -> (q44ChangeFeed _)
+    "q44_change_feed" -> (q44ChangeFeed _),
+    "q45_pii_scrub" -> (q45PiiScrub _),
+    "q46_decontaminate" -> (q46Decontaminate _),
+    "q47_repetition" -> (q47Repetition _),
+    "q48_split" -> (q48Split _)
   )
 }
