@@ -162,8 +162,7 @@ object CdcApply {
     val cleanBatch =
       if (nInvalid == 0L) batch
       else {
-        val qdir = new java.io.File(
-          new java.io.File(lake.root, "quarantine"), f"epoch=$epoch").getPath
+        val qdir = s"${lake.root}/quarantine/epoch=$epoch"
         phase("quarantine") {
           batch.withColumn("_reason", reason)
             .filter(col("_reason").isNotNull)
@@ -478,16 +477,15 @@ object CdcApply {
     g.select(outCols: _*)
   }
 
-  /** bucket -> parquet files under a `b=<bucket>/` partitioned write dir. */
+  /** bucket -> parquet files under a `b=<bucket>/` partitioned write dir
+    * (Hadoop FileSystem listing — works on any scheme). */
   private def listBucketFiles(dir: String): Seq[(Int, Seq[String])] = {
-    val d = new java.io.File(dir)
-    d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("b="))
-      .map { bd =>
-        val b = bd.getName.stripPrefix("b=").toInt
-        b -> bd.listFiles().toSeq
-          .filter(f => f.getName.endsWith(".parquet"))
-          .map(_.getPath)
+    graft.lake.LakeIO.list(dir)
+      .filter { case (name, _, isDir) => isDir && name.startsWith("b=") }
+      .map { case (name, path, _) =>
+        val b = name.stripPrefix("b=").toInt
+        b -> graft.lake.LakeIO.list(path)
+          .filter(_._1.endsWith(".parquet")).map(_._2)
       }
   }
 }

@@ -87,14 +87,12 @@ final class CdcDriver(
     * layout lacks `p=` dirs (flat segments fall back to the probe scan). */
   private def probeFromFooters(segDirs: Seq[String]): Option[CdcApply.ProbeInfo] = {
     val perPart = segDirs.flatMap { d =>
-      val f = new java.io.File(d)
-      if (!f.exists()) Seq.empty
-      else f.listFiles().toSeq
-        .filter(x => x.isDirectory && x.getName.startsWith("p="))
-        .flatMap { pd =>
-          val part = pd.getName.stripPrefix("p=").toInt
-          pd.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
-            .map(file => part -> file.getPath)
+      graft.lake.LakeIO.list(d)
+        .filter { case (name, _, isDir) => isDir && name.startsWith("p=") }
+        .flatMap { case (name, path, _) =>
+          val part = name.stripPrefix("p=").toInt
+          graft.lake.LakeIO.list(path)
+            .filter(_._1.endsWith(".parquet")).map(f => part -> f._2)
         }
     }
     if (perPart.isEmpty) return None

@@ -1,7 +1,5 @@
 package graft.cdc
 
-import java.io.File
-import java.nio.file.Files
 import java.util.UUID
 
 import org.apache.spark.sql.SparkSession
@@ -106,17 +104,21 @@ object CdcStream {
     * with history against an unbound lake, or two different checkpoints —
     * fails loudly instead of silently fencing new data. */
   private def bindOrRefuse(lake: LakeTable, checkpointDir: String): Unit = {
-    val dir = new File(checkpointDir)
-    dir.mkdirs()
-    val f = new File(dir, "graft-binding.json")
-    val fresh = !f.exists()
+    graft.lake.LakeIO.mkdirs(checkpointDir)
+    val f = s"$checkpointDir/graft-binding.json"
     val ckptId =
-      if (fresh) {
+      if (!graft.lake.LakeIO.exists(f)) {
         val id = UUID.randomUUID().toString
-        Files.writeString(f.toPath, s"""{"checkpointId":"$id"}""")
-        id
+        // exclusive publish: two racing stream starts agree on one identity
+        graft.lake.LakeIO.publishExclusive(f,
+          s"""{"checkpointId":"$id"}""".getBytes("UTF-8"))
+        new String(graft.lake.LakeIO.readBytes(f), "UTF-8") match {
+          case s =>
+            """"checkpointId"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
+              .map(_.group(1)).getOrElse(id)
+        }
       } else {
-        val s = Files.readString(f.toPath)
+        val s = new String(graft.lake.LakeIO.readBytes(f), "UTF-8")
         """"checkpointId"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
           .map(_.group(1))
           .getOrElse(throw new IllegalStateException(

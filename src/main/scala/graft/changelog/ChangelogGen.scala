@@ -181,12 +181,9 @@ object ChangelogGen {
   }
 
   /** Sorted list of segment indices present under `dir`. */
-  def listSegments(dir: String): Seq[Long] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
-      .map(_.getName.stripPrefix("seg=").toLong)
+  def listSegments(dir: String): Seq[Long] =
+    graft.lake.LakeIO.list(dir)
+      .filter { case (name, _, isDir) => isDir && name.startsWith("seg=") }
+      .map(_._1.stripPrefix("seg=").toLong)
       .sorted
-  }
 }

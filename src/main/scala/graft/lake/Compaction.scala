@@ -69,12 +69,12 @@ object Compaction {
      else writer).parquet(dataDir)
 
     val newFiles = {
-      val work = new java.io.File(dataDir).listFiles().toSeq
-        .filter(f => f.isDirectory && f.getName.startsWith("b="))
-        .flatMap { bd =>
-          val b = bd.getName.stripPrefix("b=").toInt
-          bd.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
-            .map(f => (b, f.getPath))
+      val work = LakeIO.list(dataDir)
+        .filter { case (name, _, isDir) => isDir && name.startsWith("b=") }
+        .flatMap { case (name, path, _) =>
+          val b = name.stripPrefix("b=").toInt
+          LakeIO.list(path).filter(_._1.endsWith(".parquet"))
+            .map(x => (b, x._2))
         }
       ParquetFooters.parMap(work) { case (b, p) =>
         val (n, mn, mx) = ParquetFooters.stringStats(p, "conv_id")

@@ -1,7 +1,5 @@
 package graft.lake
 
-import java.io.File
-import java.nio.file.{Files, Paths}
 import java.util.UUID
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
@@ -34,7 +32,8 @@ object Manifests {
     .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
   def load(ref: ManifestRef): Seq[DataFileMeta] =
-    mapper.readValue(new File(ref.path), classOf[Array[DataFileMeta]]).toSeq
+    mapper.readValue(LakeIO.readBytes(ref.path),
+      classOf[Array[DataFileMeta]]).toSeq
 
   def loadAll(refs: Seq[ManifestRef]): Seq[DataFileMeta] =
     if (refs.size > 8) ParquetFooters.parMap(refs)(load).flatten
@@ -88,40 +87,36 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
  * readers only ever see manifest-listed files (tested in LakeTableSpec).
  */
 final class LakeTable(val spark: SparkSession, val root: String) {
-  private val metaDir = new File(root, "meta")
+  private val metaDir = s"$root/meta"
   private val mapper = new ObjectMapper()
     .registerModule(DefaultScalaModule)
     .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
 
-  def dataRoot: String = new File(root, "data").getPath
+  def dataRoot: String = s"$root/data"
 
-  private def versionFile(id: Long): File =
-    new File(metaDir, f"v$id%012d.json")
+  private def versionPath(id: Long): String = f"$metaDir/v$id%012d.json"
+
+  private def versionIds: Seq[Long] =
+    LakeIO.list(metaDir)
+      .filter { case (name, _, isDir) =>
+        !isDir && name.startsWith("v") && name.endsWith(".json") }
+      .map(_._1.stripPrefix("v").stripSuffix(".json").toLong)
+
+  private def loadSnapshot(id: Long): Snapshot =
+    mapper.readValue(LakeIO.readBytes(versionPath(id)), classOf[Snapshot])
 
   def currentSnapshot: Option[Snapshot] = {
-    if (!metaDir.exists()) return None
-    val versions = metaDir.listFiles().toSeq
-      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
-      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
-    if (versions.isEmpty) None
-    else Some(mapper.readValue(versionFile(versions.max), classOf[Snapshot]))
+    val versions = versionIds
+    if (versions.isEmpty) None else Some(loadSnapshot(versions.max))
   }
 
   /** All snapshots, oldest first (time travel / lineage audit). */
-  def snapshots: Seq[Snapshot] = {
-    if (!metaDir.exists()) return Seq.empty
-    metaDir.listFiles().toSeq
-      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".json"))
-      .map(_.getName.stripPrefix("v").stripSuffix(".json").toLong)
-      .sorted
-      .map(v => mapper.readValue(versionFile(v), classOf[Snapshot]))
-  }
+  def snapshots: Seq[Snapshot] = versionIds.sorted.map(loadSnapshot)
 
   /** Fresh unique directory for a new snapshot's data files. The uuid keeps
     * retried attempts of the same epoch from colliding. */
   def newDataDir(snapshotId: Long): String =
-    new File(dataRoot,
-      s"snap-$snapshotId-${UUID.randomUUID().toString.take(8)}").getPath
+    s"$dataRoot/snap-$snapshotId-${UUID.randomUUID().toString.take(8)}"
 
   /** Write one manifest file per bucket in `byBucket`; the returned refs go
     * into the new snapshot alongside the parent's refs for untouched
@@ -129,13 +124,13 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * leaves orphan manifests no snapshot references. */
   def writeManifests(snapshotId: Long,
                      byBucket: Map[Int, Seq[DataFileMeta]]): Seq[ManifestRef] = {
-    val mdir = new File(metaDir, "manifests")
-    mdir.mkdirs()
+    val mdir = s"$metaDir/manifests"
+    LakeIO.mkdirs(mdir)
     byBucket.toSeq.sortBy(_._1).map { case (b, fs) =>
-      val f = new File(mdir,
-        s"m-$snapshotId-b$b-${UUID.randomUUID().toString.take(8)}.json")
-      mapper.writeValue(f, fs.toArray)
-      ManifestRef(b, f.getPath, fs.map(_.rows).sum, fs.size)
+      val path =
+        s"$mdir/m-$snapshotId-b$b-${UUID.randomUUID().toString.take(8)}.json"
+      LakeIO.writeBytes(path, mapper.writeValueAsBytes(fs.toArray))
+      ManifestRef(b, path, fs.map(_.rows).sum, fs.size)
     }
   }
 
@@ -229,7 +224,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * only on strictly-older epochs and still take the next snapshot id, so
     * a concurrent duplicate still loses on the version-file atomic rename. */
   def commit(snap: Snapshot, maintenance: Boolean = false): Snapshot = {
-    metaDir.mkdirs()
+    LakeIO.mkdirs(metaDir)
     currentSnapshot.foreach { cur =>
       if (maintenance) {
         require(snap.epoch == cur.epoch,
@@ -241,21 +236,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       require(snap.snapshotId == cur.snapshotId + 1,
         s"snapshot id ${snap.snapshotId} must follow ${cur.snapshotId}")
     }
-    val target = versionFile(snap.snapshotId)
-    if (target.exists())
+    val target = versionPath(snap.snapshotId)
+    // Exclusive publish is the commit-race arbiter: link(2) EEXIST on
+    // local FS, create-no-overwrite on HDFS (see LakeIO.publishExclusive —
+    // a rename would silently REPLACE an existing version on POSIX and let
+    // a maintenance commit overwrite a just-committed applier snapshot).
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(snap)
+    if (!LakeIO.publishExclusive(target, bytes))
       throw new CommitConflictException(s"version ${snap.snapshotId} exists")
-    val tmp = new File(metaDir, s".tmp-${UUID.randomUUID()}.json")
-    mapper.writerWithDefaultPrettyPrinter().writeValue(tmp, snap)
-    // Publish via hard link: link(2) fails with EEXIST atomically, so two
-    // racing committers can never both claim the same version. (A rename —
-    // even ATOMIC_MOVE — maps to rename(2), which silently REPLACES an
-    // existing target on POSIX and would let a maintenance commit overwrite
-    // a just-committed applier snapshot.)
-    try Files.createLink(target.toPath, tmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(s"version ${snap.snapshotId} exists")
-    } finally { tmp.delete(); () }
     snap
   }
 
@@ -275,9 +263,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val live = retained.flatMap(_.files.map(_.path)).toSet
     val dead = expired.flatMap(_.files.map(_.path)).distinct
       .filterNot(live.contains)
-    dead.foreach(p => new File(p).delete())
-    deadManifests.foreach(p => new File(p).delete())
-    expired.foreach(s => versionFile(s.snapshotId).delete())
+    dead.foreach(LakeIO.delete)
+    deadManifests.foreach(LakeIO.delete)
+    expired.foreach(s => LakeIO.delete(versionPath(s.snapshotId)))
     (expired.size, dead.size)
   }
 
@@ -286,34 +274,29 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * derived from checkpoint batchIds, so pairing a fresh checkpoint with a
     * populated lake would silently fence (drop) every early batch — the
     * binding lets CdcStream refuse that pairing loudly instead. */
-  private def bindingFile: File = new File(metaDir, "stream-binding.json")
+  private def bindingPath: String = s"$metaDir/stream-binding.json"
 
   def streamBinding: Option[String] = {
-    if (!bindingFile.exists()) return None
-    val m = mapper.readValue(bindingFile, classOf[Map[String, String]])
+    if (!LakeIO.exists(bindingPath)) return None
+    val m = mapper.readValue(LakeIO.readBytes(bindingPath),
+      classOf[Map[String, String]])
     m.get("checkpointId")
   }
 
-  /** Write-once (atomic via link(2)): records the checkpoint identity. */
+  /** Write-once (atomic exclusive publish): records the checkpoint id. */
   def bindStream(checkpointId: String): Unit = {
-    metaDir.mkdirs()
-    val tmp = new File(metaDir, s".tmp-bind-${UUID.randomUUID()}.json")
-    mapper.writeValue(tmp, Map("checkpointId" -> checkpointId))
-    try Files.createLink(bindingFile.toPath, tmp.toPath)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"lake already bound to checkpoint ${streamBinding.getOrElse("?")}")
-    } finally { tmp.delete(); () }
+    LakeIO.mkdirs(metaDir)
+    val bytes = mapper.writeValueAsBytes(Map("checkpointId" -> checkpointId))
+    if (!LakeIO.publishExclusive(bindingPath, bytes))
+      throw new CommitConflictException(
+        s"lake already bound to checkpoint ${streamBinding.getOrElse("?")}")
   }
 
   /** Data directories on disk that no snapshot references (crash orphans). */
   def orphanDataDirs(): Seq[String] = {
     val referenced = snapshots.flatMap(_.files.map(f =>
-      Paths.get(f.path).getParent.getParent.toString)).toSet
-    val dr = new File(dataRoot)
-    if (!dr.exists()) Seq.empty
-    else dr.listFiles().toSeq.filter(_.isDirectory).map(_.getPath)
+      java.nio.file.Paths.get(f.path).getParent.getParent.toString)).toSet
+    LakeIO.list(dataRoot).filter(_._3).map(_._2)
       .filterNot(referenced.contains)
   }
 }

@@ -34,7 +34,10 @@ class LakeTableSpec extends AnyFunSuite {
     val orphanDir = lake.newDataDir(99)
     smallBatch(100, 200).write.parquet(orphanDir)
     assert(lake.read().count() == before) // readers see manifest files only
-    assert(lake.orphanDataDirs().exists(_ == orphanDir))
+    // listing paths come back absolute (Hadoop FS qualifies them)
+    assert(lake.orphanDataDirs().exists(p =>
+      new java.io.File(p).getCanonicalPath ==
+        new java.io.File(orphanDir).getCanonicalPath))
     // resumed processing is unaffected
     val s = CdcApply.apply(lake, smallBatch(100, 200), epoch = 2, nBuckets = 4)
     assert(!s.skipped)
