@@ -21,9 +21,11 @@ class CdcPropertySpec extends AnyFunSuite {
   }
 
   test("final state is invariant to delivery permutation and segmentation") {
+    // pBad: malformed events ride along in every permutation — quarantine
+    // routing must not perturb the merge's permutation invariance
     val cfg = ChangelogGen.Config(
       nEvents = 1200, nConvs = 15, turnsPerConv = 5,
-      pUpdate = 0.4, pDelete = 0.1, pDup = 0.1, segSize = 300)
+      pUpdate = 0.4, pDelete = 0.1, pDup = 0.1, pBad = 0.1, segSize = 300)
     val d1 = TestSpark.tmpDir("prop-cl1")
     ChangelogGen.write(spark, d1, cfg)
     val events = spark.read.parquet(d1).drop("seg")
