@@ -97,6 +97,24 @@ object CdcMain {
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()
 
+    case "gc" :: lakeDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val (dirs, mans) = lake.gcOrphans(
+        rest.headOption.map(_.toLong).getOrElse(3600 * 1000L))
+      println(s"""{"orphanDataDirsDeleted":$dirs,"orphanManifestsDeleted":$mans}""")
+      spark.stop()
+
+    case "changes" :: lakeDir :: fromId :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val df = graft.lake.ChangeFeedReader.between(spark, lake, fromId.toLong,
+        rest.headOption.map(_.toLong).getOrElse(-1L))
+      val counts = df.groupBy("action").count().collect()
+        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+      println(s"""{"changes":{$counts}}""")
+      spark.stop()
+
     case "merge" :: lakeDir :: fromConv :: toConv :: Nil =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)

@@ -76,6 +76,9 @@ object LakeIO {
 
   def delete(p: String): Unit = { fs(p).delete(new Path(p), true); () }
 
+  def mtime(p: String): Long =
+    fs(p).getFileStatus(new Path(p)).getModificationTime
+
   /** Atomically publish `bytes` at `target`; returns false if another
     * writer claimed the path first (the commit-race arbiter). */
   def publishExclusive(target: String, bytes: Array[Byte]): Boolean = {

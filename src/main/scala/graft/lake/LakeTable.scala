@@ -299,6 +299,29 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     LakeIO.list(dataRoot).filter(_._3).map(_._2)
       .filterNot(referenced.contains)
   }
+
+  /** Remove crash leftovers: data directories and manifest files no
+    * snapshot references, but only those older than `minAgeMs` — an
+    * IN-FLIGHT commit's just-written data dir and manifests look exactly
+    * like orphans until its snapshot publishes, so age is the safety
+    * fence (the same discipline as Iceberg's remove_orphan_files).
+    * Returns (data dirs deleted, manifest files deleted). */
+  def gcOrphans(minAgeMs: Long = 3600 * 1000L): (Int, Int) = {
+    val now = System.currentTimeMillis()
+    def oldEnough(p: String) = now - LakeIO.mtime(p) >= minAgeMs
+    val deadDirs = orphanDataDirs().filter(oldEnough)
+    deadDirs.foreach(LakeIO.delete)
+    // manifest paths are stored as written (possibly relative) while
+    // listing returns FS-qualified paths — compare by unique file name
+    val referencedNames = snapshots
+      .flatMap(_.manifests.map(r => r.path.split('/').last)).toSet
+    val deadManifests = LakeIO.list(s"$metaDir/manifests")
+      .filter { case (name, path, isDir) =>
+        !isDir && !referencedNames.contains(name) && oldEnough(path) }
+      .map(_._2)
+    deadManifests.foreach(LakeIO.delete)
+    (deadDirs.size, deadManifests.size)
+  }
 }
 
 object LakeTable {
