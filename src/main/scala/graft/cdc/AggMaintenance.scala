@@ -43,7 +43,11 @@ object AggMaintenance {
       mainLake: LakeTable,
       aggLake: LakeTable,
       buckets: Set[Int],
-      epoch: Long): CdcApply.ApplyStats = {
+      epoch: Long,
+      /** refresh after an epoch-NEUTRAL main-table change (CrossMerge):
+        * the agg table is already at `epoch`, so the upsert must commit as
+        * maintenance (same epoch, next snapshot) instead of fencing out. */
+      maintenance: Boolean = false): CdcApply.ApplyStats = {
     val mainBuckets = mainLake.currentSnapshot.map(_.nBuckets).getOrElse(64)
     val state = mainLake.readBuckets(Some(buckets))
     val live = if (state.columns.contains("_tombstone"))
@@ -94,12 +98,35 @@ object AggMaintenance {
           dc.withColumn("op", lit("D")).withColumn("turn_idx", lit(0)),
           allowMissingColumns = true)
     }
+    // Synthesized agg-row lsn: (epoch << 16) + next agg snapshot id.
+    // The sub-epoch component matters for EPOCH-NEUTRAL refreshes (after a
+    // CrossMerge migration): a refresh reusing the bare epoch would TIE
+    // with the previous refresh's rows at the same epoch, and LWW's
+    // stored-row tie-break would discard the new images/tombstones.
+    // Monotonic across refreshes: epoch never decreases, and the agg
+    // snapshot id strictly increases with every commit.
+    val rowLsn = epoch * 65536L +
+      aggLake.currentSnapshot.map(_.snapshotId + 1).getOrElse(0L)
     val batch = batch0
-      .withColumn("_lsn", lit(epoch))
+      .withColumn("_lsn", lit(rowLsn))
       .withColumn("_src_part", lit(0))
-      .withColumn("_src_off", lit(epoch))
+      .withColumn("_src_off", lit(rowLsn))
 
-    CdcApply.apply(aggLake, batch, epoch, nBuckets = mainBuckets)
+    // The batch is engine-synthesized above (keys from lake state, ops
+    // literal): skip the validation count, hand the lineage over directly,
+    // and — when the bucket schemes are aligned — hand over the touched
+    // buckets too (every batch conv comes from main buckets `buckets`, and
+    // alignment makes its agg bucket the same id). Saves three Spark jobs
+    // per maintained micro-batch vs routing through the generic probes.
+    val hint = if (aggNB.forall(_ == mainBuckets)) Some(buckets) else None
+    // a lagging agg table (crash window) still heals through the normal
+    // epoch-advancing path even when the caller asked for maintenance
+    val aggEpoch = aggLake.currentSnapshot.map(_.epoch).getOrElse(0L)
+    CdcApply.apply(aggLake, batch, epoch, nBuckets = mainBuckets,
+      probeInfo = Some(CdcApply.ProbeInfo(0L,
+        Seq(graft.lake.PartitionLineage(0, epoch, epoch)))),
+      validate = false, touchedHint = hint,
+      maintenance = maintenance && aggEpoch == epoch)
   }
 
   /** Reconcile a derived table that lags the main lake: a crash between the

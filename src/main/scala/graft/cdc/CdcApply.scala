@@ -123,14 +123,26 @@ object CdcApply {
         * count via observe — the audit change feed. Costs one extra window
         * over the merge's existing exchange+sort; opt out for pure-ingest
         * throughput (counts then absent from metrics). */
-      changeFeed: Boolean = true): ApplyStats = {
+      changeFeed: Boolean = true,
+      /** engine-internal data operation (e.g. CrossMerge) that must NOT
+        * consume source-epoch space: commits keep the current epoch (like
+        * compaction), so the next source segment/streaming batch is never
+        * fenced out by an admin operation. */
+      maintenance: Boolean = false,
+      /** the caller PROVABLY knows every bucket the batch touches (e.g.
+        * AggMaintenance/CrossMerge synthesize the batch from those very
+        * buckets) — skips the bucket-probe scan. Extra buckets are
+        * harmless; a missing one would lose rows, so only pass a hint you
+        * can prove complete. */
+      touchedHint: Option[Set[Int]] = None): ApplyStats = {
     val t0 = System.nanoTime()
     val cur = lake.currentSnapshot
-    cur match {
+    if (!maintenance) cur match {
       case Some(s) if s.epoch >= epoch =>
         return ApplyStats(s, skipped = true, 0, 0, 0, 0.0) // fenced
       case _ =>
-    }
+    } else require(cur.forall(_.epoch == epoch),
+      s"maintenance apply must target the current epoch ${cur.map(_.epoch)}")
     // The table's bucket count is authoritative once it exists (the caller's
     // value only seeds a new table) — re-bucketing happens via
     // Compaction.rebucket, and appliers pick the new count up here.
@@ -382,7 +394,7 @@ object CdcApply {
         "failedEvents" -> nInvalid.toDouble) ++
         actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble })
     val committed =
-      try lake.commit(snap)
+      try lake.commit(snap, maintenance = maintenance)
       catch {
         // Lost a commit race to a concurrent applier (version file taken).
         // The atomic link(2) publish is the arbiter: re-apply against the

@@ -99,11 +99,16 @@ final class CdcDriver(
     val keyCols = Set("conv_id", "turn_idx", "_lsn")
     val stats = graft.lake.ParquetFooters.parMap(perPart) { case (part, path) =>
       val (n, bounds) = graft.lake.ParquetFooters.longStats(path, "_src_off")
-      // key-column null counts let the applier skip the 4-column
-      // validation scan when the feed is provably null-free
+      // The applier may skip the key checks of the validation scan only if
+      // footers PROVE them impossible: zero nulls in the key columns AND
+      // the conv_id min excludes empty/whitespace-leading strings (an
+      // all-blank key sorts before any printable character, so it would BE
+      // the min if present).
       val nullFree = graft.lake.ParquetFooters.nullCounts(path, keyCols)
         .exists(_.values.forall(_ == 0L))
-      (part, n, bounds, nullFree)
+      val (_, minKey, _) = graft.lake.ParquetFooters.stringStats(path, "conv_id")
+      val nonBlank = minKey.nonEmpty && minKey.head > ' '
+      (part, n, bounds, nullFree && nonBlank)
     }
     // Any populated file without _src_off footer stats -> fall back to the
     // two-column probe scan rather than recording corrupted lineage bounds.

@@ -118,9 +118,10 @@ object CdcMain {
     case "merge" :: lakeDir :: fromConv :: toConv :: Nil =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)
-      val epoch = lake.currentSnapshot.map(_.epoch).getOrElse(0L) + 1
-      val st = CrossMerge.mergeConversations(lake, Seq(fromConv -> toConv), epoch)
-      println(s"""{"merged":"$fromConv->$toConv","epoch":$epoch,""" +
+      // maintenance operation: keeps the current epoch (never fences the
+      // next source segment/streaming batch)
+      val st = CrossMerge.mergeConversations(lake, Seq(fromConv -> toConv))
+      println(s"""{"merged":"$fromConv->$toConv","epoch":${st.snapshot.epoch},""" +
         s""""rowsOut":${st.rowsOut},"actions":{${st.actions.map { case (k, v) =>
           s""""$k":$v""" }.mkString(",")}}}""")
       spark.stop()

@@ -134,12 +134,21 @@ object CdcStream {
           "fence its batches; use the original checkpoint or a fresh lake")
       case None if lake.currentSnapshot.isEmpty =>
         lake.bindStream(ckptId) // first pairing: fresh lake + this checkpoint
+      case None
+        if graft.lake.LakeIO.list(s"$checkpointDir/offsets").nonEmpty =>
+        // populated lake + a checkpoint that already has streaming history
+        // but predates the binding feature: this is the lake's original
+        // checkpoint resuming — backfill the binding instead of bricking it
+        System.err.println(
+          s"[CdcStream] backfilling stream binding for ${lake.root} from " +
+          s"pre-binding checkpoint $checkpointDir")
+        lake.bindStream(ckptId)
       case None =>
         throw new IllegalStateException(
-          s"refusing checkpoint $checkpointDir against populated unbound " +
-          s"lake ${lake.root}: batchIds would restart at 0 and every early " +
-          "batch would be silently fenced (dropped); stream into a fresh " +
-          "lake, or keep using the batch driver for this one")
+          s"refusing fresh checkpoint $checkpointDir against populated " +
+          s"unbound lake ${lake.root}: batchIds would restart at 0 and " +
+          "every early batch would be silently fenced (dropped); stream " +
+          "into a fresh lake, or keep using the batch driver for this one")
     }
   }
 }

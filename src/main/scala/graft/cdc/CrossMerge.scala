@@ -28,11 +28,14 @@ object CrossMerge {
 
   /** Merge each (from, to) conversation pair; `from` conversations are
     * consumed. Pairs must not chain within one call (a conv may appear on
-    * only one side). */
+    * only one side). Applied as a MAINTENANCE operation: the commit keeps
+    * the current epoch, so migrations never consume source-epoch space
+    * (an epoch bump here would silently fence the next changelog segment
+    * or streaming batch — permanent data loss). Re-running the same
+    * migration is a no-op (the source is already consumed). */
   def mergeConversations(
       lake: LakeTable,
-      pairs: Seq[(String, String)],
-      epoch: Long): CdcApply.ApplyStats = {
+      pairs: Seq[(String, String)]): CdcApply.ApplyStats = {
     require(pairs.nonEmpty, "no pairs to merge")
     val froms = pairs.map(_._1).toSet
     val tos = pairs.map(_._2).toSet
@@ -53,8 +56,14 @@ object CrossMerge {
         state.filter(!col("_tombstone")).drop("_tombstone")
       else state
 
-    val pairDf = broadcast(pairs.toDF("_mg_from", "_mg_to"))
+    val pairDf = broadcast(pairs.zipWithIndex
+      .map { case ((f, t), i) => (f, t, i) }
+      .toDF("_mg_from", "_mg_to", "_mg_idx"))
     val fromRows = live.join(pairDf, col("conv_id") === col("_mg_from"))
+    // re-running a finished migration (sources already consumed) is a
+    // no-op — don't rewrite the target buckets for nothing
+    if (fromRows.limit(1).isEmpty)
+      return CdcApply.ApplyStats(snap, skipped = true, 0, 0, 0, 0.0)
     val toLsn = live.join(pairDf, col("conv_id") === col("_mg_to"))
       .select(col("_mg_from").as("_c_from"), col("turn_idx").as("_c_turn"),
         col("_lsn").as("_c_lsn"))
@@ -69,24 +78,35 @@ object CrossMerge {
     val dataCols = live.columns.toSeq
       .filterNot(Set("conv_id", "_lsn", "_src_part", "_src_off",
         "_mg_from", "_mg_to", "_c_from", "_c_turn", "_c_lsn"))
-    // synthesized lsn: above every existing lsn of the touched rows, so the
-    // migration wins LWW deterministically (one lsn for the whole batch —
-    // upserts and deletes never collide on a key)
-    val maxLsnRow = live.join(pairDf,
+    // Synthesized lsn base: above every STORED lsn of the touched
+    // conversations INCLUDING tombstones — a stale delete with a high lsn
+    // must not beat the (explicit, administrative) migration. Per-pair
+    // offset keeps multi-source merges into one target deterministic:
+    // later pairs in the caller's list win colliding turns.
+    val maxLsnRow = state.join(pairDf,
         col("conv_id") === col("_mg_from") || col("conv_id") === col("_mg_to"))
       .agg(max("_lsn")).head()
-    val synthLsn = (if (maxLsnRow.isNullAt(0)) 0L else maxLsnRow.getLong(0)) + 1
+    val synthBase = (if (maxLsnRow.isNullAt(0)) 0L else maxLsnRow.getLong(0)) + 1
 
     val upserts = migrating.select(
-      (Seq(lit("U").as("op"), col("_mg_to").as("conv_id")) ++
-        dataCols.map(col)): _*)
+      (Seq(lit("U").as("op"), col("_mg_to").as("conv_id"),
+        col("_mg_idx")) ++ dataCols.map(col)): _*)
     val deletes = fromRows.select(
-      (Seq(lit("D").as("op"), col("conv_id")) ++ dataCols.map(col)): _*)
+      (Seq(lit("D").as("op"), col("conv_id"), col("_mg_idx")) ++
+        dataCols.map(col)): _*)
     val batch = upserts.unionByName(deletes)
-      .withColumn("_lsn", lit(synthLsn))
+      .withColumn("_lsn", lit(synthBase) + col("_mg_idx"))
       .withColumn("_src_part", lit(-1)) // engine-synthesized, not source data
-      .withColumn("_src_off", lit(synthLsn))
+      .withColumn("_src_off", lit(synthBase) + col("_mg_idx"))
+      .drop("_mg_idx")
 
-    CdcApply.apply(lake, batch, epoch, nBuckets = nB)
+    // every batch row's conv_id is one of the pair convs, whose buckets
+    // are exactly `buckets` — provably complete hint
+    CdcApply.apply(lake, batch, epoch = snap.epoch, nBuckets = nB,
+      maintenance = true, validate = false,
+      probeInfo = Some(CdcApply.ProbeInfo(0L,
+        Seq(graft.lake.PartitionLineage(-1, synthBase,
+          synthBase + pairs.size)))),
+      touchedHint = Some(buckets))
   }
 }

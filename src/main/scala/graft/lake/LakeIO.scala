@@ -16,22 +16,41 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * `publishExclusive` (two committers must never both claim a version):
  *  - file://  — java.nio `createLink` (link(2) fails EEXIST atomically;
  *    a plain rename(2) silently REPLACES on POSIX),
- *  - hdfs://  — `create(path, overwrite = false)` is atomic-exclusive on
- *    the NameNode,
+ *  - hdfs://  — full tmp-file write, then rename-no-overwrite (atomic-
+ *    exclusive on the NameNode; never exposes partial content),
  *  - object stores without atomic conditional-put need an external
  *    arbiter (e.g. a DynamoDB/ZK lock), exactly as Iceberg/Delta document
  *    — out of scope here.
  */
 object LakeIO {
 
-  val conf = new Configuration()
+  /** Spark's Hadoop configuration when a session is active (carries
+    * spark.hadoop.* credentials / defaultFS), else a vanilla one. */
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  // PRIVATE FileSystem instances per (scheme, authority): Path.getFileSystem
+  // returns the JVM-shared cached instance, and mutating ITS checksum flags
+  // would disable .crc protection for every other user (including Spark's
+  // own streaming-checkpoint writes) — newInstance keeps the flags local.
+  private val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
 
   def fs(p: String): FileSystem = {
-    val f = new Path(p).getFileSystem(conf)
-    // local FS: skip .crc side files for metadata writes
-    f.setWriteChecksum(false)
-    f.setVerifyChecksum(false)
-    f
+    val uri = new Path(p).toUri
+    val key = s"${uri.getScheme}:${uri.getAuthority}"
+    fsCache.computeIfAbsent(key, _ => {
+      val c = conf
+      val f = FileSystem.newInstance(
+        FileSystem.getDefaultUri(c).resolve(
+          if (uri.getScheme == null) FileSystem.getDefaultUri(c) else uri), c)
+      // our instances only: metadata files skip .crc side files
+      f.setWriteChecksum(false)
+      f.setVerifyChecksum(false)
+      f
+    })
   }
 
   def isLocal(p: String): Boolean = fs(p).getScheme == "file"
@@ -93,14 +112,22 @@ object LakeIO {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally { Files.deleteIfExists(tmp); () }
     } else {
+      // Write COMPLETE content to a hidden tmp file first, then claim the
+      // target with rename-no-overwrite (atomic-exclusive on the HDFS
+      // NameNode). Creating the target directly would make a 0-length /
+      // partial file visible to concurrent readers before close().
       val f = fs(target)
+      val tp = new Path(target)
+      val tmp = new Path(tp.getParent,
+        s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
       try {
-        val out = f.create(new Path(target), false) // O_EXCL on HDFS
-        try out.write(bytes) finally out.close()
-        true
+        if (f.rename(tmp, tp)) true
+        else { f.delete(tmp, false); false } // target already claimed
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if f.exists(new Path(target)) => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
       }
     }
   }

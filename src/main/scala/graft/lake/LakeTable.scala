@@ -102,8 +102,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         !isDir && name.startsWith("v") && name.endsWith(".json") }
       .map(_._1.stripPrefix("v").stripSuffix(".json").toLong)
 
-  private def loadSnapshot(id: Long): Snapshot =
-    mapper.readValue(LakeIO.readBytes(versionPath(id)), classOf[Snapshot])
+  private def loadSnapshot(id: Long): Snapshot = {
+    val s = mapper.readValue(LakeIO.readBytes(versionPath(id)), classOf[Snapshot])
+    if (s.manifests == null) // pre-manifest-format metadata: fail loudly
+      throw new IllegalStateException(
+        s"snapshot $id at $root was written by a pre-manifest version of " +
+        "this engine (flat 'files' list); rebuild the lake by replaying " +
+        "its changelog — silent null manifests would NPE far from here")
+    s
+  }
 
   def currentSnapshot: Option[Snapshot] = {
     val versions = versionIds

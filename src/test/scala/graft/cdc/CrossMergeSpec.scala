@@ -31,10 +31,13 @@ class CrossMergeSpec extends AnyFunSuite {
     val fromTurns = turnsOf(from)
     val toTurns = turnsOf(to)
     assert(fromTurns.nonEmpty && toTurns.nonEmpty)
-    val epoch = lake.currentSnapshot.get.epoch + 1
+    val epochBefore = lake.currentSnapshot.get.epoch
 
-    val stats = CrossMerge.mergeConversations(lake, Seq(from -> to), epoch)
+    val stats = CrossMerge.mergeConversations(lake, Seq(from -> to))
     assert(!stats.skipped)
+    // maintenance semantics: migrations never consume source-epoch space
+    // (an epoch bump would fence the NEXT changelog segment — data loss)
+    assert(lake.currentSnapshot.get.epoch == epochBefore)
 
     // source conversation fully consumed
     assert(lake.read().filter(col("conv_id") === from).isEmpty)
@@ -53,9 +56,26 @@ class CrossMergeSpec extends AnyFunSuite {
 
     // the merge went through the normal change-feed accounting
     assert(stats.actions.getOrElse("deleted", 0L) == fromTurns.size)
-    // exactly-once: re-applying the same migration epoch is fenced
-    val again = CrossMerge.mergeConversations(lake, Seq(from -> to), epoch)
-    assert(again.skipped)
+    // idempotent: the source is consumed, so re-running is a no-op
+    val again = CrossMerge.mergeConversations(lake, Seq(from -> to))
+    assert(again.skipped || again.rowsOut == 0)
+    assert(CdcOracle.tableState(lake.read()).keySet
+      .forall(_._1 != from))
+    // and the lake still accepts the NEXT source batch (nothing fenced)
+    val next = spark.range(1).select(
+      org.apache.spark.sql.functions.lit("I").as("op"),
+      org.apache.spark.sql.functions.lit("conv-post-merge").as("conv_id"),
+      org.apache.spark.sql.functions.lit(0).as("turn_idx"),
+      org.apache.spark.sql.functions.lit("user").as("role"),
+      org.apache.spark.sql.functions.lit("after").as("text"),
+      org.apache.spark.sql.functions.lit(null).cast("string").as("tool"),
+      org.apache.spark.sql.functions.lit("2024-01-01").cast("timestamp").as("ts"),
+      org.apache.spark.sql.functions.lit(99999999L).as("_lsn"),
+      org.apache.spark.sql.functions.lit(0).as("_src_part"),
+      org.apache.spark.sql.functions.lit(99999999L).as("_src_off"))
+    val nstats = CdcApply.apply(lake, next,
+      epoch = lake.currentSnapshot.get.epoch + 1, nBuckets = 8)
+    assert(!nstats.skipped && nstats.actions.getOrElse("inserted", 0L) == 1L)
     // the synthesized lineage partition is marked as engine-internal
     assert(lake.currentSnapshot.get.lineage.exists(_.srcPart == -1))
   }
@@ -71,9 +91,12 @@ class CrossMergeSpec extends AnyFunSuite {
       aggLake = Some(agg)).run()
     val convs = lake.read().select("conv_id").distinct()
       .orderBy("conv_id").limit(2).collect().map(_.getString(0))
-    val epoch = lake.currentSnapshot.get.epoch + 1
-    val stats = CrossMerge.mergeConversations(lake, Seq(convs(0) -> convs(1)), epoch)
-    AggMaintenance.maintain(spark, lake, agg, stats.touchedSet, epoch)
+    val stats = CrossMerge.mergeConversations(lake, Seq(convs(0) -> convs(1)))
+    // migrations are epoch-neutral, so the derived refresh commits as
+    // maintenance (the migration caller owns this refresh — epoch-based
+    // catch-up cannot see a same-epoch change)
+    AggMaintenance.maintain(spark, lake, agg, stats.touchedSet,
+      stats.snapshot.epoch, maintenance = true)
 
     val got = agg.read().select("conv_id", "n_turns").collect()
       .map(r => (r.getString(0), r.getInt(1))).toMap
