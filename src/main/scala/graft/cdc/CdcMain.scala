@@ -11,9 +11,17 @@ import graft.lake.LakeTable
  * spark-submit at N and 4N executors").
  *
  * Usage:
- *   CdcMain gen    <changelogDir> <nEvents> [nConvs] [skew] [evolveAt] [segSize]
- *   CdcMain replay <changelogDir> <lakeDir> [segmentsPerBatch] [nBuckets] [saltBuckets]
- *   CdcMain state  <lakeDir>       — row count + order-independent checksum
+ *   CdcMain gen     <changelogDir> <nEvents> [nConvs] [skew] [evolveAt] [segSize]
+ *   CdcMain replay  <changelogDir> <lakeDir> [segmentsPerBatch] [nBuckets]
+ *                   [saltBuckets] [aggDir|-] [patch]
+ *   CdcMain stream  <changelogDir> <lakeDir> <ckptDir> [nBuckets]
+ *                   [saltBuckets] [maxFilesPerTrigger] [liveIntervalMs]
+ *   CdcMain state   <lakeDir>      — row count + order-independent checksum
+ *   CdcMain compact <lakeDir> [tombstoneWatermark]
+ *   CdcMain expire  <lakeDir> [keepLast]
+ *   CdcMain gc      <lakeDir> [minAgeMs]      — age-fenced orphan cleanup
+ *   CdcMain changes <lakeDir> <fromSnapId> [toSnapId]  — snapshot-diff feed
+ *   CdcMain merge   <lakeDir> <fromConv> <toConv>      — migration (epoch-neutral)
  *
  * Parallelism comes from SPARK_GRAFT_CPUS (local[N]) or the real cluster's
  * spark-submit config; shuffle partitions follow the core count.
