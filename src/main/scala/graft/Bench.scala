@@ -9,17 +9,25 @@ import graft.lake.LakeTable
 /**
  * Per-round benchmark main. Emits ONE JSON line:
  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
- *    "cdc":{"events":N,"throughput_full":ev/s,"full_cores":C,
- *           "throughput_n":ev/s,"throughput_4n":ev/s,
- *           "n_cores":2,"four_n_cores":8,"scaling_efficiency":r}}
+ *    "cdc":{"events":N,"throughput_full":ev/s,"throughput_full_nocf":ev/s,
+ *           "full_cores":C,"throughput_n":ev/s,"throughput_4n":ev/s,
+ *           "n_cores":2,"four_n_cores":8,"scaling_efficiency":r,
+ *           "spread":{"n":x,"four_n":y},"soak":{...}}}
  *
  * The cdc block is the north-rule metric: the same changelog replayed at N
  * and 4N cores (fresh session each, shuffle partitions scaled), throughput
  * at both, efficiency = thr(4N) / (4 * thr(N)). N=2 vs 4N=8 is used for the
  * scaling pair because this host shows 20-30% hypervisor steal when all 32
  * vCPUs burst, which corrupts any measurement at 32; a separate full-core
- * run still reports headline throughput. Each scaling config takes the best
- * of two runs (page-cache + writeback noise on the single virtio disk).
+ * run still reports headline throughput.
+ *
+ * Measurement discipline (round-2 verdict "bench robustness"): the N and 4N
+ * runs are INTERLEAVED (N,4N,N,4N,...) so slow host drift hits both
+ * configurations equally, each reports the MEDIAN of `SPARK_GRAFT_BENCH_RUNS`
+ * (default 3) runs, and the relative spread (max-min)/median is published so
+ * a noisy round is visible instead of silently trusted.
+ * `throughput_full_nocf` replays with the change feed off — the per-round
+ * tracked cost of the default-on audit counts.
  */
 object Bench {
 
@@ -78,7 +86,8 @@ object Bench {
       segSize = math.max(cdcEvents / 4, 1L))
     ChangelogGen.write(spark, changelog, cfg)
 
-    def replayThroughput(s: SparkSession, tag: String): Double = {
+    def replayThroughput(s: SparkSession, tag: String,
+                         changeFeed: Boolean = true): Double = {
       val lakeDir = new java.io.File(base, s"lake-$tag").getPath
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
@@ -88,25 +97,43 @@ object Bench {
       val lake = new LakeTable(s, lakeDir)
       val sec = timeSec {
         new CdcDriver(s, changelog, lake, segmentsPerBatch = 4,
-          nBuckets = 64, quiet = true).run()
+          nBuckets = 64, quiet = true, changeFeed = changeFeed).run()
       }
       cdcEvents / sec
     }
 
     val thrFull = replayThroughput(spark, "full")
+    val thrFullNoCf = replayThroughput(spark, "full-nocf", changeFeed = false)
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
-    def bestOf(cores: Int, runs: Int): Double = {
+    def inCores(cores: Int)(f: SparkSession => Double): Double = {
       val s = session(cores)
-      val best = (1 to runs).map(i => replayThroughput(s, s"c$cores-r$i")).max
-      s.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      best
+      try f(s)
+      finally {
+        s.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
     }
-
-    val thrN = bestOf(scalePair._1, 2)
-    val thr4n = bestOf(scalePair._2, 2)
+    // Interleaved N/4N pairs: host drift (steal, writeback) hits both
+    // configurations symmetrically instead of biasing whichever ran last.
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val pairRuns = (1 to benchRuns).map { i =>
+      val n = inCores(scalePair._1)(s =>
+        replayThroughput(s, s"c${scalePair._1}-r$i"))
+      val fn = inCores(scalePair._2)(s =>
+        replayThroughput(s, s"c${scalePair._2}-r$i"))
+      (n, fn)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    def spread(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else (xs.max - xs.min) / median(xs)
+    val nRuns = pairRuns.map(_._1)
+    val fnRuns = pairRuns.map(_._2)
+    val thrN = median(nRuns)
+    val thr4n = median(fnRuns)
     val efficiency = thr4n / (4.0 * thrN)
 
     // ---- 10^8-event soak replay at full cores (round-over-round tracked;
@@ -140,9 +167,11 @@ object Bench {
     val total = qTimes.map(_._2).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""cdc":{"events":$cdcEvents,"throughput_full":$thrFull%.1f,"full_cores":$cpus,""" +
+      f""""cdc":{"events":$cdcEvents,"throughput_full":$thrFull%.1f,""" +
+      f""""throughput_full_nocf":$thrFullNoCf%.1f,"full_cores":$cpus,""" +
       f""""throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,""" +
       f""""n_cores":${scalePair._1},"four_n_cores":${scalePair._2},""" +
-      f""""scaling_efficiency":$efficiency%.3f$soakJson}}""")
+      f""""scaling_efficiency":$efficiency%.3f,""" +
+      f""""runs":$benchRuns,"spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f}$soakJson}}""")
   }
 }

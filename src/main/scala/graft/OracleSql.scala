@@ -506,14 +506,15 @@ object OracleSql {
          |    max(CASE WHEN op <> 'P' THEN lsn END) AS blsn,
          |    max(lsn) AS maxlsn,
          |    max(CASE WHEN op = 'P' THEN lsn END) AS maxplsn,
-         |    arg_max(tag, CASE WHEN op = 'P' AND tag IS NOT NULL THEN lsn END) AS ptag,
-         |    max(CASE WHEN op = 'P' AND tag IS NOT NULL THEN lsn END) AS pltag,
+         |    arg_max(CASE WHEN op = 'P' AND lsn % 5 = 0 THEN '<CLEARED>' ELSE tag END,
+         |      CASE WHEN op = 'P' AND (tag IS NOT NULL OR lsn % 5 = 0) THEN lsn END) AS ptag,
+         |    max(CASE WHEN op = 'P' AND (tag IS NOT NULL OR lsn % 5 = 0) THEN lsn END) AS pltag,
          |    arg_max(v, CASE WHEN op = 'P' AND v IS NOT NULL THEN lsn END) AS pv,
          |    max(CASE WHEN op = 'P' AND v IS NOT NULL THEN lsn END) AS plv
          |  FROM e2 GROUP BY 1, 2)
          |SELECT conv_id, turn_idx,
-         |  CASE WHEN pltag > coalesce(blsn, -9223372036854775807 - 1) THEN ptag
-         |       WHEN NOT coalesce(btomb, TRUE) THEN btag END AS tag,
+         |  nullif(CASE WHEN pltag > coalesce(blsn, -9223372036854775807 - 1) THEN ptag
+         |       WHEN NOT coalesce(btomb, TRUE) THEN btag END, '<CLEARED>') AS tag,
          |  CASE WHEN plv > coalesce(blsn, -9223372036854775807 - 1) THEN pv
          |       WHEN NOT coalesce(btomb, TRUE) THEN bv END AS v_cents,
          |  maxlsn AS last_lsn

@@ -414,10 +414,14 @@ object Queries {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** LSH-bucketed ANN (oracle-reproducible variant): 8 random-hyperplane
-    * sign bits with md5-derived integer weights, quantized projections,
-    * top-3 within bucket. The xxhash64 production variant is
-    * SimilarityOps.lshTopK. */
+  /** LSH-bucketed ANN (oracle-reproducible CATALOG variant — this pins 8
+    * planes purely so DuckDB can reproduce it at sf0.01; a FIXED plane
+    * count does NOT scale, because bucket occupancy grows ~N/2^planes).
+    * PRODUCTION ENTRY: `SimilarityOps.lshTopK(planes <= 0)` — it derives
+    * the plane count from the corpus size (`SimilarityOps.planesFor`),
+    * keeping candidate-pair cost bounded as the corpus grows; the bound is
+    * asserted by SimilarityOpsSpec ("planesFor keeps candidate pairs
+    * bounded on a growing corpus"). */
   def q29AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val dim = 64; val planes = 8
     val e = t(s, dir, "embeddings")
@@ -655,9 +659,13 @@ object Queries {
 
   /** Partial-column patch merge semantics as a batch query: events as a
     * changelog keyed (user_id, event_id%7) with lsn = event_id; 'error' =
-    * delete, 'signup' = patch (sets tag on odd lsn, cents on even lsn),
-    * everything else a full upsert. Final image = base full-image winner +
-    * newer patches overlaid column-wise (exactly CdcApply.patchMerge). */
+    * delete, 'signup' = patch (sets tag on odd lsn, cents on even lsn; a
+    * patch with lsn%5==0 additionally UNSETS tag — the field-clear encoding
+    * of Schemas.UnsetCol, exercised end-to-end in CdcPatchSpec), everything
+    * else a full upsert. Final image = base full-image winner + newer
+    * patches overlaid column-wise (exactly CdcApply.patchMerge). The unset
+    * is carried as a '<CLEARED>' sentinel through the arg_max (both engines
+    * skip rows with null aggregation args) and NULLIF'd at the end. */
   def q43PatchMerge(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(
       col("user_id").as("conv_id"),
@@ -674,23 +682,26 @@ object Queries {
       when(col("op") === "P" && pmod(col("lsn"), lit(2)) === 1,
         lit(null).cast("long")).otherwise(col("v0")).as("v"))
     val isPatch = col("op") === "P"
+    val unsetTag = isPatch && pmod(col("lsn"), lit(5)) === 0
+    val tagTouched = isPatch && (col("tag").isNotNull || unsetTag)
     val g = e2.groupBy("conv_id", "turn_idx").agg(
       max_by(struct(col("tag"), col("v"), (col("op") === "D").as("tomb"),
         col("lsn")), when(!isPatch, col("lsn"))).as("base"),
       max(col("lsn")).as("maxlsn"),
       max(when(isPatch, col("lsn"))).as("maxplsn"),
-      max_by(col("tag"), when(isPatch && col("tag").isNotNull, col("lsn")))
-        .as("ptag"),
-      max(when(isPatch && col("tag").isNotNull, col("lsn"))).as("pltag"),
+      max_by(when(unsetTag, lit("<CLEARED>")).otherwise(col("tag")),
+        when(tagTouched, col("lsn"))).as("ptag"),
+      max(when(tagTouched, col("lsn"))).as("pltag"),
       max_by(col("v"), when(isPatch && col("v").isNotNull, col("lsn"))).as("pv"),
       max(when(isPatch && col("v").isNotNull, col("lsn"))).as("plv"))
     val baseLsn = col("base").getField("lsn")
     val baseTomb = col("base").getField("tomb")
     val noBase = lit(Long.MinValue)
     g.select(col("conv_id"), col("turn_idx"),
-        when(col("pltag") > coalesce(baseLsn, noBase), col("ptag"))
-          .otherwise(when(!coalesce(baseTomb, lit(true)),
-            col("base").getField("tag"))).as("tag"),
+        nullif(
+          when(col("pltag") > coalesce(baseLsn, noBase), col("ptag"))
+            .otherwise(when(!coalesce(baseTomb, lit(true)),
+              col("base").getField("tag"))), lit("<CLEARED>")).as("tag"),
         when(col("plv") > coalesce(baseLsn, noBase), col("pv"))
           .otherwise(when(!coalesce(baseTomb, lit(true)),
             col("base").getField("v"))).as("v_cents"),

@@ -48,6 +48,10 @@ object AggMaintenance {
         * the agg table is already at `epoch`, so the upsert must commit as
         * maintenance (same epoch, next snapshot) instead of fencing out. */
       maintenance: Boolean = false): CdcApply.ApplyStats = {
+    mainLake.currentSnapshot.foreach(s =>
+      require(s.keySpec == graft.model.Schemas.KeySpec.transcripts,
+        s"conv_agg maintenance aggregates transcript-keyed tables; this " +
+        s"lake is keyed ${s.keySpec}"))
     val mainBuckets = mainLake.currentSnapshot.map(_.nBuckets).getOrElse(64)
     val state = mainLake.readBuckets(Some(buckets))
     val live = if (state.columns.contains("_tombstone"))

@@ -57,7 +57,11 @@ object CdcApply {
   }
 
   def bucketOf(convId: Column, nBuckets: Int): Column =
-    pmod(xxhash64(convId), lit(nBuckets.toLong)).cast("int")
+    bucketOfCols(Seq(convId), nBuckets)
+
+  /** Multi-column bucket hash (keySpec.bucketCols order). */
+  def bucketOfCols(cols: Seq[Column], nBuckets: Int): Column =
+    pmod(xxhash64(cols: _*), lit(nBuckets.toLong)).cast("int")
 
   /** Validation verdict per event: null = valid, else the failure reason.
     * The engine-level guard the reference applies per event before state
@@ -65,12 +69,25 @@ object CdcApply {
     * MergeOperations-P5), with failures routed to the dead-letter store
     * (reference: failedEventOutputTag,
     * ActivityAggregateUpdaterConfig.scala:66-67,
-    * ActivityAggregatesFunction.scala:135,143). */
-  def invalidReason(allowedOps: Seq[String]): Column =
-    when(col("conv_id").isNull || trim(col("conv_id")) === "", "null_key")
-      .when(col("turn_idx").isNull, "null_turn")
+    * ActivityAggregatesFunction.scala:135,143). Key-generic: a blank/null
+    * bucket column is `null_key`, a null non-bucket key column `null_turn`
+    * (the names stay stable across key specs for quarantine consumers). */
+  def invalidReason(allowedOps: Seq[String],
+                    keys: graft.model.Schemas.KeySpec): Column = {
+    val bucketNull = keys.bucketCols
+      .map(n => col(n).isNull || trim(col(n).cast("string")) === "")
+      .reduce(_ || _)
+    val restNull = keys.restCols
+      .map(n => col(n).isNull)
+      .foldLeft(lit(false))(_ || _)
+    when(bucketNull, "null_key")
+      .when(restNull, "null_turn")
       .when(col("_lsn").isNull, "null_lsn")
       .when(col("op").isNull || !col("op").isin(allowedOps: _*), "bad_op")
+  }
+
+  def invalidReason(allowedOps: Seq[String]): Column =
+    invalidReason(allowedOps, graft.model.Schemas.KeySpec.transcripts)
 
   /** Select `schema`'s columns from df in order, null-filling absentees —
     * the additive-schema-evolution alignment (unionByName semantics made
@@ -134,32 +151,48 @@ object CdcApply {
         * buckets) — skips the bucket-probe scan. Extra buckets are
         * harmless; a missing one would lose rows, so only pass a hint you
         * can prove complete. */
-      touchedHint: Option[Set[Int]] = None): ApplyStats = {
+      touchedHint: Option[Set[Int]] = None,
+      /** key contract SEEDING a new table; once the table exists its
+        * snapshot's stored spec is authoritative (like nBuckets). */
+      keys: graft.model.Schemas.KeySpec =
+        graft.model.Schemas.KeySpec.transcripts): ApplyStats = {
     val t0 = System.nanoTime()
     val cur = lake.currentSnapshot
     if (!maintenance) cur match {
       case Some(s) if s.epoch >= epoch =>
         return ApplyStats(s, skipped = true, 0, 0, 0, 0.0) // fenced
       case _ =>
-    } else require(cur.forall(_.epoch == epoch),
-      s"maintenance apply must target the current epoch ${cur.map(_.epoch)}")
+    } else cur.foreach { s =>
+      // A maintenance apply (migration, derived-table refresh) whose epoch
+      // is no longer current was SUPERSEDED by a concurrent source commit:
+      // its synthesized batch is stale. Surface a typed conflict so the
+      // caller recomputes against the winner's state — never a silent fence
+      // (a lost migration must not look like success).
+      if (s.epoch != epoch)
+        throw new graft.lake.CommitConflictException(
+          s"maintenance apply targets epoch $epoch but the table moved to " +
+          s"epoch ${s.epoch}: recompute the maintenance batch against the " +
+          "current state and re-apply")
+    }
     // The table's bucket count is authoritative once it exists (the caller's
     // value only seeds a new table) — re-bucketing happens via
     // Compaction.rebucket, and appliers pick the new count up here.
     val nB = cur.map(_.nBuckets).getOrElse(nBuckets)
+    val ks = cur.map(_.keySpec).getOrElse(keys)
     val spark = lake.spark
 
     // Dead-letter quarantine: events failing validation never reach the
     // merge (a null key would otherwise group as a key; an unknown op would
-    // silently upsert). The clean-feed fast path costs one column-pruned
-    // count over the four validation columns; only a corrupted batch pays
-    // the quarantine write. Quarantine output is per-epoch, overwritten on
-    // retry — as idempotent as the merge itself.
+    // silently upsert). The invalid count rides the merge job itself via
+    // `observe` on the batch leg — a clean feed pays ZERO extra passes for
+    // validation; only a corrupted batch pays a quarantine re-scan after
+    // the merge. Quarantine output is per-epoch, overwritten on retry — as
+    // idempotent as the merge itself.
     val allowedOps =
       Seq(graft.model.Schemas.OpInsert, graft.model.Schemas.OpUpdate,
         graft.model.Schemas.OpDelete) ++
         (if (patchEnabled) Seq(graft.model.Schemas.OpPatch) else Nil)
-    val reason = invalidReason(allowedOps)
+    val reason = invalidReason(allowedOps, ks)
     // Fast-path predicate: when footer null-counts prove the key columns
     // null-free (ProbeInfo.keysNullFree), the clean-feed check scans ONLY
     // the op column; op validity can never come from footers (unknown op
@@ -168,25 +201,39 @@ object CdcApply {
       if (probeInfo.exists(_.keysNullFree))
         (col("op").isNull || !col("op").isin(allowedOps: _*))
       else reason.isNotNull
-    val nInvalid =
-      if (!validate) 0L
-      else phase("validate") { batch.filter(checkPred).count() }
+    // vObs is filled by whichever Spark job FIRST scans the batch (the
+    // bucket probe for small batches, else the merge write itself) — read
+    // only after one of those actions completed.
+    val vObs = org.apache.spark.sql.Observation()
+    val batchObserved =
+      if (validate)
+        batch.observe(vObs,
+          sum(when(checkPred, 1L).otherwise(0L)).as("invalid"))
+      else batch
     val cleanBatch =
-      if (nInvalid == 0L) batch
-      else {
-        val qdir = s"${lake.root}/quarantine/epoch=$epoch"
-        phase("quarantine") {
-          batch.withColumn("_reason", reason)
-            .filter(col("_reason").isNotNull)
-            .write.mode("overwrite").parquet(qdir)
-        }
-        batch.filter(reason.isNull)
+      if (validate) batchObserved.filter(!checkPred) else batchObserved
+    def observedInvalid(): Long =
+      if (!validate) 0L
+      else vObs.get.get("invalid") match {
+        case Some(n: Number) => n.longValue()
+        case _ => 0L
       }
+    // Rare path: only a corrupted batch pays this second scan.
+    def quarantine(nInvalid: Long): Unit = if (nInvalid > 0) {
+      val qdir = s"${lake.root}/quarantine/epoch=$epoch"
+      phase("quarantine") {
+        batch.withColumn("_reason", reason)
+          .filter(col("_reason").isNotNull)
+          .write.mode("overwrite").parquet(qdir)
+      }
+    }
 
     // Target schema = current lake schema + any new batch columns (additive).
     // Lake rows additionally carry `_tombstone` (persisted deletes — see the
     // read-side comment below).
-    val batchDataFields = batch.schema.fields.filterNot(_.name == "op") :+
+    val batchDataFields = batch.schema.fields
+      .filterNot(f => f.name == "op" ||
+        f.name == graft.model.Schemas.UnsetCol) :+
       org.apache.spark.sql.types.StructField("_tombstone",
         org.apache.spark.sql.types.BooleanType, nullable = false)
     val targetSchema = cur match {
@@ -203,11 +250,12 @@ object CdcApply {
     }
 
     // Lineage + row count: from the caller's footer-derived ProbeInfo when
-    // available, else a two-int-column scan (no string decode).
+    // available, else a two-int-column scan (no string decode; routed
+    // through batchObserved so it also fills the validation observation).
     val (rowsIn, batchLineage) = probeInfo match {
       case Some(pi) => (pi.rowsIn, pi.lineage)
       case None =>
-        val probe = phase("probe") { batch
+        val probe = phase("probe") { batchObserved
           .select(col("_src_part"), col("_src_off"))
           .groupBy("_src_part")
           .agg(min("_src_off").as("lo"), max("_src_off").as("hi"),
@@ -221,12 +269,24 @@ object CdcApply {
     // per bucket on average) touches every bucket with near-certainty, so the
     // conv_id scan is skipped; including an untouched bucket is harmless
     // (its rows are rewritten unchanged), excluding a touched one never
-    // happens. Small batches do the exact column-pruned scan.
-    val touched: Set[Int] = phase("probe-buckets") {
-      if (rowsIn - nInvalid >= nB.toLong * 64) (0 until nB).toSet
-      else cleanBatch.select(bucketOf(col("conv_id"), nB).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-    }
+    // happens. Small batches do the exact column-pruned scan — unless the
+    // caller handed over a provably complete hint (AggMaintenance/CrossMerge
+    // synthesize the batch FROM those buckets). The hint is bucket-space
+    // relative: trust it only if the table still has the bucket count the
+    // caller computed it under (a concurrent rebucket invalidates it).
+    var batchScanned = probeInfo.isEmpty // the lineage probe above ran
+    val touched: Set[Int] =
+      touchedHint.filter(_ => nB == nBuckets).getOrElse {
+        phase("probe-buckets") {
+          if (rowsIn >= nB.toLong * 64) (0 until nB).toSet
+          else {
+            batchScanned = true
+            cleanBatch
+              .select(bucketOfCols(ks.bucketCols.map(col), nB).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+          }
+        }
+      }
     val snapshotId = cur.map(_.snapshotId + 1).getOrElse(0L)
     val parentId = cur.map(_.snapshotId).getOrElse(-1L)
 
@@ -240,14 +300,38 @@ object CdcApply {
 
     if (touched.isEmpty) {
       // Empty (or fully-quarantined) batch: advance the epoch, carry all
-      // files forward.
+      // files forward. Same maintenance mode + conflict-retry discipline as
+      // the main commit path (a maintenance apply landing here must not be
+      // silently fenced, and a lost commit race must retry, not crash).
+      val nInvalid =
+        if (batchScanned) observedInvalid()
+        else if (validate)
+          phase("validate") { batchObserved.filter(checkPred).count() }
+        else 0L
+      quarantine(nInvalid)
       val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
         schemaVersion, nB, cur.map(_.manifests).getOrElse(Seq.empty),
         lineage, Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> 0.0,
-          "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble))
-      return ApplyStats(lake.commit(snap), skipped = false, rowsIn, 0, 0,
-        (System.nanoTime() - t0) / 1e9, Set.empty, failedEvents = nInvalid)
+          "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble),
+        bucketCols = ks.bucketCols, keyCols = ks.keyCols)
+      val committed =
+        try lake.commit(snap, maintenance = maintenance)
+        catch {
+          case _: graft.lake.CommitConflictException =>
+            return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
+              validate, patchEnabled, changeFeed, maintenance, touchedHint,
+              keys)
+        }
+      return ApplyStats(committed, committed.snapshotId != snapshotId, rowsIn,
+        0, 0, (System.nanoTime() - t0) / 1e9, Set.empty,
+        failedEvents = nInvalid)
     }
+    // Skew-free pruning of the state read AND the plan: an initial/bulk-load
+    // batch (no stored rows in any touched bucket) needs no union with state,
+    // no `_hl` rollup window, and classifies trivially (nothing can be
+    // carried/updated/deleted when there is nothing stored).
+    val stateEmpty =
+      !cur.exists(_.manifests.exists(r => touched.contains(r.bucket)))
 
     // Read-side: only the touched buckets of the current state. Deletes are
     // PERSISTED as tombstone rows (`_tombstone = true`, keeping their lsn):
@@ -258,21 +342,32 @@ object CdcApply {
     // `_st` marks rows that came from stored state (vs the batch); `_hl`
     // accumulates "this key had a live stored row" through the dedup phases
     // — together they drive the change-feed action classification below.
-    val patchExtra =
-      if (patchEnabled)
-        Seq("_patch" -> (col("op") === lit(graft.model.Schemas.OpPatch)))
+    // (name, batch-side expr, state-side expr): `_patch` marks patch rows,
+    // `_unset` carries the patch's cleared-column list (Schemas.UnsetCol),
+    // null on full-image rows and on feeds without the column.
+    val unsetType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    val patchExtra: Seq[(String, Column, Column)] =
+      if (patchEnabled) Seq(
+        ("_patch", col("op") === lit(graft.model.Schemas.OpPatch), lit(false)),
+        ("_unset",
+          if (batch.columns.contains(graft.model.Schemas.UnsetCol))
+            col(graft.model.Schemas.UnsetCol)
+          else lit(null).cast(unsetType),
+          lit(null).cast(unsetType)))
       else Nil
     val currentRows = align(lake.readBuckets(Some(touched)), targetSchema,
-      ("_st" -> lit(true)) +: patchExtra.map { case (n, _) => n -> lit(false) })
+      ("_st" -> lit(true)) +: patchExtra.map { case (n, _, s) => n -> s })
     val batchRows = align(
       cleanBatch.withColumn("_tombstone",
         col("op") === lit(graft.model.Schemas.OpDelete)),
       targetSchema,
-      ("_st" -> lit(false)) +: patchExtra)
-    val unioned = currentRows.unionByName(batchRows)
-      .withColumn("b", bucketOf(col("conv_id"), nB))
-      .withColumn("_hl",
-        when(col("_st") && !col("_tombstone"), 1).otherwise(0))
+      ("_st" -> lit(false)) +: patchExtra.map { case (n, b, _) => n -> b })
+    val unioned =
+      (if (stateEmpty) batchRows else currentRows.unionByName(batchRows))
+        .withColumn("b", bucketOfCols(ks.bucketCols.map(col), nB))
+        .withColumn("_hl",
+          when(col("_st") && !col("_tombstone"), 1).otherwise(0))
     val nPart = math.max(touched.size, 1)
 
     // LWW winner per key in ONE shuffle: repartition on the bucket (which is
@@ -295,25 +390,39 @@ object CdcApply {
     // adds no exchange and no re-sort — plan stays
     // Exchange -> Sort -> Window -> Window -> Filter -> Write).
     def lwwDedup(df0: DataFrame, partCols: Seq[Column]): DataFrame = {
-      val df = df0.withColumn("_kh", xxhash64(col("conv_id")))
-      val keyOrder = Seq(col("_kh"), col("conv_id"), col("turn_idx"),
-        col("_lsn").desc, col("_st").desc)
+      val df = df0.withColumn("_kh", xxhash64(ks.bucketCols.map(col): _*))
+      val keyColsC = ks.keyCols.map(col)
+      // `_st DESC` (stored row wins lsn ties) is a literal on bulk-load
+      // batches — keep it OUT of the sort there, or the constant-folded
+      // partition sort stops satisfying the window's required ordering and
+      // EnsureRequirements inserts a second Sort
+      val keyOrder = (col("_kh") +: keyColsC) ++
+        (col("_lsn").desc +: (if (stateEmpty) Nil else Seq(col("_st").desc)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(partCols: _*)
         .orderBy(keyOrder: _*)
       val wKey = org.apache.spark.sql.expressions.Window
-        .partitionBy(partCols ++ Seq(col("_kh"), col("conv_id"),
-          col("turn_idx")): _*)
-      df.repartition(nPart, partCols: _*)
-        .sortWithinPartitions(partCols ++ keyOrder: _*)
-        .withColumn("_pc", lag("conv_id", 1).over(w))
-        .withColumn("_pt", lag("turn_idx", 1).over(w))
+        .partitionBy(partCols ++ (col("_kh") +: keyColsC): _*)
+      val lagNames = ks.keyCols.indices.map(i => s"_pk$i")
+      val lagged = ks.keyCols.zip(lagNames)
+        .foldLeft(df.repartition(nPart, partCols: _*)
+          .sortWithinPartitions(partCols ++ keyOrder: _*)) {
+          case (d, (k, n)) => d.withColumn(n, lag(k, 1).over(w))
+        }
+      // first row of the partition, or any key column differing from the
+      // previous row -> this row is its key's LWW winner
+      val newKey = col(lagNames.head).isNull ||
+        ks.keyCols.zip(lagNames)
+          .map { case (k, n) => col(n) =!= col(k) }.reduce(_ || _)
+      lagged
+        // the `_hl` rollup is only meaningful when stored rows exist: on an
+        // initial/bulk-load batch every key's `_hl` is the literal 0, so the
+        // second Window is dropped from the plan entirely
         .withColumn("_hl2",
-          if (changeFeed) max("_hl").over(wKey) else col("_hl"))
-        .filter(col("_pc").isNull || col("_pc") =!= col("conv_id") ||
-          col("_pt") =!= col("turn_idx"))
+          if (changeFeed && !stateEmpty) max("_hl").over(wKey) else col("_hl"))
+        .filter(newKey)
         .withColumn("_hl", col("_hl2"))
-        .drop("_pc", "_pt", "_kh", "_hl2")
+        .drop(lagNames ++ Seq("_kh", "_hl2"): _*)
     }
 
     // Hot-conversation skew: optional two-phase salted dedup — phase 1 splits
@@ -321,7 +430,7 @@ object CdcApply {
     // resolves the per-salt winners globally. Identical duplicate deliveries
     // share an lsn and therefore a salt, so phase 1 already collapses them.
     val merged =
-      if (patchEnabled) patchMerge(unioned, targetSchema)
+      if (patchEnabled) patchMerge(unioned, targetSchema, ks)
       else if (saltBuckets > 0) {
         val salted = lwwDedup(
           unioned.withColumn("_salt",
@@ -331,26 +440,25 @@ object CdcApply {
       } else lwwDedup(unioned, Seq(col("b")))
 
     // Change-feed classification of each surviving row, counted via
-    // `observe` DURING the write job (zero extra pass), then dropped from
-    // the persisted schema. Reference analogue: start/complete/audit deltas
+    // `observe` DURING the write job (zero extra pass, no per-row action
+    // string — the counts are sums of boolean conditions over the merge's
+    // existing `_st`/`_tombstone`/`_hl` columns, which constant-fold on
+    // bulk-load batches). Reference analogue: start/complete/audit deltas
     // derived from the pre-vs-post image,
     // ActivityAggregatesFunction.scala:244-248.
-    val action =
-      when(col("_st"), lit("carried"))
-        .when(col("_tombstone") && col("_hl") === 1, lit("deleted"))
-        .when(col("_tombstone"), lit("delete_noop"))
-        .when(col("_hl") === 1, lit("updated"))
-        .otherwise(lit("inserted"))
+    def cnt(pred: Column, name: String): Column =
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    val isCarried = col("_st")
+    val hadLive = col("_hl") === 1
     val obs = org.apache.spark.sql.Observation()
     val observed = if (!changeFeed) merged.drop("_st", "_hl") else merged
-      .withColumn("_action", action)
       .observe(obs,
-        sum(when(col("_action") === "inserted", 1L).otherwise(0L)).as("inserted"),
-        sum(when(col("_action") === "updated", 1L).otherwise(0L)).as("updated"),
-        sum(when(col("_action") === "deleted", 1L).otherwise(0L)).as("deleted"),
-        sum(when(col("_action") === "delete_noop", 1L).otherwise(0L)).as("delete_noop"),
-        sum(when(col("_action") === "carried", 1L).otherwise(0L)).as("carried"))
-      .drop("_action", "_st", "_hl")
+        cnt(!isCarried && !col("_tombstone") && !hadLive, "inserted"),
+        cnt(!isCarried && !col("_tombstone") && hadLive, "updated"),
+        cnt(!isCarried && col("_tombstone") && hadLive, "deleted"),
+        cnt(!isCarried && col("_tombstone") && !hadLive, "delete_noop"),
+        cnt(isCarried, "carried"))
+      .drop("_st", "_hl")
 
     // Write-side: copy-on-write rewrite of touched buckets only.
     val dataDir = lake.newDataDir(snapshotId)
@@ -360,23 +468,32 @@ object CdcApply {
       else obs.get.map { case (k, v) =>
         k -> (v match { case n: Number => n.longValue(); case _ => 0L })
       }
+    // the write scanned the batch, so the folded validation count is ready
+    val nInvalid = observedInvalid()
+    quarantine(nInvalid)
 
-    // Per-file stats (row count + conv_id min/max) straight from the parquet
-    // footers on the driver — no extra Spark job; O(files) metadata work,
-    // the same write-side metrics collection a real table format does.
+    // Per-file stats (row count + bucket-key min/max) straight from the
+    // parquet footers on the driver — no extra Spark job; O(files) metadata
+    // work, the same write-side metrics collection a real table format does.
+    // Range stats are collected for a STRING leading bucket column (lookup
+    // pruning compares strings); other key types keep bucket pruning only.
+    val statsCol = ks.bucketCols.head
+    val statsIsString = targetSchema.fields.find(_.name == statsCol)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
     val newFiles = phase("stats") {
       val work = listBucketFiles(dataDir).flatMap { case (b, paths) =>
         paths.map(p => (b, p))
       }
       // footer reads are independent metadata fetches — parallelize
-      import scala.collection.parallel.CollectionConverters._
-      val par = work.par
-      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-        new java.util.concurrent.ForkJoinPool(16))
-      par.map { case (b, p) =>
-        val (n, mn, mx) = graft.lake.ParquetFooters.stringStats(p, "conv_id")
-        DataFileMeta(p, b, n, mn, mx)
-      }.seq
+      graft.lake.ParquetFooters.parMap(work) { case (b, p) =>
+        if (statsIsString) {
+          val (n, mn, mx) = graft.lake.ParquetFooters.stringStats(p, statsCol)
+          DataFileMeta(p, b, n, mn, mx)
+        } else {
+          val (n, _) = graft.lake.ParquetFooters.longStats(p, "_lsn")
+          DataFileMeta(p, b, n, "", "")
+        }
+      }
     }
     val rowsOut = newFiles.map(_.rows).sum
     // Commit metadata is O(touched): one manifest file per rewritten bucket;
@@ -392,20 +509,25 @@ object CdcApply {
         "durationSec" -> durationSec,
         "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0),
         "failedEvents" -> nInvalid.toDouble) ++
-        actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble })
+        actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble },
+      bucketCols = ks.bucketCols, keyCols = ks.keyCols)
     val committed =
       try lake.commit(snap, maintenance = maintenance)
       catch {
         // Lost a commit race to a concurrent applier (version file taken).
         // The atomic link(2) publish is the arbiter: re-apply against the
-        // refreshed snapshot — if the winner already covered our epoch the
-        // retry is fenced at entry; otherwise the merge recomputes over the
-        // winner's state (Iceberg-style commit retry; our data dir becomes
-        // an orphan that readers never see). Retries bounded by epoch
-        // progress.
+        // refreshed snapshot with ALL mode flags forwarded — if the winner
+        // already covered our epoch the retry is fenced at entry; a
+        // maintenance retry whose epoch moved fails loudly on the entry
+        // `require` instead of being silently fenced as a normal apply
+        // (a lost migration must never look like success); otherwise the
+        // merge recomputes over the winner's state (Iceberg-style commit
+        // retry; our data dir becomes an orphan that readers never see).
+        // Retries bounded by epoch progress.
         case _: graft.lake.CommitConflictException =>
           return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
-            validate, patchEnabled, changeFeed)
+            validate, patchEnabled, changeFeed, maintenance, touchedHint,
+            keys)
       }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
     ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec,
@@ -435,10 +557,10 @@ object CdcApply {
     * express per-column fold, hence the separate opt-in path; output
     * contract matches lwwDedup's (`_st` = carried flag, `_hl` = had live
     * stored row) so the change-feed classification downstream is shared. */
-  private def patchMerge(unioned: DataFrame,
-                         targetSchema: StructType): DataFrame = {
+  private def patchMerge(unioned: DataFrame, targetSchema: StructType,
+                         ks: graft.model.Schemas.KeySpec): DataFrame = {
     val metaCols = Set("_lsn", "_src_part", "_src_off", "_tombstone")
-    val keyCols = Seq("conv_id", "turn_idx")
+    val keyCols = ks.keyCols
     val dataCols = targetSchema.fields.map(_.name)
       .filterNot(n => keyCols.contains(n) || metaCols(n)).toSeq
     val isPatch = col("_patch")
@@ -455,12 +577,17 @@ object CdcApply {
       max(when(col("_st") && !col("_tombstone"), 1).otherwise(0)).as("_hadlive"),
       max_by(struct(col("_src_part"), col("_src_off")), winOrder).as("_wsrc")
     ) ++ dataCols.flatMap { c =>
-      val setter = when(isPatch && col(c).isNotNull, col("_lsn"))
-      Seq(max_by(col(c), setter).as(s"_p_$c"),
+      // a column is "touched" by a patch when it carries a non-null value OR
+      // is listed in the patch's unset_cols (explicit clear — Schemas.UnsetCol);
+      // the unset wins when both, and the cleared value is a typed null
+      val unset = coalesce(array_contains(col("_unset"), lit(c)), lit(false))
+      val setter =
+        when(isPatch && (col(c).isNotNull || unset), col("_lsn"))
+      Seq(max_by(when(!unset, col(c)), setter).as(s"_p_$c"),
         max(setter).as(s"_pl_$c"))
     }
     val g = unioned
-      .groupBy(col("b"), col("conv_id"), col("turn_idx"))
+      .groupBy(col("b") +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val baseLsn = col("_base").getField("_lsn")
     val baseTomb = col("_base").getField("_tombstone")

@@ -32,7 +32,10 @@ final class CdcDriver(
       * (AggMaintenance) under the same epoch fencing */
     aggLake: Option[LakeTable] = None,
     /** the feed contains op='P' partial-column patch events */
-    patchEnabled: Boolean = false) {
+    patchEnabled: Boolean = false,
+    /** classify + count per-row change actions (CdcApply change feed);
+      * turn off for pure-ingest throughput */
+    changeFeed: Boolean = true) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -58,7 +61,8 @@ final class CdcDriver(
       // epoch = exclusive upper segment bound -> fencing token
       val epoch = group.max + 1
       val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets,
-        probeInfo = probeFromFooters(paths), patchEnabled = patchEnabled)
+        probeInfo = probeFromFooters(paths), patchEnabled = patchEnabled,
+        changeFeed = changeFeed)
       aggLake.foreach { al =>
         if (!stats.skipped && stats.touchedSet.nonEmpty)
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
@@ -82,42 +86,9 @@ final class CdcDriver(
 
   /** Per-source-partition lineage + row count for a batch straight from the
     * footers of the changelog's parquet files under `seg=N/p=P/` (driver
-    * metadata IO only; no cluster scan — the reference reads the same token
-    * off each Kafka record, JobRequestSerde.scala:22-35). Returns None if the
-    * layout lacks `p=` dirs (flat segments fall back to the probe scan). */
-  private def probeFromFooters(segDirs: Seq[String]): Option[CdcApply.ProbeInfo] = {
-    val perPart = segDirs.flatMap { d =>
-      graft.lake.LakeIO.list(d)
-        .filter { case (name, _, isDir) => isDir && name.startsWith("p=") }
-        .flatMap { case (name, path, _) =>
-          val part = name.stripPrefix("p=").toInt
-          graft.lake.LakeIO.list(path)
-            .filter(_._1.endsWith(".parquet")).map(f => part -> f._2)
-        }
-    }
-    if (perPart.isEmpty) return None
-    val keyCols = Set("conv_id", "turn_idx", "_lsn")
-    val stats = graft.lake.ParquetFooters.parMap(perPart) { case (part, path) =>
-      val (n, bounds) = graft.lake.ParquetFooters.longStats(path, "_src_off")
-      // The applier may skip the key checks of the validation scan only if
-      // footers PROVE them impossible: zero nulls in the key columns AND
-      // the conv_id min excludes empty/whitespace-leading strings (an
-      // all-blank key sorts before any printable character, so it would BE
-      // the min if present).
-      val nullFree = graft.lake.ParquetFooters.nullCounts(path, keyCols)
-        .exists(_.values.forall(_ == 0L))
-      val (_, minKey, _) = graft.lake.ParquetFooters.stringStats(path, "conv_id")
-      val nonBlank = minKey.nonEmpty && minKey.head > ' '
-      (part, n, bounds, nullFree && nonBlank)
-    }
-    // Any populated file without _src_off footer stats -> fall back to the
-    // two-column probe scan rather than recording corrupted lineage bounds.
-    if (stats.exists(s => s._2 > 0 && s._3.isEmpty)) return None
-    val lineage = stats.filter(_._3.nonEmpty).groupBy(_._1).map { case (part, xs) =>
-      graft.lake.PartitionLineage(part,
-        xs.map(_._3.get._1).min, xs.map(_._3.get._2).max)
-    }.toSeq.sortBy(_.srcPart)
-    Some(CdcApply.ProbeInfo(stats.map(_._2).sum, lineage,
-      keysNullFree = stats.forall(_._4)))
-  }
+    * metadata IO only; no cluster scan — shared with the streaming tailer,
+    * see [[FooterProbe]]). Returns None if the layout lacks `p=` dirs (flat
+    * segments fall back to the probe scan). */
+  private def probeFromFooters(segDirs: Seq[String]): Option[CdcApply.ProbeInfo] =
+    FooterProbe.fromSegDirs(segDirs, Set("conv_id", "turn_idx", "_lsn"))
 }

@@ -13,7 +13,7 @@ import graft.lake.LakeTable
  * Usage:
  *   CdcMain gen     <changelogDir> <nEvents> [nConvs] [skew] [evolveAt] [segSize]
  *   CdcMain replay  <changelogDir> <lakeDir> [segmentsPerBatch] [nBuckets]
- *                   [saltBuckets] [aggDir|-] [patch]
+ *                   [saltBuckets] [aggDir|-] [patch] [nocf]
  *   CdcMain stream  <changelogDir> <lakeDir> <ckptDir> [nBuckets]
  *                   [saltBuckets] [maxFilesPerTrigger] [liveIntervalMs]
  *   CdcMain state   <lakeDir>      — row count + order-independent checksum
@@ -69,7 +69,8 @@ object CdcMain {
         saltBuckets = rest.lift(2).map(_.toInt).getOrElse(0),
         aggLake = rest.lift(3).filter(_ != "-")
           .map(d => new LakeTable(spark, d)),
-        patchEnabled = rest.lift(4).contains("patch"))
+        patchEnabled = rest.contains("patch"),
+        changeFeed = !rest.contains("nocf"))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -96,7 +97,10 @@ object CdcMain {
         if (liveMs > 0)
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(liveMs)
         else org.apache.spark.sql.streaming.Trigger.AvailableNow()
-      CdcStream.run(spark, changelogDir, lake, ckptDir, inferred,
+      // fixed-delay restart supervision (reference: base-config.conf:27-28)
+      // — a transient batch failure restarts the tailer from its checkpoint
+      // instead of ending an always-on deployment
+      CdcStream.runSupervised(spark, changelogDir, lake, ckptDir, inferred,
         nBuckets = rest.headOption.map(_.toInt).getOrElse(64),
         saltBuckets = rest.lift(1).map(_.toInt).getOrElse(0),
         maxFilesPerTrigger = rest.lift(2).map(_.toInt).getOrElse(16),

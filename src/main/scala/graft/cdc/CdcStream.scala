@@ -47,7 +47,11 @@ object CdcStream {
       maxFilesPerTrigger: Int = 16,
       aggLake: Option[LakeTable] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      patchEnabled: Boolean = false): StreamingQuery = {
+      patchEnabled: Boolean = false,
+      changeFeed: Boolean = true,
+      /** test-only fault hook, invoked per micro-batch BEFORE the merge —
+        * lets specs inject a transient failure to exercise supervision */
+      onBatch: Long => Unit = _ => ()): StreamingQuery = {
     bindOrRefuse(lake, checkpointDir)
     // Derived-table reconciliation: if a crash landed between the main
     // commit and the agg maintain, the replayed batch will fence and the
@@ -66,8 +70,16 @@ object CdcStream {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        onBatch(batchId)
+        // Footer-derived lineage/row count/null-proof from the micro-batch's
+        // own input files: with it the merge is the batch's ONLY data pass
+        // (validation rides the merge's observe; no lineage probe scan) —
+        // without it a live tailer pays a standing ~2x read amplification.
+        val probe = FooterProbe.fromInputFiles(batch.inputFiles.toSeq,
+          Set("conv_id", "turn_idx", "_lsn"))
         val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
-          nBuckets, saltBuckets, patchEnabled = patchEnabled)
+          nBuckets, saltBuckets, probeInfo = probe,
+          patchEnabled = patchEnabled, changeFeed = changeFeed)
         aggLake.foreach { al =>
           if (!stats.skipped && stats.touchedSet.nonEmpty)
             AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
@@ -92,10 +104,64 @@ object CdcStream {
       maxFilesPerTrigger: Int = 16,
       aggLake: Option[LakeTable] = None,
       trigger: Trigger = Trigger.AvailableNow(),
-      patchEnabled: Boolean = false): Unit =
+      patchEnabled: Boolean = false,
+      changeFeed: Boolean = true): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
-      saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled)
-      .awaitTermination()
+      saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
+      changeFeed).awaitTermination()
+
+  /** Always-on tailer with fixed-delay restart supervision: a failed stream
+    * (one transient FS hiccup would otherwise end the deployment) restarts
+    * from its checkpoint up to `restartAttempts` times, `restartDelayMs`
+    * apart — the reference runs every job under exactly this policy
+    * (jobs-core base-config.conf:27-28 `restart-strategy fixed-delay,
+    * attempts 3, delay 30s`; FlinkUtil.scala:37). A successful stop (caller
+    * `stop()`, or AvailableNow drain) ends supervision; a batch that keeps
+    * failing exhausts the attempts and rethrows the LAST failure loudly.
+    * Progress RESETS the attempt budget (any committed batch means the
+    * stream is healthy again), so a long-lived tailer doesn't die on the
+    * 4th transient hiccup of its lifetime. */
+  def runSupervised(
+      spark: SparkSession,
+      changelogDir: String,
+      lake: LakeTable,
+      checkpointDir: String,
+      schema: StructType,
+      nBuckets: Int = 64,
+      saltBuckets: Int = 0,
+      maxFilesPerTrigger: Int = 16,
+      aggLake: Option[LakeTable] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      patchEnabled: Boolean = false,
+      changeFeed: Boolean = true,
+      restartAttempts: Int = 3,
+      restartDelayMs: Long = 30000L,
+      onBatch: Long => Unit = _ => ()): Unit = {
+    var attempt = 0
+    var running = true
+    while (running) {
+      val epochBefore = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
+      val q = start(spark, changelogDir, lake, checkpointDir, schema,
+        nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
+        patchEnabled, changeFeed, onBatch)
+      try {
+        q.awaitTermination()
+        running = false // clean termination (drain done or caller stop)
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val progressed =
+            lake.currentSnapshot.map(_.epoch).getOrElse(0L) > epochBefore
+          if (progressed) attempt = 0
+          attempt += 1
+          if (attempt > restartAttempts) throw e
+          System.err.println(
+            s"[CdcStream] stream failed (attempt $attempt/$restartAttempts)," +
+            s" restarting from checkpoint in ${restartDelayMs}ms: " +
+            s"${e.getMessage}")
+          Thread.sleep(restartDelayMs)
+      }
+    }
+  }
 
   /** Enforce the one-lake-one-checkpoint pairing. The checkpoint side
     * carries `graft-binding.json` (created here on first use); the lake side

@@ -32,8 +32,31 @@ object CrossMerge {
     * the current epoch, so migrations never consume source-epoch space
     * (an epoch bump here would silently fence the next changelog segment
     * or streaming batch — permanent data loss). Re-running the same
-    * migration is a no-op (the source is already consumed). */
+    * migration is a no-op (the source is already consumed).
+    *
+    * Concurrency: if a source applier commits while the migration is in
+    * flight, the maintenance apply surfaces a [[graft.lake.CommitConflictException]]
+    * — the migration batch is then RECOMPUTED from the winner's state and
+    * re-applied (the migration either lands on current state or, after
+    * `maxAttempts` lost races, fails loudly; it is never silently dropped —
+    * the reference applies every missing batch exactly once,
+    * lms-jobs/merge-user-courses/.../MergeOperations.scala:49). */
   def mergeConversations(
+      lake: LakeTable,
+      pairs: Seq[(String, String)],
+      maxAttempts: Int = 5): CdcApply.ApplyStats = {
+    var last: graft.lake.CommitConflictException = null
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try return mergeOnce(lake, pairs)
+      catch { case e: graft.lake.CommitConflictException => last = e }
+    }
+    throw new graft.lake.CommitConflictException(
+      s"migration lost $maxAttempts commit races: ${last.getMessage}")
+  }
+
+  private def mergeOnce(
       lake: LakeTable,
       pairs: Seq[(String, String)]): CdcApply.ApplyStats = {
     require(pairs.nonEmpty, "no pairs to merge")
@@ -46,6 +69,9 @@ object CrossMerge {
 
     val snap = lake.currentSnapshot.getOrElse(
       throw new IllegalStateException("cannot migrate in an empty lake"))
+    require(snap.keySpec == graft.model.Schemas.KeySpec.transcripts,
+      s"CrossMerge migrates transcript-keyed tables; this lake is keyed " +
+      s"${snap.keySpec}")
     val nB = snap.nBuckets
     val buckets = pairs.flatMap { case (f, t) =>
       Seq(LakeTable.bucketOfValue(f, nB), LakeTable.bucketOfValue(t, nB))
@@ -100,13 +126,18 @@ object CrossMerge {
       .withColumn("_src_off", lit(synthBase) + col("_mg_idx"))
       .drop("_mg_idx")
 
+    // Synthesized-batch size: one bucket-pruned count so ApplyStats.rowsIn /
+    // eventsPerSec report the migration's real row volume (admin op — the
+    // extra small job is fine). Lineage covers the synthesized lsn range
+    // [synthBase, synthBase + pairs.size - 1] (per-pair offsets 0..size-1).
+    val nBatch = batch.count()
     // every batch row's conv_id is one of the pair convs, whose buckets
     // are exactly `buckets` — provably complete hint
     CdcApply.apply(lake, batch, epoch = snap.epoch, nBuckets = nB,
       maintenance = true, validate = false,
-      probeInfo = Some(CdcApply.ProbeInfo(0L,
+      probeInfo = Some(CdcApply.ProbeInfo(nBatch,
         Seq(graft.lake.PartitionLineage(-1, synthBase,
-          synthBase + pairs.size)))),
+          synthBase + pairs.size - 1)))),
       touchedHint = Some(buckets))
   }
 }

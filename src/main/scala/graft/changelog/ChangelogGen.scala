@@ -46,6 +46,10 @@ object ChangelogGen {
       /** probability of a partial-column patch event (op='P': only a hashed
         * subset of role/text/ts is set, the rest null = untouched). */
       pPatch: Double = 0.0,
+      /** probability a patch event also CLEARS columns via `unset_cols`
+        * (Schemas.UnsetCol): a hashed subset of its untouched columns is
+        * explicitly unset. >0 adds the unset_cols column to the changelog. */
+      pUnset: Double = 0.0,
       /** parquet files per (segment, source partition) — a real binlog
         * archive is one file chain per shard; >1 adds scan parallelism. */
       filesPerSeg: Int = 2,
@@ -139,15 +143,30 @@ object ChangelogGen {
       .withColumn("_src_part", srcPart)
       .withColumn("_src_off", e)
 
+    // Explicit column clears: a patch may unset a hashed subset of the
+    // columns it did NOT set (role and/or ts), carried in unset_cols.
+    val doUnset = isP && (u01(e, "unset") < cfg.pUnset)
+    val ubits = pmod(h(e, "ubits"), lit(3L)) + 1L // 1..3: role, ts, both
+    val base2 =
+      if (cfg.pUnset <= 0) base
+      else base.withColumn(graft.model.Schemas.UnsetCol,
+        when(doUnset, array_remove(array(
+          when(!setRole && ubits.bitwiseAND(lit(1L)) === 1L, lit("role"))
+            .otherwise(lit("")),
+          when(!setTs && ubits.bitwiseAND(lit(2L)) === 2L, lit("ts"))
+            .otherwise(lit(""))), ""))
+          .otherwise(lit(null).cast("array<string>")))
+
     val withMeta =
-      if (withEvolution) base.withColumn("tool_meta",
+      if (withEvolution) base2.withColumn("tool_meta",
         when(e >= cfg.evolveAt && !isP,
           concat(lit("""{"v":"""), pmod(h(e, "tm"), lit(100L)).cast("string"),
             lit("}"))).otherwise(lit(null).cast("string")))
-      else base
+      else base2
 
     val cols = Seq("op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
       "_lsn", "_src_part", "_src_off") ++
+      (if (cfg.pUnset > 0) Seq(graft.model.Schemas.UnsetCol) else Nil) ++
       (if (withEvolution) Seq("tool_meta") else Nil)
     withMeta.withColumn("seg", (col("i") / cfg.segSize).cast("long"))
       .select((cols :+ "seg").map(col): _*)

@@ -62,9 +62,11 @@ object ChangeFeedReader {
         else spark.read.schema(s.schema).parquet(files.map(_.path): _*)
       val live = if (base.columns.contains("_tombstone"))
         base.filter(!col("_tombstone")) else base
-      live.select(col("conv_id"), col("turn_idx"), col("_lsn"))
+      live.select(keyCols.map(col) :+ col("_lsn"): _*)
     }
 
+    // key-generic: diff on the table's stored key spec
+    lazy val keyCols = to.keySpec.keyCols
     val newSide = side(to, diffBuckets)
     val oldSide = fromOpt match {
       case None => spark.createDataFrame(
@@ -72,15 +74,15 @@ object ChangeFeedReader {
         newSide.schema)
       case Some(f) => side(f, diffBuckets)
     }
-    oldSide.select(col("conv_id"), col("turn_idx"), col("_lsn").as("pre_lsn"))
-      .join(newSide.select(col("conv_id"), col("turn_idx"),
-        col("_lsn").as("post_lsn")), Seq("conv_id", "turn_idx"), "full_outer")
-      .select(col("conv_id"), col("turn_idx"),
+    oldSide.select(keyCols.map(col) :+ col("_lsn").as("pre_lsn"): _*)
+      .join(newSide.select(keyCols.map(col) :+ col("_lsn").as("post_lsn"): _*),
+        keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
         when(col("pre_lsn").isNull, "inserted")
           .when(col("post_lsn").isNull, "deleted")
           .when(col("post_lsn") > col("pre_lsn"), "updated")
           .otherwise(lit("carried")).as("action"),
-        col("pre_lsn"), col("post_lsn"))
+        col("pre_lsn"), col("post_lsn")): _*)
       .filter(col("action") =!= "carried")
   }
 }

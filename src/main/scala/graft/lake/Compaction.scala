@@ -57,17 +57,22 @@ object Compaction {
       if (raw.columns.contains("_tombstone"))
         raw.filter(!col("_tombstone") || col("_lsn") >= tombstoneWatermark)
       else raw
-    val withB = kept.withColumn("b", CdcApply.bucketOf(col("conv_id"), nB))
+    val ks = cur.keySpec
+    val withB = kept.withColumn("b",
+      CdcApply.bucketOfCols(ks.bucketCols.map(col), nB))
 
     val dataDir = lake.newDataDir(cur.snapshotId + 1)
     val writer = withB
       .repartition(nB, col("b"))
-      .sortWithinPartitions(col("b"), col("conv_id"), col("turn_idx"))
+      .sortWithinPartitions(col("b") +: ks.keyCols.map(col): _*)
       .write.partitionBy("b")
     (if (targetFileRows > 0)
        writer.option("maxRecordsPerFile", targetFileRows)
      else writer).parquet(dataDir)
 
+    val statsCol = ks.bucketCols.head
+    val statsIsString = cur.schema.fields.find(_.name == statsCol)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
     val newFiles = {
       val work = LakeIO.list(dataDir)
         .filter { case (name, _, isDir) => isDir && name.startsWith("b=") }
@@ -77,8 +82,13 @@ object Compaction {
             .map(x => (b, x._2))
         }
       ParquetFooters.parMap(work) { case (b, p) =>
-        val (n, mn, mx) = ParquetFooters.stringStats(p, "conv_id")
-        DataFileMeta(p, b, n, mn, mx)
+        if (statsIsString) {
+          val (n, mn, mx) = ParquetFooters.stringStats(p, statsCol)
+          DataFileMeta(p, b, n, mn, mx)
+        } else {
+          val (n, _) = ParquetFooters.longStats(p, "_lsn")
+          DataFileMeta(p, b, n, "", "")
+        }
       }
     }
 
@@ -89,7 +99,8 @@ object Compaction {
     val snap = Snapshot(cur.snapshotId + 1, cur.snapshotId, cur.epoch,
       cur.schemaJson, cur.schemaVersion, nB, newRefs, cur.lineage,
       Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
-        "rowsAfter" -> rowsAfter.toDouble))
+        "rowsAfter" -> rowsAfter.toDouble),
+      bucketCols = ks.bucketCols, keyCols = ks.keyCols)
     val committed = lake.commit(snap, maintenance = true)
     CompactionStats(committed, cur.totalFiles, newFiles.size,
       rowsBefore, rowsAfter, rowsBefore - rowsAfter)

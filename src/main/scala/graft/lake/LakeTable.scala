@@ -54,8 +54,19 @@ final case class Snapshot(
     nBuckets: Int,
     manifests: Seq[ManifestRef],
     lineage: Seq[PartitionLineage],
-    metrics: Map[String, Double]) {
+    metrics: Map[String, Double],
+    /** Key contract of the table (graft.model.Schemas.KeySpec), stored at
+      * creation so every applier/reader agrees; null in pre-keyspec
+      * metadata -> transcript default via [[keySpec]]. */
+    bucketCols: Seq[String] = Seq("conv_id"),
+    keyCols: Seq[String] = Seq("conv_id", "turn_idx")) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  @com.fasterxml.jackson.annotation.JsonIgnore
+  def keySpec: graft.model.Schemas.KeySpec =
+    if (bucketCols == null || keyCols == null || bucketCols.isEmpty)
+      graft.model.Schemas.KeySpec.transcripts // pre-keyspec metadata
+    else graft.model.Schemas.KeySpec(bucketCols, keyCols)
 
   /** All data files, resolved through the per-bucket manifests. Cold-path
     * convenience (expire, audits, tests) — hot paths resolve only the
@@ -171,25 +182,42 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * File ranges are tight after compaction (bucket files are key-sorted
     * and split by maxRecordsPerFile); fresh merge output is hash-sorted so
     * ranges may span the bucket. */
-  def lookupFiles(convId: String): Seq[DataFileMeta] =
+  def lookupFiles(convId: String): Seq[DataFileMeta] = lookupFilesKeyed(Seq(convId))
+
+  /** Generic form: one value per keySpec.bucketCols entry (typed to match
+    * the table schema — String/Int/Long). Files whose footer stats were not
+    * collected (non-string bucket key: maxKey empty) are kept — bucket
+    * pruning still applies, range pruning needs string stats. */
+  def lookupFilesKeyed(bucketValues: Seq[Any]): Seq[DataFileMeta] =
     currentSnapshot match {
       case None => Seq.empty
       case Some(s) =>
-        val b = LakeTable.bucketOfValue(convId, s.nBuckets)
+        val b = LakeTable.bucketOfValues(bucketValues, s.nBuckets)
+        val ranged = bucketValues.head match {
+          case v: String => Some(v)
+          case _ => None // range stats are string-keyed only
+        }
         s.manifests.filter(_.bucket == b).flatMap(Manifests.load)
-          .filter(f => f.minKey <= convId && convId <= f.maxKey)
+          .filter(f => f.maxKey == null || f.maxKey.isEmpty ||
+            ranged.forall(v => f.minKey <= v && v <= f.maxKey))
     }
 
   /** Key-range-pruned point lookup of one conversation's live rows. */
-  def lookup(convId: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, not}
+  def lookup(convId: String): DataFrame = lookupKeyed(Seq(convId))
+
+  /** Generic point lookup: live rows of the entity whose bucket-column
+    * values are `bucketValues` (in keySpec.bucketCols order). */
+  def lookupKeyed(bucketValues: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, not}
     val s = currentSnapshot.getOrElse(return spark.emptyDataFrame)
-    val files = lookupFiles(convId)
+    val files = lookupFilesKeyed(bucketValues)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    val pred = s.keySpec.bucketCols.zip(bucketValues)
+      .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
     val df = spark.read.schema(s.schema).parquet(files.map(_.path): _*)
-      .filter(col("conv_id") === convId)
+      .filter(pred)
     if (df.columns.contains("_tombstone"))
       df.filter(not(col("_tombstone"))).drop("_tombstone")
     else df
@@ -234,8 +262,14 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     LakeIO.mkdirs(metaDir)
     currentSnapshot.foreach { cur =>
       if (maintenance) {
-        require(snap.epoch == cur.epoch,
-          s"maintenance commit must keep epoch ${cur.epoch}, got ${snap.epoch}")
+        // a maintenance commit prepared against epoch E while a concurrent
+        // source commit moved the table to E' is a CONFLICT (recompute and
+        // re-apply), not a silent fence and not a plain caller error
+        if (snap.epoch != cur.epoch)
+          throw new CommitConflictException(
+            s"maintenance commit must keep epoch ${cur.epoch}, got " +
+            s"${snap.epoch} — a concurrent commit moved the table; " +
+            "recompute against the current state")
       } else if (cur.epoch >= snap.epoch) return cur // fenced: replayed batch
       if (snap.snapshotId <= cur.snapshotId)
         throw new CommitConflictException(
@@ -335,10 +369,15 @@ object LakeTable {
   /** Driver-side mirror of CdcApply.bucketOf — evaluates Spark's own
     * XxHash64 expression (seed 42, the `functions.xxhash64` default) so a
     * point lookup lands in exactly the bucket the writer used. */
-  def bucketOfValue(convId: String, nBuckets: Int): Int = {
+  def bucketOfValue(convId: String, nBuckets: Int): Int =
+    bucketOfValues(Seq(convId), nBuckets)
+
+  /** Multi-column form: values in keySpec.bucketCols order, typed to match
+    * the table columns (String/Int/Long/Boolean — Literal-representable). */
+  def bucketOfValues(values: Seq[Any], nBuckets: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
-      Seq(org.apache.spark.sql.catalyst.expressions.Literal(convId)), 42L)
-      .eval(null).asInstanceOf[Long]
+      values.map(v => org.apache.spark.sql.catalyst.expressions.Literal(v)),
+      42L).eval(null).asInstanceOf[Long]
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 }

@@ -61,6 +61,31 @@ object Schemas {
 
   val keyCols: Seq[String] = Seq("conv_id", "turn_idx")
 
+  /** Table key contract: `bucketCols` (the hash-shard / conversation-level
+    * key — all rows of one entity co-locate in one bucket) must be a subset
+    * of `keyCols` (the full primary key a change event addresses).
+    *
+    * The engine is key-generic: the spec is stored in the lake's snapshot
+    * metadata at table creation and every applier reads it back from there
+    * — so one engine hosts the reference's differently-keyed tables at once
+    * (e.g. `user_enrolments(userid, courseid, batchid)` and
+    * `user_activity_agg((activity_type, activity_id), context_id, user_id)`,
+    * lms-jobs/activity-aggregate-updater/src/test/resources/test.cql:32-60)
+    * next to the transcript default `(conv_id; conv_id, turn_idx)`. */
+  final case class KeySpec(bucketCols: Seq[String], keyCols: Seq[String]) {
+    require(bucketCols.nonEmpty && keyCols.nonEmpty, "key spec must be non-empty")
+    require(bucketCols.forall(keyCols.contains),
+      s"bucket cols $bucketCols must be a subset of key cols $keyCols")
+    /** key columns beyond the bucket (sub-entity address, e.g. turn_idx) */
+    def restCols: Seq[String] = keyCols.filterNot(bucketCols.contains)
+  }
+
+  object KeySpec {
+    /** BASELINE.json input_hint: transcripts keyed (conv_id, turn_idx),
+      * sharded by conversation. */
+    val transcripts: KeySpec = KeySpec(Seq("conv_id"), keyCols)
+  }
+
   val OpInsert = "I"
   val OpUpdate = "U"
   val OpDelete = "D"
@@ -72,4 +97,15 @@ object Schemas {
     * (ActivityAggregatesFunction.scala:301-310,
     * user-cache-updater-2.0 UserMetadataUpdater.scala:86-105). */
   val OpPatch = "P"
+
+  /** Optional batch-side meta column on patch feeds (`array<string>`): the
+    * listed business columns are CLEARED (set to null) as of the patch's
+    * lsn — the encoding a partial feed needs for "this field was removed",
+    * which plain null cannot express (null means "not touched"). If a column
+    * is both set and listed, the unset wins. Reference analogue: the
+    * field-level hash deletes on user-cache upserts,
+    * user-org-jobs/user-cache-updater-2.0/.../UserMetadataUpdater.scala:142-153
+    * (`removeEmptyFields`/`removeFrameworkFields` -> `hdelWithRetry`).
+    * Never persisted in the lake table (engine meta, like `op`). */
+  val UnsetCol = "unset_cols"
 }

@@ -258,11 +258,15 @@ object DedupOps {
     * count is logged); every candidate is then verified EXACTLY against
     * the full shingle sets, so the cap trades candidate recall, never the
     * correctness of a reported pair. dfCap = 0 reverts to the exhaustive
-    * within-block all-pairs compare (verification baseline). */
+    * within-block all-pairs compare (verification baseline).
+    *
+    * `logDrops` defaults ON: silently losing candidate recall on hot
+    * shingles is exactly the kind of cap a caller must SEE (the count job
+    * is one small aggregate; pass false only in benchmark loops). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       bucketCols: Seq[String], w: Int, threshold: Double,
-      dfCap: Int = 128, logDrops: Boolean = false): DataFrame = {
+      dfCap: Int = 128, logDrops: Boolean = true): DataFrame = {
     val d = withWordShingleSet(docs, textCol, w, "_sh")
       .select((bucketCols.map(col) :+ col(idCol).as("_id") :+ col("_sh")): _*)
     if (dfCap <= 0) {

@@ -92,6 +92,46 @@ class AggMaintenanceSpec extends AnyFunSuite {
     assert(agg.currentSnapshot.get.epoch == main.currentSnapshot.get.epoch)
   }
 
+  /** The touchedHint contract: a maintenance batch synthesized FROM known
+    * buckets (probeInfo + touchedHint + validate=false) runs exactly ONE
+    * Spark action — the merge write. The round-2 verdict found the hint was
+    * dead code and the bucket-probe job always ran; this pins the fix. */
+  test("maintain with aligned buckets runs a single Spark job (hint honored)") {
+    val dir = TestSpark.tmpDir("agg-jobs-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 2000, nConvs = 20, turnsPerConv = 4,
+      pUpdate = 0.3, pDelete = 0.1, segSize = 1000))
+    val main = new LakeTable(spark, TestSpark.tmpDir("agg-jobs-main"))
+    val agg = new LakeTable(spark, TestSpark.tmpDir("agg-jobs-agg"))
+    val statsAll = new CdcDriver(spark, dir, main, segmentsPerBatch = 2,
+      nBuckets = 8, quiet = true, aggLake = Some(agg)).run()
+    val touched = statsAll.last.touchedSet
+    assert(touched.nonEmpty)
+
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { execs.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // epoch-neutral refresh of an already-populated aligned agg table
+      AggMaintenance.maintain(spark, main, agg, touched,
+        main.currentSnapshot.get.epoch, maintenance = true)
+      // listener delivery is async: wait for the write's execution event
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (System.nanoTime() < deadline && execs.get() < 1) Thread.sleep(50)
+      Thread.sleep(1500) // grace: catch any EXTRA actions still in flight
+      assert(execs.get() == 1,
+        s"maintenance batch ran ${execs.get()} Spark actions, expected 1 " +
+        "(bucket probe / validation scans must be skipped via the hint)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("maintenance rewrites only touched buckets of the derived table") {
     val dir = TestSpark.tmpDir("agg-prune-cl")
     ChangelogGen.write(spark, dir, ChangelogGen.Config(

@@ -45,15 +45,25 @@ object CdcOracle {
         case "D" => acc - key
         case "P" =>
           val t = turnOf(r, hasMeta)
+          // explicit column clears (unset_cols): applied after sets
+          val unset: Set[String] =
+            if (!r.schema.fieldNames.contains("unset_cols")) Set.empty
+            else Option(r.getAs[scala.collection.Seq[String]]("unset_cols"))
+              .map(_.toSet).getOrElse(Set.empty)
           val base = acc.getOrElse(key,
             Turn(key._1, key._2, null, null, null, None, t.lsn, t.srcPart,
               t.srcOff, None))
           acc + (key -> base.copy(
-            role = if (t.role != null) t.role else base.role,
-            text = if (t.text != null) t.text else base.text,
-            tool = if (t.tool != null) t.tool else base.tool,
-            tsMillis = t.tsMillis.orElse(base.tsMillis),
-            toolMeta = t.toolMeta.orElse(base.toolMeta),
+            role = if (unset("role")) null
+              else if (t.role != null) t.role else base.role,
+            text = if (unset("text")) null
+              else if (t.text != null) t.text else base.text,
+            tool = if (unset("tool")) null
+              else if (t.tool != null) t.tool else base.tool,
+            tsMillis = if (unset("ts")) None
+              else t.tsMillis.orElse(base.tsMillis),
+            toolMeta = if (unset("tool_meta")) None
+              else t.toolMeta.orElse(base.toolMeta),
             lsn = t.lsn, srcPart = t.srcPart, srcOff = t.srcOff))
         case _ => acc + (key -> turnOf(r, hasMeta))
       }

@@ -63,6 +63,82 @@ class CdcPatchSpec extends AnyFunSuite {
     assert(lake.read().filter(col("conv_id") === "c9").isEmpty)
   }
 
+  private def mkUnset(conv: String, turn: Int, unset: Seq[String],
+                      role: String, lsn: Long) = {
+    import spark.implicits._
+    Seq((("P"), conv, turn, role, null.asInstanceOf[String],
+      null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp],
+      lsn, 0, lsn, unset))
+      .toDF("op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "_lsn", "_src_part", "_src_off", "unset_cols")
+  }
+
+  test("unset_cols clears fields: set -> unset -> LWW + tombstone interplay") {
+    val lake = new LakeTable(spark, TestSpark.tmpDir("unset-micro"))
+    def applyB(df: org.apache.spark.sql.DataFrame, epoch: Long) =
+      CdcApply.apply(lake, df, epoch, nBuckets = 4, patchEnabled = true)
+
+    // full image, then a patch that CLEARS text (null alone could not)
+    applyB(mkEvent("I", "u1", 0, "user", "hello", 10), 1)
+    applyB(mkUnset("u1", 0, Seq("text"), null, 20), 2)
+    val r1 = lake.read().filter(col("conv_id") === "u1").head()
+    assert(r1.getAs[String]("text") == null, "unset must clear the column")
+    assert(r1.getAs[String]("role") == "user") // untouched survives
+    assert(r1.getAs[Long]("_lsn") == 20)
+
+    // a STALE unset (lsn below the image) is ignored like any stale patch
+    applyB(mkEvent("U", "u1", 0, "assistant", "fresh", 30), 3)
+    applyB(mkUnset("u1", 0, Seq("text"), null, 25), 4)
+    val r2 = lake.read().filter(col("conv_id") === "u1").head()
+    assert(r2.getAs[String]("text") == "fresh" && r2.getAs[Long]("_lsn") == 30)
+
+    // unset+set in ONE patch: the unset wins for its column, the set lands
+    applyB(mkUnset("u1", 0, Seq("role"), "system", 40), 5)
+    val r3 = lake.read().filter(col("conv_id") === "u1").head()
+    assert(r3.getAs[String]("role") == null, "unset beats set for same column")
+    assert(r3.getAs[String]("text") == "fresh")
+
+    // unset survives LWW against a redelivered older full image (no
+    // resurrection of the cleared value)
+    applyB(mkEvent("U", "u1", 0, "assistant", "fresh", 30), 6)
+    val r4 = lake.read().filter(col("conv_id") === "u1").head()
+    assert(r4.getAs[String]("role") == null && r4.getAs[Long]("_lsn") == 40)
+
+    // tombstone then a NEWER unset-only patch: resurrect with all-null fields
+    applyB(mkEvent("D", "u1", 0, null, null, 50), 7)
+    applyB(mkUnset("u1", 0, Seq("text"), null, 60), 8)
+    val r5 = lake.read().filter(col("conv_id") === "u1").head()
+    assert(r5.getAs[String]("text") == null && r5.getAs[String]("role") == null)
+    assert(r5.getAs[Long]("_lsn") == 60)
+  }
+
+  test("generated unset changelog matches the unset-aware fold oracle") {
+    val dir = TestSpark.tmpDir("unset-cl")
+    val cfg = ChangelogGen.Config(
+      nEvents = 4000, nConvs = 30, turnsPerConv = 6,
+      pUpdate = 0.25, pDelete = 0.08, pDup = 0.1, pPatch = 0.3,
+      pUnset = 0.5, segSize = 500)
+    ChangelogGen.write(spark, dir, cfg)
+    val events = spark.read.parquet(dir)
+    assert(events.filter(size(col("unset_cols")) > 0).count() > 0,
+      "fixture must contain actual unsets")
+
+    val lake = new LakeTable(spark, TestSpark.tmpDir("unset-lake"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 2, nBuckets = 8,
+      quiet = true, patchEnabled = true).run()
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.fold(events, patchEnabled = true))
+
+    // kill/resume with unsets in flight
+    val lake2 = new LakeTable(spark, TestSpark.tmpDir("unset-lake2"))
+    new CdcDriver(spark, dir, lake2, 2, 8, quiet = true,
+      patchEnabled = true).run(maxBatches = 2)
+    new CdcDriver(spark, dir, lake2, 2, 8, quiet = true,
+      patchEnabled = true).run()
+    assert(CdcOracle.tableState(lake2.read()) ==
+      CdcOracle.tableState(lake.read()))
+  }
+
   test("generated patch changelog matches the patch-aware fold oracle") {
     val dir = TestSpark.tmpDir("patch-cl")
     val cfg = ChangelogGen.Config(

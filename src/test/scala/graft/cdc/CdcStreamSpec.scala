@@ -83,6 +83,42 @@ class CdcStreamSpec extends AnyFunSuite {
     } finally { q.stop(); q.awaitTermination() }
   }
 
+  /** Restart supervision (reference: fixed-delay restart strategy,
+    * jobs-core base-config.conf:27-28): one transient batch failure must
+    * not end the tailer — it restarts from the checkpoint and converges;
+    * a PERSISTENT failure exhausts the attempts and surfaces loudly. */
+  test("supervised tailer survives a transient batch failure and converges") {
+    val dir = TestSpark.tmpDir("sup-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 2000, nConvs = 20, turnsPerConv = 6,
+      pUpdate = 0.3, pDelete = 0.08, pDup = 0.1, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("sup-lake"))
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    CdcStream.runSupervised(spark, dir, lake, TestSpark.tmpDir("sup-ckpt"),
+      Schemas.changeEventSchema, nBuckets = 8, maxFilesPerTrigger = 4,
+      restartAttempts = 3, restartDelayMs = 100,
+      onBatch = { batchId =>
+        // fail the second micro-batch exactly once (transient FS hiccup)
+        if (batchId == 1 && failures.getAndIncrement() == 0)
+          throw new RuntimeException("injected transient failure")
+      })
+    assert(failures.get() >= 1, "fault hook never fired")
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.fold(spark.read.parquet(dir)))
+
+    // a persistent failure must exhaust the attempts and rethrow loudly
+    val lake2 = new LakeTable(spark, TestSpark.tmpDir("sup2-lake"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CdcStream.runSupervised(spark, dir, lake2,
+        TestSpark.tmpDir("sup2-ckpt"), Schemas.changeEventSchema,
+        nBuckets = 8, restartAttempts = 2, restartDelayMs = 50,
+        onBatch = _ => throw new RuntimeException("permanent failure"))
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+    assert(chain.exists(_.contains("permanent failure")))
+  }
+
   test("fresh checkpoint against a populated lake fails loudly") {
     val dir = TestSpark.tmpDir("bind-cl")
     ChangelogGen.write(spark, dir, ChangelogGen.Config(

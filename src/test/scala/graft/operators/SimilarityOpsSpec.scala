@@ -133,6 +133,37 @@ class SimilarityOpsSpec extends AnyFunSuite {
     assert(cands.size < vecs.size.toLong * (vecs.size - 1) / 2)
   }
 
+  /** The scale contract behind lshTopK(planes <= 0): deriving the plane
+    * count from the corpus size must keep within-bucket candidate-pair
+    * counts near-LINEAR in N — a fixed plane count grows them ~N²/2^planes
+    * (the round-1 scale bug q29's pinned catalog variant documents). */
+  test("planesFor keeps candidate pairs bounded on a growing corpus") {
+    def corpus(n: Int) = (0 until n).map { id =>
+      def jitter(i: Int): Float = {
+        val h = scala.util.hashing.MurmurHash3.productHash((id, i, 7))
+        (math.abs(h % 1000) / 1000.0f - 0.5f)
+      }
+      (id.toLong, (0 until dim).map(jitter).toArray)
+    }
+    def pairsWithDerivedPlanes(n: Int): (Long, Int) = {
+      val vs = corpus(n)
+      val p = SimilarityOps.planesFor(n)
+      val sigs = vs.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          SimilarityOps.rhpSignature(col("embedding"), dim, p).as("s"))
+        .groupBy("s").count().as[(Long, Long)].collect()
+      (sigs.map { case (_, d) => d * (d - 1) / 2 }.sum, p)
+    }
+    val (pairsSmall, pSmall) = pairsWithDerivedPlanes(500)
+    val (pairsBig, pBig) = pairsWithDerivedPlanes(5000)
+    assert(pBig > pSmall, "plane count must grow with the corpus")
+    // 10x the corpus must cost well under 100x (quadratic) the pairs —
+    // near-linear growth with generous slack for occupancy skew
+    assert(pairsBig.toDouble <= 30.0 * math.max(pairsSmall, 1L),
+      s"candidate pairs grew superlinearly: $pairsSmall -> $pairsBig " +
+      s"(planes $pSmall -> $pBig)")
+  }
+
   test("ivfTopK achieves high recall with nProbe=3") {
     val queries = df.filter(col("vec_id") < 20)
     val got = SimilarityOps.ivfTopK(df, queries, "vec_id", "embedding",
