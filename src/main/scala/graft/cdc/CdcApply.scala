@@ -368,61 +368,65 @@ object CdcApply {
         .withColumn("b", bucketOfCols(ks.bucketCols.map(col), nB))
         .withColumn("_hl",
           when(col("_st") && !col("_tombstone"), 1).otherwise(0))
-    val nPart = math.max(touched.size, 1)
+    // Reduce-stage sizing: hashpartitioning(b, nPart) with nPart == |touched|
+    // stacks up to ~4 buckets on one task and leaves ~40% of tasks EMPTY
+    // (birthday collisions of 64 bucket values into 64 hash slots), so the
+    // heaviest reduce task carries 4x the mean work and caps multi-core
+    // scaling (measured: 8-core replay ran at ~69% thread utilization).
+    // 4x oversubscription drops the max to 1-2 buckets per task; a bucket
+    // still lands wholly in ONE task (hash of b), so file count, the window
+    // clustering guarantee, and the one-exchange plan are all unchanged,
+    // and empty tasks cost microseconds.
+    val nPart = math.max(touched.size * 4, 1)
 
     // LWW winner per key in ONE shuffle: repartition on the bucket (which is
-    // a function of conv_id, so every key is partition-local), sort within
-    // partitions by (bucket, key, lsn desc), then keep the first row of each
-    // key via `lag` over a window partitioned by the SAME bucket expression —
-    // Catalyst reuses the repartition exchange and the partition sort, so the
-    // plan is Exchange -> Sort -> Window -> Filter -> Write with the write's
-    // dynamic-partition ordering already satisfied. Measured ~5x faster than
-    // the groupBy(max_by(struct)) formulation, which cannot hash-aggregate
-    // (struct buffer) and degenerates to SortAggregate + a second exchange.
-    // Sort key prefix `_kh` = xxhash64(conv_id): rows of one key stay
-    // adjacent (conv_id itself breaks rare hash ties) while the sort runs on
+    // a function of the bucket cols, so every key is partition-local), sort
+    // within partitions by (bucket, keyhash, key, lsn desc), then elect the
+    // first row of each key with the STREAMING SortedLwwDedup operator —
+    // plan: Exchange -> Sort -> SortedLwwDedup -> Write with the write's
+    // dynamic-partition ordering already satisfied. The custom operator
+    // replaces the earlier Window(lag)+Filter formulation: WindowExec
+    // buffers every partition group in full (an extra pass of all row bytes
+    // through memory, twice with the `_hl` rollup window), which made the
+    // reduce stage memory-bandwidth-bound; the sorted-stream election holds
+    // ONE row and folds the `_hl` per-key max in the same pass — see
+    // graft.plans.SortedLwwDedup. (The window plan itself had been measured
+    // ~5x faster than groupBy(max_by(struct)), which cannot hash-aggregate.)
+    // Sort key prefix `_kh` = xxhash64(bucket cols): rows of one key stay
+    // adjacent (key cols break rare hash ties) while the sort runs on
     // radix-friendly longs instead of common-prefix strings.
     // Ties on lsn (a redelivered duplicate racing the already-stored image)
-    // break in favor of the stored row, so the change feed deterministically
+    // break in favor of the stored row (`_st DESC`, omitted on bulk-load
+    // batches where it is a constant), so the change feed deterministically
     // classifies pure redeliveries as `carried`, not `updated`.
-    // `_hl` is rolled up per key with a second window over the SAME
-    // exchange+sort (partition spec extends the sort prefix, so Catalyst
-    // adds no exchange and no re-sort — plan stays
-    // Exchange -> Sort -> Window -> Window -> Filter -> Write).
-    def lwwDedup(df0: DataFrame, partCols: Seq[Column]): DataFrame = {
+    def lwwDedup(df0: DataFrame, partCols: Seq[String]): DataFrame = {
+      // `_bk` fuses (bucket, keyhash-high-bits) into ONE non-negative long
+      // and leads the sort: the external sorter computes its 8-byte radix
+      // prefix from the FIRST sort column only, and a per-task-near-constant
+      // `b` there would force virtually every comparison through the full
+      // row comparator (string keys). `_bk` order implies `b` order, which
+      // the dedup operator re-advertises to the dynamic-partition writer
+      // (declareOrderedBy) so no extra sort is inserted.
+      require(nB <= (1 << 17), s"bucket count $nB exceeds the 17-bit _bk field")
       val df = df0.withColumn("_kh", xxhash64(ks.bucketCols.map(col): _*))
-      val keyColsC = ks.keyCols.map(col)
-      // `_st DESC` (stored row wins lsn ties) is a literal on bulk-load
-      // batches — keep it OUT of the sort there, or the constant-folded
-      // partition sort stops satisfying the window's required ordering and
-      // EnsureRequirements inserts a second Sort
-      val keyOrder = (col("_kh") +: keyColsC) ++
-        (col("_lsn").desc +: (if (stateEmpty) Nil else Seq(col("_st").desc)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(partCols: _*)
-        .orderBy(keyOrder: _*)
-      val wKey = org.apache.spark.sql.expressions.Window
-        .partitionBy(partCols ++ (col("_kh") +: keyColsC): _*)
-      val lagNames = ks.keyCols.indices.map(i => s"_pk$i")
-      val lagged = ks.keyCols.zip(lagNames)
-        .foldLeft(df.repartition(nPart, partCols: _*)
-          .sortWithinPartitions(partCols ++ keyOrder: _*)) {
-          case (d, (k, n)) => d.withColumn(n, lag(k, 1).over(w))
-        }
-      // first row of the partition, or any key column differing from the
-      // previous row -> this row is its key's LWW winner
-      val newKey = col(lagNames.head).isNull ||
-        ks.keyCols.zip(lagNames)
-          .map { case (k, n) => col(n) =!= col(k) }.reduce(_ || _)
-      lagged
+        .withColumn("_bk", shiftleft(col("b").cast("long"), 46)
+          .bitwiseOR(shiftrightunsigned(col("_kh"), 18)))
+      val orderSpec: Seq[(String, Boolean)] =
+        (("_bk" -> false) +: ("_kh" -> false) +: ks.keyCols.map(_ -> false)) ++
+          (("_lsn" -> true) +:
+            (if (stateEmpty) Nil else Seq("_st" -> true)))
+      val sorted = df
+        .repartition(nPart, partCols.map(col): _*)
+        .sortWithinPartitions(orderSpec.map { case (n, desc) =>
+          if (desc) col(n).desc else col(n)
+        }: _*)
+      graft.plans.SortedLwwDedup.dedup(sorted, partCols,
+        "_kh" +: ks.keyCols, orderSpec,
         // the `_hl` rollup is only meaningful when stored rows exist: on an
-        // initial/bulk-load batch every key's `_hl` is the literal 0, so the
-        // second Window is dropped from the plan entirely
-        .withColumn("_hl2",
-          if (changeFeed && !stateEmpty) max("_hl").over(wKey) else col("_hl"))
-        .filter(newKey)
-        .withColumn("_hl", col("_hl2"))
-        .drop(lagNames ++ Seq("_kh", "_hl2"): _*)
+        // initial/bulk-load batch every key's `_hl` is the literal 0
+        rollupCol = if (changeFeed && !stateEmpty) Some("_hl") else None,
+        declareOrderedBy = Seq("b"))
+        .drop("_kh", "_bk")
     }
 
     // Hot-conversation skew: optional two-phase salted dedup — phase 1 splits
@@ -435,9 +439,9 @@ object CdcApply {
         val salted = lwwDedup(
           unioned.withColumn("_salt",
             pmod(xxhash64(col("_lsn")), lit(saltBuckets.toLong))),
-          Seq(col("b"), col("_salt")))
-        lwwDedup(salted.drop("_salt"), Seq(col("b")))
-      } else lwwDedup(unioned, Seq(col("b")))
+          Seq("b", "_salt"))
+        lwwDedup(salted.drop("_salt"), Seq("b"))
+      } else lwwDedup(unioned, Seq("b"))
 
     // Change-feed classification of each surviving row, counted via
     // `observe` DURING the write job (zero extra pass, no per-row action

@@ -12,14 +12,14 @@ import graft.lake.LakeTable
 
 /** Physical-plan guard for the MERGE hot path: the whole upsert (union →
   * LWW dedup → change-feed classification → bucket-partitioned write) must
-  * stay ONE shuffle. The round-1 plan was Exchange → Sort → Window(lag) →
-  * Filter → Write; the change-feed rollup adds a second Window whose
-  * partition spec extends the same sort prefix — if a regression ever makes
-  * it demand its own exchange or sort, this spec fails. */
+  * stay ONE shuffle and ONE sort, with the winner election running as the
+  * streaming SortedLwwDedup operator (NOT a buffering WindowExec — if a
+  * regression reintroduces a Window, an extra exchange, or an extra sort
+  * into the merge write job, this spec fails). */
 class MergePlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("merge+write plan has exactly one exchange and one sort") {
+  test("merge+write plan: one exchange, one sort, streaming dedup operator") {
     val dir = TestSpark.tmpDir("plan-cl")
     ChangelogGen.write(spark, dir, ChangelogGen.Config(
       nEvents = 2000, nConvs = 20, turnsPerConv = 6,
@@ -42,11 +42,11 @@ class MergePlanSpec extends AnyFunSuite {
       val deadline = System.nanoTime() + 10e9.toLong
       while (System.nanoTime() < deadline &&
         plans.synchronized(!plans.exists(p =>
-          p.contains("WriteFiles") && p.contains("Window")))) Thread.sleep(50)
+          p.contains("WriteFiles") && p.contains("SortedLwwDedup")))) Thread.sleep(50)
       // the merge write job: the one whose plan carries the lake write +
-      // the window dedup
+      // the dedup operator
       val writePlans = plans.synchronized {
-        plans.filter(p => p.contains("WriteFiles") && p.contains("Window"))
+        plans.filter(p => p.contains("WriteFiles") && p.contains("SortedLwwDedup"))
       }
       assert(writePlans.nonEmpty, "no merge write plan captured")
       writePlans.foreach { p0 =>
@@ -58,7 +58,8 @@ class MergePlanSpec extends AnyFunSuite {
         val sorts = raw"\bSort \[".r.findAllIn(p).size
         assert(exchanges == 1, s"merge plan must have ONE exchange:\n$p")
         assert(sorts == 1, s"merge plan must have ONE sort:\n$p")
-        assert(p.contains("Window"), p)
+        assert(!p.contains("Window"),
+          s"merge must not buffer through WindowExec:\n$p")
       }
     } finally spark.listenerManager.unregister(listener)
   }
