@@ -565,6 +565,16 @@ object OracleSql {
          |  len(${toks("text")}) AS tc FROM documents)
          |GROUP BY 1""".stripMargin,
 
+    "q49_search_topk" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id, unnest(regexp_split_to_array(${norm("text")}, ' ')) AS term
+         |    FROM documents)
+         |  WHERE term IN ('spark','merge','window'))
+         |SELECT doc_id, count(*) AS score FROM p GROUP BY 1
+         |HAVING count(DISTINCT term) = 3
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "q44_change_feed" ->
       s"""WITH s AS (SELECT user_id, event_id, event_type = 'error' AS tomb FROM (
          |    SELECT user_id, event_id, event_type,

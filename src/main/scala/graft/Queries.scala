@@ -814,6 +814,27 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
   }
 
+  /** Inverted-index term search semantics as a catalog query — documents
+    * containing ALL query terms (AND), ranked by total term frequency with a
+    * deterministic tie-break. The ENGINE path is the incrementally-maintained
+    * postings LakeTable (graft.search.SearchIndex — refresh from the
+    * change feed's before/after images, bucket+file-pruned term lookup,
+    * SearchIndexSpec); this query pins the same tokenization
+    * (TextFunctions.normalized) + AND + tf ranking against the oracle. */
+  def q49SearchTopk(s: SparkSession, dir: String): DataFrame = {
+    val queryTerms = Seq("spark", "merge", "window")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.search.SearchIndex.terms(col("text"))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("term").as("_nt"), count(lit(1)).as("score"))
+      .filter(col("_nt") === queryTerms.size)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("score"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -864,6 +885,7 @@ object Queries {
     "q45_pii_scrub" -> (q45PiiScrub _),
     "q46_decontaminate" -> (q46Decontaminate _),
     "q47_repetition" -> (q47Repetition _),
-    "q48_split" -> (q48Split _)
+    "q48_split" -> (q48Split _),
+    "q49_search_topk" -> (q49SearchTopk _)
   )
 }

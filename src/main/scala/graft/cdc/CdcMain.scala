@@ -22,6 +22,8 @@ import graft.lake.LakeTable
  *   CdcMain gc      <lakeDir> [minAgeMs]      — age-fenced orphan cleanup
  *   CdcMain changes <lakeDir> <fromSnapId> [toSnapId]  — snapshot-diff feed
  *   CdcMain merge   <lakeDir> <fromConv> <toConv>      — migration (epoch-neutral)
+ *   CdcMain index   <lakeDir> <indexDir> [nBuckets]    — search-index refresh
+ *   CdcMain search  <indexDir> <term> [term...]        — AND term query, top 10
  *
  * Parallelism comes from SPARK_GRAFT_CPUS (local[N]) or the real cluster's
  * spark-submit config; shuffle partitions follow the core count.
@@ -136,6 +138,30 @@ object CdcMain {
       println(s"""{"merged":"$fromConv->$toConv","epoch":${st.snapshot.epoch},""" +
         s""""rowsOut":${st.rowsOut},"actions":{${st.actions.map { case (k, v) =>
           s""""$k":$v""" }.mkString(",")}}}""")
+      spark.stop()
+
+    case "index" :: lakeDir :: indexDir :: rest =>
+      val spark = session()
+      val source = new LakeTable(spark, lakeDir)
+      val index = new LakeTable(spark, indexDir)
+      graft.search.SearchIndex.refresh(spark, source, index,
+        nBuckets = rest.headOption.map(_.toInt).getOrElse(64)) match {
+        case None => println("""{"refreshed":false,"reason":"already current or empty source"}""")
+        case Some(st) => println(
+          s"""{"refreshed":true,"fromSourceSnapshot":${st.fromSourceSnapshot},""" +
+          s""""toSourceSnapshot":${st.toSourceSnapshot},""" +
+          s""""postingDeltas":${st.changedRows},""" +
+          s""""indexSnapshotId":${st.apply.snapshot.snapshotId}}""")
+      }
+      spark.stop()
+
+    case "search" :: indexDir :: terms if terms.nonEmpty =>
+      val spark = session()
+      val index = new LakeTable(spark, indexDir)
+      val hits = graft.search.SearchIndex.search(spark, index, terms).collect()
+      println(hits.map(r =>
+        s"""{"conv_id":"${r.getString(0)}","turn_idx":${r.getInt(1)},""" +
+        s""""score":${r.getLong(2)}}""").mkString("[", ",", "]"))
       spark.stop()
 
     case "expire" :: lakeDir :: rest =>

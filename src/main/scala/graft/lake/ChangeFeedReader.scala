@@ -23,12 +23,19 @@ object ChangeFeedReader {
     * (conv_id, turn_idx, action, pre_lsn, post_lsn) with action in
     * inserted | updated | deleted — carried rows (no lsn movement) are not
     * part of a delta feed. `fromSnapshotId = -1` diffs against the empty
-    * table (everything live becomes `inserted`). */
+    * table (everything live becomes `inserted`).
+    *
+    * `imageCols` additionally carries the BEFORE and AFTER images of the
+    * named business columns as `pre_<col>` / `post_<col>` (the Debezium
+    * before/after envelope) — what an incremental index or downstream
+    * materialization needs to retract the old value, not just learn the key
+    * changed (SearchIndex retracts a row's old postings from `pre_text`). */
   def between(
       spark: SparkSession,
       lake: LakeTable,
       fromSnapshotId: Long,
-      toSnapshotId: Long = -1L): DataFrame = {
+      toSnapshotId: Long = -1L,
+      imageCols: Seq[String] = Nil): DataFrame = {
     val snaps = lake.snapshots
     val to = if (toSnapshotId < 0) snaps.last
       else snaps.find(_.snapshotId == toSnapshotId).getOrElse(
@@ -62,7 +69,12 @@ object ChangeFeedReader {
         else spark.read.schema(s.schema).parquet(files.map(_.path): _*)
       val live = if (base.columns.contains("_tombstone"))
         base.filter(!col("_tombstone")) else base
-      live.select(keyCols.map(col) :+ col("_lsn"): _*)
+      // image cols absent on one side (pre-evolution snapshot) read as nulls
+      val present = live.columns.toSet
+      val images = imageCols.map(c =>
+        if (present.contains(c)) col(c)
+        else lit(null).as(c))
+      live.select((keyCols.map(col) :+ col("_lsn")) ++ images: _*)
     }
 
     // key-generic: diff on the table's stored key spec
@@ -74,15 +86,20 @@ object ChangeFeedReader {
         newSide.schema)
       case Some(f) => side(f, diffBuckets)
     }
-    oldSide.select(keyCols.map(col) :+ col("_lsn").as("pre_lsn"): _*)
-      .join(newSide.select(keyCols.map(col) :+ col("_lsn").as("post_lsn"): _*),
-        keyCols, "full_outer")
+    val pre = oldSide.select(keyCols.map(col) ++
+      (col("_lsn").as("pre_lsn") +:
+        imageCols.map(c => col(c).as(s"pre_$c"))): _*)
+    val post = newSide.select(keyCols.map(col) ++
+      (col("_lsn").as("post_lsn") +:
+        imageCols.map(c => col(c).as(s"post_$c"))): _*)
+    pre.join(post, keyCols, "full_outer")
       .select(keyCols.map(col) ++ Seq(
         when(col("pre_lsn").isNull, "inserted")
           .when(col("post_lsn").isNull, "deleted")
           .when(col("post_lsn") > col("pre_lsn"), "updated")
           .otherwise(lit("carried")).as("action"),
-        col("pre_lsn"), col("post_lsn")): _*)
+        col("pre_lsn"), col("post_lsn")) ++
+        imageCols.flatMap(c => Seq(col(s"pre_$c"), col(s"post_$c"))): _*)
       .filter(col("action") =!= "carried")
   }
 }

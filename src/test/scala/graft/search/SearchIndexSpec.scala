@@ -1,0 +1,110 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.CdcApply
+import graft.lake.LakeTable
+
+/** The inverted index stays consistent with the source table through
+  * inserts, text updates (old postings retracted) and deletes, is refreshed
+  * idempotently, and answers term queries from pruned IO. */
+class SearchIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def batch(rows: Seq[(String, String, Int, String, Long)]) =
+    rows.toDF("op", "conv_id", "turn_idx", "text", "_lsn")
+      .withColumn("_src_part", lit(0))
+      .withColumn("_src_off", col("_lsn"))
+
+  /** Brute-force AND search over the source's live rows. */
+  private def bruteForce(main: LakeTable, terms: Seq[String]): Set[(String, Int, Long)] = {
+    val t = main.read()
+      .select(col("conv_id"), col("turn_idx"),
+        explode(SearchIndex.terms(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("conv_id", "turn_idx")
+      .agg(countDistinct("term").as("nt"), count(lit(1)).as("score"))
+      .filter(col("nt") === terms.size)
+      .collect()
+    t.map(r => (r.getString(0), r.getInt(1), r.getLong(3))).toSet
+  }
+
+  private def searched(index: LakeTable, terms: Seq[String]): Set[(String, Int, Long)] =
+    SearchIndex.search(spark, index, terms, topK = 100).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("incremental refresh tracks inserts, updates and deletes") {
+    val main = new LakeTable(spark, TestSpark.tmpDir("si-main"))
+    val index = new LakeTable(spark, TestSpark.tmpDir("si-index"))
+
+    // batch 1: initial corpus
+    CdcApply.apply(main, batch(Seq(
+      ("I", "c1", 0, "the quick brown fox jumps", 1L),
+      ("I", "c1", 1, "lazy dog sleeps, the dog dreams", 2L),
+      ("I", "c2", 0, "quick silver fox runs", 3L),
+      ("I", "c3", 0, "Dogs and foxes! A fox story.", 4L))), epoch = 1, nBuckets = 4)
+    assert(SearchIndex.refresh(spark, main, index, nBuckets = 8).isDefined)
+
+    // full build matches brute force
+    for (q <- Seq(Seq("fox"), Seq("quick", "fox"), Seq("dog"), Seq("the")))
+      assert(searched(index, q) == bruteForce(main, q), s"query $q after build")
+
+    // batch 2: update c1/0 (fox -> wolf), delete c3/0, insert c4
+    CdcApply.apply(main, batch(Seq(
+      ("U", "c1", 0, "the quick brown wolf jumps", 10L),
+      ("D", "c3", 0, null, 11L),
+      ("I", "c4", 0, "a fox and a dog walk in", 12L))), epoch = 2, nBuckets = 4)
+    val st = SearchIndex.refresh(spark, main, index, nBuckets = 8)
+    assert(st.isDefined && st.get.fromSourceSnapshot == 0 &&
+      st.get.toSourceSnapshot == 1)
+
+    // retractions applied: c1/0 no longer matches "fox", c3/0 gone entirely
+    for (q <- Seq(Seq("fox"), Seq("wolf"), Seq("quick", "fox"), Seq("dog"),
+        Seq("the"), Seq("story")))
+      assert(searched(index, q) == bruteForce(main, q), s"query $q after update")
+    assert(!searched(index, Seq("fox")).exists(_._1 == "c3"))
+
+    // tf scoring: c1/1 has "dog" twice
+    val dogTop = SearchIndex.search(spark, index, Seq("dog"), topK = 1)
+      .collect().head
+    assert(dogTop.getString(0) == "c1" && dogTop.getInt(1) == 1 &&
+      dogTop.getLong(2) == 2L)
+
+    // idempotent: nothing new to index
+    val snapBefore = index.currentSnapshot.get.snapshotId
+    assert(SearchIndex.refresh(spark, main, index).isEmpty)
+    assert(index.currentSnapshot.get.snapshotId == snapBefore)
+  }
+
+  test("query IO is pruned to the query terms' buckets") {
+    val main = new LakeTable(spark, TestSpark.tmpDir("si-prune-main"))
+    val index = new LakeTable(spark, TestSpark.tmpDir("si-prune-index"))
+    val rows = (0 until 200).map(i =>
+      ("I", s"c$i", 0, s"word$i common shared text", i.toLong + 1))
+    CdcApply.apply(main, batch(rows), epoch = 1, nBuckets = 4)
+    SearchIndex.refresh(spark, main, index, nBuckets = 16)
+    val snap = index.currentSnapshot.get
+    val oneTermFiles = index.lookupFilesKeyed(Seq("word7")).map(_.path).toSet
+    assert(oneTermFiles.nonEmpty, "term must be addressable")
+    assert(oneTermFiles.size < snap.totalFiles,
+      s"lookup opened ${oneTermFiles.size} of ${snap.totalFiles} files — no pruning")
+    // and the pruned read still answers correctly
+    assert(searched(index, Seq("word7")) == Set(("c7", 0, 1L)))
+  }
+
+  test("document frequencies surface hot terms") {
+    val main = new LakeTable(spark, TestSpark.tmpDir("si-df-main"))
+    val index = new LakeTable(spark, TestSpark.tmpDir("si-df-index"))
+    CdcApply.apply(main, batch(Seq(
+      ("I", "a", 0, "x common", 1L),
+      ("I", "b", 0, "y common", 2L),
+      ("I", "c", 0, "z common common", 3L))), epoch = 1, nBuckets = 2)
+    SearchIndex.refresh(spark, main, index, nBuckets = 4)
+    val dfs = SearchIndex.documentFrequencies(index).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("common") == 3 && dfs("x") == 1)
+  }
+}
