@@ -25,7 +25,11 @@ import graft.lake.LakeTable
  * runs are INTERLEAVED (N,4N,N,4N,...) so slow host drift hits both
  * configurations equally, each reports the MEDIAN of `SPARK_GRAFT_BENCH_RUNS`
  * (default 3) runs, and the relative spread (max-min)/median is published so
- * a noisy round is visible instead of silently trusted.
+ * a noisy round is visible instead of silently trusted. Every fresh session
+ * replays a small same-shape changelog UNTIMED first: codegen/JIT/class
+ * loading are constant per-session costs that would otherwise consume a much
+ * larger fraction of the short 4N run than of the long N run, biasing the
+ * efficiency ratio downward (standard JVM benchmarking hygiene).
  * `throughput_full_nocf` replays with the change feed off — the per-round
  * tracked cost of the default-on audit counts.
  */
@@ -85,6 +89,25 @@ object Bench {
       skew = 1.2, evolveAt = cdcEvents / 2,
       segSize = math.max(cdcEvents / 4, 1L))
     ChangelogGen.write(spark, changelog, cfg)
+    // Small same-shape changelog (schema evolution mid-stream included) used
+    // to warm each fresh session BEFORE its timed run: whole-stage codegen
+    // (Janino), parquet reader/writer class loading and JIT are fixed
+    // per-session costs that would otherwise sit inside the timed region —
+    // and, being constant, they eat a far larger fraction of the short
+    // 4N-core run than of the long N-core run, structurally depressing the
+    // measured scaling efficiency below what the engine actually does.
+    val warmCl = new java.io.File(base, "warm-changelog").getPath
+    ChangelogGen.write(spark, warmCl, ChangelogGen.Config(
+      nEvents = 500000, nConvs = 2500, skew = 1.2,
+      evolveAt = 250000, segSize = 125000))
+    var warmId = 0
+    def warmup(s: SparkSession): Unit = {
+      warmId += 1
+      val lake = new LakeTable(s, new java.io.File(base, s"warm-$warmId").getPath)
+      new CdcDriver(s, warmCl, lake, segmentsPerBatch = 4,
+        nBuckets = 64, quiet = true).run()
+      ()
+    }
 
     def replayThroughput(s: SparkSession, tag: String,
                          changeFeed: Boolean = true): Double = {
@@ -102,6 +125,7 @@ object Bench {
       cdcEvents / sec
     }
 
+    warmup(spark) // query session has run no merge yet — warm the CDC path
     val thrFull = replayThroughput(spark, "full")
     val thrFullNoCf = replayThroughput(spark, "full-nocf", changeFeed = false)
     spark.stop()
@@ -109,7 +133,7 @@ object Bench {
 
     def inCores(cores: Int)(f: SparkSession => Double): Double = {
       val s = session(cores)
-      try f(s)
+      try { warmup(s); f(s) }
       finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -149,6 +173,7 @@ object Bench {
           nEvents = soakEvents, nConvs = math.max(soakEvents / 200, 10L),
           skew = 1.2, evolveAt = soakEvents / 2,
           segSize = math.max(soakEvents / 4, 1L)))
+        warmup(s)
         val lake = new LakeTable(s, new java.io.File(base, "lake-soak").getPath)
         var batches = 0
         val sec = timeSec {

@@ -106,7 +106,7 @@ object CdcApply {
     * Idempotent: a batch whose `epoch` is <= the committed epoch is skipped
     * without reading or writing anything (exactly-once under replay). */
   private val timing = sys.env.get("GRAFT_TIMING").contains("1")
-  private def phase[A](name: String)(f: => A): A = {
+  private[cdc] def phase[A](name: String)(f: => A): A = {
     if (!timing) f
     else {
       val t = System.nanoTime()
@@ -119,9 +119,14 @@ object CdcApply {
   /** Lineage + row count when the caller derived them from changelog file
     * footers (CdcDriver.probeFromFooters) — skips the probe scan.
     * `keysNullFree`: footer null-counts prove conv_id/turn_idx/_lsn contain
-    * no nulls, so validation reduces to a one-column op scan. */
+    * no nulls, so validation reduces to a one-column op scan.
+    * `schemaJsons`: the distinct Spark StructType JSONs found in the files'
+    * footer key-value metadata — lets the driver read the batch with an
+    * explicit (additively merged) schema instead of running the distributed
+    * mergeSchema inference job, removing a serial per-batch Spark job. */
   final case class ProbeInfo(rowsIn: Long, lineage: Seq[PartitionLineage],
-                             keysNullFree: Boolean = false)
+                             keysNullFree: Boolean = false,
+                             schemaJsons: Seq[String] = Nil)
 
   def apply(
       lake: LakeTable,
@@ -502,7 +507,8 @@ object CdcApply {
     val rowsOut = newFiles.map(_.rows).sum
     // Commit metadata is O(touched): one manifest file per rewritten bucket;
     // untouched buckets carry the parent's manifest refs by path.
-    val newRefs = lake.writeManifests(snapshotId, newFiles.groupBy(_.bucket))
+    val newRefs = phase("manifests") {
+      lake.writeManifests(snapshotId, newFiles.groupBy(_.bucket)) }
     val carried = cur.map(_.manifests).getOrElse(Seq.empty)
       .filterNot(r => touched.contains(r.bucket))
 
@@ -516,7 +522,7 @@ object CdcApply {
         actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble },
       bucketCols = ks.bucketCols, keyCols = ks.keyCols)
     val committed =
-      try lake.commit(snap, maintenance = maintenance)
+      try phase("commit") { lake.commit(snap, maintenance = maintenance) }
       catch {
         // Lost a commit race to a concurrent applier (version file taken).
         // The atomic link(2) publish is the arbiter: re-apply against the

@@ -35,7 +35,12 @@ final class CdcDriver(
     patchEnabled: Boolean = false,
     /** classify + count per-row change actions (CdcApply change feed);
       * turn off for pure-ingest throughput */
-    changeFeed: Boolean = true) {
+    changeFeed: Boolean = true,
+    /** optional secondary search index (graft.search.SearchIndex postings
+      * table), refreshed after every batch from the change-feed images —
+      * the reference mirrors every entity update into Elasticsearch from
+      * the same stream (ElasticSearchUtil.scala:62-106) */
+    searchIndex: Option[LakeTable] = None) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -45,28 +50,46 @@ final class CdcDriver(
     // is fenced on resume — reconcile from the lake commit log (also the
     // path that backfills a derived table enabled after the fact).
     aggLake.foreach(al => AggMaintenance.catchUp(spark, lake, al))
+    // SearchIndex.refresh is inherently catch-up (indexes from whatever
+    // source snapshot the index last saw) — one call heals a crash that
+    // landed between a main commit and its index refresh.
+    searchIndex.foreach(si => graft.search.SearchIndex.refresh(spark, lake, si))
     val segs = ChangelogGen.listSegments(changelogDir)
     val applied = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
     val pending = segs.filter(_ >= applied)
     val out = scala.collection.mutable.ArrayBuffer[CdcApply.ApplyStats]()
     pending.grouped(segmentsPerBatch).take(maxBatches).foreach { group =>
       val paths = group.map(s => s"$changelogDir/seg=$s")
-      val batch0 = spark.read
-        .option("mergeSchema", "true") // additive evolution across segments
-        .option("basePath", changelogDir) // seg=/p= dirs share one root
-        .parquet(paths: _*)
+      val probe = CdcApply.phase("driver-footer-probe") { probeFromFooters(paths) }
+      // The footer probe already read every file's footer — its embedded
+      // Spark schema JSONs give the batch's (additively merged) schema for
+      // free, so the usual distributed mergeSchema inference job (a serial
+      // per-batch cost that Amdahl-limits scaling) only runs as a fallback.
+      val batch0 = CdcApply.phase("driver-read-schema") {
+        probe.flatMap(p => FooterProbe.mergedSchema(p.schemaJsons)) match {
+          case Some(sc) => spark.read.schema(sc)
+            .option("basePath", changelogDir).parquet(paths: _*)
+          case None => spark.read
+            .option("mergeSchema", "true") // additive evolution across segments
+            .option("basePath", changelogDir) // seg=/p= dirs share one root
+            .parquet(paths: _*)
+        }
+      }
       // `seg=`/`p=` path dirs (sharded binlog layout) surface as partition
       // columns duplicating the data; their real job is footer probing
       val batch = batch0.drop("p", "seg")
       // epoch = exclusive upper segment bound -> fencing token
       val epoch = group.max + 1
       val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets,
-        probeInfo = probeFromFooters(paths), patchEnabled = patchEnabled,
+        probeInfo = probe, patchEnabled = patchEnabled,
         changeFeed = changeFeed)
       aggLake.foreach { al =>
         if (!stats.skipped && stats.touchedSet.nonEmpty)
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
       }
+      if (!stats.skipped)
+        searchIndex.foreach(si =>
+          graft.search.SearchIndex.refresh(spark, lake, si))
       out += stats
       if (!quiet) {
         val s = stats

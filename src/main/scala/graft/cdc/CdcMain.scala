@@ -25,6 +25,10 @@ import graft.lake.LakeTable
  *   CdcMain index   <lakeDir> <indexDir> [nBuckets]    — search-index refresh
  *   CdcMain search  <indexDir> <term> [term...]        — AND term query, top 10
  *
+ * `replay` and `stream` accept `idx=<dir>`: maintain a secondary search
+ * index per batch from the same pipeline (the reference mirrors entity
+ * updates into Elasticsearch from the same stream).
+ *
  * Parallelism comes from SPARK_GRAFT_CPUS (local[N]) or the real cluster's
  * spark-submit config; shuffle partitions follow the core count.
  */
@@ -72,7 +76,10 @@ object CdcMain {
         aggLake = rest.lift(3).filter(_ != "-")
           .map(d => new LakeTable(spark, d)),
         patchEnabled = rest.contains("patch"),
-        changeFeed = !rest.contains("nocf"))
+        changeFeed = !rest.contains("nocf"),
+        // idx=<dir>: maintain a secondary search index per batch
+        searchIndex = rest.find(_.startsWith("idx="))
+          .map(a => new LakeTable(spark, a.drop(4))))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -106,7 +113,9 @@ object CdcMain {
         nBuckets = rest.headOption.map(_.toInt).getOrElse(64),
         saltBuckets = rest.lift(1).map(_.toInt).getOrElse(0),
         maxFilesPerTrigger = rest.lift(2).map(_.toInt).getOrElse(16),
-        trigger = trig)
+        trigger = trig,
+        searchIndex = rest.find(_.startsWith("idx="))
+          .map(a => new LakeTable(spark, a.drop(4))))
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()

@@ -49,6 +49,11 @@ object CdcStream {
       trigger: Trigger = Trigger.AvailableNow(),
       patchEnabled: Boolean = false,
       changeFeed: Boolean = true,
+      /** optional secondary search index, refreshed per micro-batch —
+        * the reference mirrors entity updates into Elasticsearch from the
+        * same stream (ElasticSearchUtil.scala:62-106); refresh is catch-up
+        * by construction, so fenced/replayed batches self-heal */
+      searchIndex: Option[LakeTable] = None,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
       onBatch: Long => Unit = _ => ()): StreamingQuery = {
@@ -87,6 +92,8 @@ object CdcStream {
           else if (stats.skipped)
             AggMaintenance.catchUp(spark, lake, al)
         }
+        searchIndex.foreach(si =>
+          graft.search.SearchIndex.refresh(spark, lake, si))
         ()
       }
       .start()
@@ -105,10 +112,11 @@ object CdcStream {
       aggLake: Option[LakeTable] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       patchEnabled: Boolean = false,
-      changeFeed: Boolean = true): Unit =
+      changeFeed: Boolean = true,
+      searchIndex: Option[LakeTable] = None): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
-      changeFeed).awaitTermination()
+      changeFeed, searchIndex).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
     * (one transient FS hiccup would otherwise end the deployment) restarts
@@ -134,6 +142,7 @@ object CdcStream {
       trigger: Trigger = Trigger.AvailableNow(),
       patchEnabled: Boolean = false,
       changeFeed: Boolean = true,
+      searchIndex: Option[LakeTable] = None,
       restartAttempts: Int = 3,
       restartDelayMs: Long = 30000L,
       onBatch: Long => Unit = _ => ()): Unit = {
@@ -143,7 +152,7 @@ object CdcStream {
       val epochBefore = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
       val q = start(spark, changelogDir, lake, checkpointDir, schema,
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
-        patchEnabled, changeFeed, onBatch)
+        patchEnabled, changeFeed, searchIndex, onBatch)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)

@@ -15,6 +15,30 @@ object FooterProbe {
 
   private val partRe = raw"/p=(\d+)/".r
 
+  /** Additive union of the distinct footer schemas (fields in order of first
+    * appearance, all nullable — a file missing a later-added column reads it
+    * as null). None on a same-name type conflict or unparseable JSON: the
+    * caller then falls back to Spark's distributed mergeSchema inference,
+    * which handles type widening. */
+  def mergedSchema(schemaJsons: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    if (schemaJsons.isEmpty) return None
+    try {
+      val schemas = schemaJsons.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType])
+      val out = scala.collection.mutable.LinkedHashMap[String, StructField]()
+      schemas.foreach(_.fields.foreach { f =>
+        out.get(f.name) match {
+          case None => out(f.name) = f.copy(nullable = true)
+          case Some(g) if g.dataType == f.dataType => // already recorded
+          case Some(_) => return None // non-additive change: let Spark merge
+        }
+      })
+      Some(StructType(out.values.toSeq))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Probe from `seg=N/p=P/` segment directories (batch driver layout).
     * Returns None when the layout lacks `p=` dirs (flat segments fall back
     * to CdcApply's probe scan). */
@@ -53,18 +77,16 @@ object FooterProbe {
                 bucketKey: String = "conv_id"): Option[CdcApply.ProbeInfo] = {
     if (perPart.isEmpty) return None
     val stats = graft.lake.ParquetFooters.parMap(perPart) { case (part, path) =>
-      val (n, bounds) = graft.lake.ParquetFooters.longStats(path, "_src_off")
-      // The applier may skip the key checks of the validation scan only if
-      // footers PROVE them impossible: zero nulls in the key columns AND
-      // the bucket-key min excludes empty/whitespace-leading strings (an
-      // all-blank key sorts before any printable character, so it would BE
-      // the min if present).
-      val nullFree = graft.lake.ParquetFooters.nullCounts(path, keyCols)
-        .exists(_.values.forall(_ == 0L))
-      val (_, minKey, _) =
-        graft.lake.ParquetFooters.stringStats(path, bucketKey)
-      val nonBlank = minKey.nonEmpty && minKey.head > ' '
-      (part, n, bounds, nullFree && nonBlank)
+      // ONE footer open per file: rows + lineage bounds + the key-null proof
+      // + bucket-key min + embedded schema. The applier may skip the key
+      // checks of the validation scan only if footers PROVE them impossible:
+      // zero nulls in the key columns AND the bucket-key min excludes
+      // empty/whitespace-leading strings (an all-blank key sorts before any
+      // printable character, so it would BE the min if present).
+      val s = graft.lake.ParquetFooters.probeStats(
+        path, "_src_off", keyCols, bucketKey)
+      val nonBlank = s.minBucketKey.nonEmpty && s.minBucketKey.head > ' '
+      (part, s.rows, s.offBounds, s.keysNullFree && nonBlank, s.schemaJson)
     }
     if (stats.exists(s => s._2 > 0 && s._3.isEmpty)) return None
     val lineage = stats.filter(_._3.nonEmpty).groupBy(_._1).map {
@@ -73,6 +95,9 @@ object FooterProbe {
           xs.map(_._3.get._1).min, xs.map(_._3.get._2).max)
     }.toSeq.sortBy(_.srcPart)
     Some(CdcApply.ProbeInfo(stats.map(_._2).sum, lineage,
-      keysNullFree = stats.forall(_._4)))
+      keysNullFree = stats.forall(_._4),
+      // order-stable distinct: additive evolution means later files extend
+      // earlier ones; the merge below unions fields by first appearance
+      schemaJsons = stats.flatMap(_._5).distinct))
   }
 }

@@ -82,6 +82,69 @@ object ParquetFooters {
     }
   }
 
+  /** The Spark StructType JSON a Spark writer embeds in the footer's
+    * key-value metadata — the batch's exact schema without a distributed
+    * inference job. None for files not written by Spark. */
+  def sparkSchemaJson(path: String): Option[String] =
+    withFooter(path) { footer =>
+      Option(footer.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+    }
+
+  /** Everything the changelog probe needs from one footer in ONE open:
+    * (rows, _src_off bounds or None, key columns null-free, min of
+    * `bucketKey`, embedded Spark schema JSON). A multi-thousand-file batch
+    * pays one metadata IO per file instead of four. */
+  final case class ProbeFileStats(rows: Long, offBounds: Option[(Long, Long)],
+                                  keysNullFree: Boolean, minBucketKey: String,
+                                  schemaJson: Option[String])
+  def probeStats(path: String, offCol: String, keyCols: Set[String],
+                 bucketKey: String): ProbeFileStats =
+    withFooter(path) { footer =>
+      var rows = 0L
+      var mn = Long.MaxValue; var mx = Long.MinValue; var offMissing = false
+      val nulls = scala.collection.mutable.Map(keyCols.toSeq.map(_ -> 0L): _*)
+      var nullsMissing = false
+      var minKey: String = null
+      footer.getBlocks.forEach { block =>
+        rows += block.getRowCount
+        var offFound = false
+        val nullSeen = scala.collection.mutable.Set[String]()
+        block.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          if (st != null && !st.isEmpty) {
+            if (name == offCol) {
+              offFound = true
+              val lo = st.genericGetMin.asInstanceOf[java.lang.Long]
+              val hi = st.genericGetMax.asInstanceOf[java.lang.Long]
+              if (lo < mn) mn = lo
+              if (hi > mx) mx = hi
+            }
+            if (name == bucketKey) {
+              val lo = st.minAsString()
+              if (minKey == null || lo < minKey) minKey = lo
+            }
+          }
+          if (keyCols.contains(name) && st != null && st.isNumNullsSet) {
+            nulls(name) += st.getNumNulls
+            nullSeen += name
+          }
+        }
+        if (block.getRowCount > 0) {
+          if (!offFound) offMissing = true
+          if (nullSeen.size < keyCols.size) nullsMissing = true
+        }
+      }
+      ProbeFileStats(
+        rows,
+        if (offMissing || mn > mx) None else Some((mn, mx)),
+        !nullsMissing && nulls.values.forall(_ == 0L),
+        Option(minKey).getOrElse(""),
+        Option(footer.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata")))
+    }
+
   private def withFooter[A](path: String)(
       f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
     val reader = ParquetFileReader.open(

@@ -95,6 +95,37 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(searched(index, Seq("word7")) == Set(("c7", 0, 1L)))
   }
 
+  test("pipeline-maintained index equals a fresh full rebuild") {
+    import graft.cdc.CdcDriver
+    import graft.changelog.ChangelogGen
+    val dir = TestSpark.tmpDir("si-pipe")
+    val cl = s"$dir/changelog"
+    ChangelogGen.write(spark, cl, ChangelogGen.Config(
+      nEvents = 20000, nConvs = 120, skew = 1.1,
+      evolveAt = 10000, segSize = 5000))
+    val main = new LakeTable(spark, s"$dir/lake")
+    val idx = new LakeTable(spark, s"$dir/idx")
+    // per-batch maintenance: 4 segments, 1 per batch -> 4 refreshes
+    new CdcDriver(spark, cl, main, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true, searchIndex = Some(idx)).run()
+    assert(SearchIndex.indexedSourceSnapshot(idx) ==
+      main.currentSnapshot.get.snapshotId)
+    // a fresh one-shot build over the final state must agree posting-for-
+    // posting (per-batch incrementality loses nothing)
+    val full = new LakeTable(spark, s"$dir/idx-full")
+    SearchIndex.refresh(spark, main, full, nBuckets = 8)
+    def postings(t: LakeTable): Set[(String, String, Int, Long)] =
+      t.read().select("term", "conv_id", "turn_idx", "tf").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getAs[Number](3).longValue)).toSet
+    assert(postings(idx) == postings(full))
+    // re-replay: every batch fenced, index refresh no-ops, state unchanged
+    val snapBefore = idx.currentSnapshot.get.snapshotId
+    new CdcDriver(spark, cl, main, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true, searchIndex = Some(idx)).run()
+    assert(idx.currentSnapshot.get.snapshotId == snapBefore)
+  }
+
   test("document frequencies surface hot terms") {
     val main = new LakeTable(spark, TestSpark.tmpDir("si-df-main"))
     val index = new LakeTable(spark, TestSpark.tmpDir("si-df-index"))
