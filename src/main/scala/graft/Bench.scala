@@ -12,7 +12,15 @@ import graft.lake.LakeTable
  *    "cdc":{"events":N,"throughput_full":ev/s,"throughput_full_nocf":ev/s,
  *           "full_cores":C,"throughput_n":ev/s,"throughput_4n":ev/s,
  *           "n_cores":2,"four_n_cores":8,"scaling_efficiency":r,
+ *           "pinned":bool,"steal_pct":{"n":max,"four_n":max},
  *           "spread":{"n":x,"four_n":y},"soak":{...}}}
+ *
+ * Pair runs are CPU-affinity-pinned to exactly N (resp. 4N) CPUs via
+ * taskset when available ("N cores" = N CPUs, as on a real N-executor
+ * cluster — not N task slots plus helper threads on spare cores), and each
+ * run's /proc/stat hypervisor-steal share is published: an efficiency
+ * number taken under visible steal is evidence of host noise, not engine
+ * regression.
  *
  * The cdc block is the north-rule metric: the same changelog replayed at N
  * and 4N cores (fresh session each, shuffle partitions scaled), throughput
@@ -61,6 +69,36 @@ object Bench {
 
   private def timeSec[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Pin this JVM to `n` CPUs (taskset), so "N cores" means N CPUs — not N
+    * task slots plus free-riding GC/JIT/shuffle-IO helper threads on the
+    * other 30 (a real N-executor cluster has no spare cores to bleed onto;
+    * measured: unpinned local[2] runs ~5% above pinned 2-CPU). Returns
+    * false (and leaves affinity alone) where taskset is unavailable. */
+  private def pinCpus(n: Int): Boolean = try {
+    val pid = ProcessHandle.current().pid()
+    new ProcessBuilder("taskset", "-pc", s"0-${n - 1}", pid.toString)
+      .redirectErrorStream(true).start().waitFor() == 0
+  } catch { case _: Exception => false }
+
+  /** Cumulative (busy, steal, total) jiffies from /proc/stat — per-run
+    * hypervisor-steal evidence for the published measurements. */
+  private def cpuStat(): Option[(Long, Long, Long)] = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val l = try src.getLines().next() finally src.close()
+    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+    Some((f(0) + f(2), f(7), f.take(8).sum))
+  } catch { case _: Exception => None }
+
+  /** Steal share of total machine time across `f`'s execution, percent. */
+  private def stealDuring[A](f: => A): (A, Double) = {
+    val s0 = cpuStat(); val r = f; val s1 = cpuStat()
+    val pct = (for ((a, b) <- s0.zip(s1)) yield {
+      val dt = (b._3 - a._3).toDouble
+      if (dt <= 0) 0.0 else 100.0 * (b._2 - a._2) / dt
+    }).getOrElse(0.0)
+    (r, pct)
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,12 +169,19 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
-    def inCores(cores: Int)(f: SparkSession => Double): Double = {
+    // Affinity-pinned pair runs: warmup happens under the SAME pinning as
+    // the measurement (JIT/C2 compile threads would otherwise do the warmup
+    // work on unpinned spare cores and understate the N-core cost).
+    val pinned = pinCpus(scalePair._1) // probe once; per-run below
+    pinCpus(cpus)
+    def inCores(cores: Int)(f: SparkSession => Double): (Double, Double) = {
+      if (pinned) pinCpus(cores)
       val s = session(cores)
-      try { warmup(s); f(s) }
+      try { warmup(s); stealDuring(f(s)) }
       finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        if (pinned) pinCpus(cpus)
       }
     }
     // Interleaved N/4N pairs: host drift (steal, writeback) hits both
@@ -154,8 +199,10 @@ object Bench {
     }
     def spread(xs: Seq[Double]): Double =
       if (xs.isEmpty) 0.0 else (xs.max - xs.min) / median(xs)
-    val nRuns = pairRuns.map(_._1)
-    val fnRuns = pairRuns.map(_._2)
+    val nRuns = pairRuns.map(_._1._1)
+    val fnRuns = pairRuns.map(_._2._1)
+    val stealN = pairRuns.map(_._1._2)
+    val steal4n = pairRuns.map(_._2._2)
     val thrN = median(nRuns)
     val thr4n = median(fnRuns)
     val efficiency = thr4n / (4.0 * thrN)
@@ -197,6 +244,8 @@ object Bench {
       f""""throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,""" +
       f""""n_cores":${scalePair._1},"four_n_cores":${scalePair._2},""" +
       f""""scaling_efficiency":$efficiency%.3f,""" +
-      f""""runs":$benchRuns,"spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f}$soakJson}}""")
+      f""""runs":$benchRuns,"pinned":$pinned,""" +
+      f""""steal_pct":{"n":${stealN.max}%.1f,"four_n":${steal4n.max}%.1f},""" +
+      f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f}$soakJson}}""")
   }
 }

@@ -413,15 +413,20 @@ object CdcApply {
       // the dedup operator re-advertises to the dynamic-partition writer
       // (declareOrderedBy) so no extra sort is inserted.
       require(nB <= (1 << 17), s"bucket count $nB exceeds the 17-bit _bk field")
-      val df = df0.withColumn("_kh", xxhash64(ks.bucketCols.map(col): _*))
-        .withColumn("_bk", shiftleft(col("b").cast("long"), 46)
-          .bitwiseOR(shiftrightunsigned(col("_kh"), 18)))
       val orderSpec: Seq[(String, Boolean)] =
         (("_bk" -> false) +: ("_kh" -> false) +: ks.keyCols.map(_ -> false)) ++
           (("_lsn" -> true) +:
             (if (stateEmpty) Nil else Seq("_st" -> true)))
-      val sorted = df
+      // `_kh`/`_bk` are derived from columns the row already carries, so
+      // compute them AFTER the exchange (a Project between Exchange and
+      // Sort, same codegen stage as the sort input): 16 bytes/row never
+      // enter the shuffle, which is the merge's main memory-bandwidth
+      // consumer at high core counts.
+      val sorted = df0
         .repartition(nPart, partCols.map(col): _*)
+        .withColumn("_kh", xxhash64(ks.bucketCols.map(col): _*))
+        .withColumn("_bk", shiftleft(col("b").cast("long"), 46)
+          .bitwiseOR(shiftrightunsigned(col("_kh"), 18)))
         .sortWithinPartitions(orderSpec.map { case (n, desc) =>
           if (desc) col(n).desc else col(n)
         }: _*)
