@@ -575,6 +575,21 @@ object OracleSql {
          |HAVING count(DISTINCT term) = 3
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    "q50_graph_reach" ->
+      s"""WITH RECURSIVE nodes AS (
+         |  SELECT row_number() OVER (ORDER BY o_orderkey) AS i FROM orders),
+         |edges AS (
+         |  SELECT i AS child, (i*48271) % (i-1) + 1 AS parent
+         |  FROM nodes WHERE i > 1),
+         |r AS (
+         |  SELECT child AS node, parent AS anc, CAST(1 AS BIGINT) AS depth
+         |  FROM edges
+         |  UNION ALL
+         |  SELECT r.node, e.parent, r.depth + 1
+         |  FROM r JOIN edges e ON r.anc = e.child)
+         |SELECT node, anc AS root, depth FROM r
+         |WHERE anc NOT IN (SELECT child FROM edges)""".stripMargin,
+
     "q44_change_feed" ->
       s"""WITH s AS (SELECT user_id, event_id, event_type = 'error' AS tomb FROM (
          |    SELECT user_id, event_id, event_type,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextFunctions._
-import graft.operators.{DedupOps, HierarchyOps, MultimodalOps, SimilarityOps}
+import graft.operators.{DedupOps, GraphOps, HierarchyOps, MultimodalOps, SimilarityOps}
 
 /**
  * The operator catalog as runnable queries over the driver's testdata
@@ -835,6 +835,23 @@ object Queries {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Unbounded-depth reachability over a pseudo-random recursive tree:
+    * node i's parent is (i*48271) mod (i-1) + 1 over dense ranks of the
+    * orders table (expected depth ~ln N — deep enough that the bounded
+    * HierarchyOps walk cannot do it), solved by GraphOps.rootAndDepth's
+    * pointer doubling in O(log depth) self-joins. The rank synthesis is
+    * test-data plumbing, not part of the operator. */
+  def q50GraphReach(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("o_orderkey"))
+    val nodes = t(s, dir, "orders")
+      .select(row_number().over(w).cast("long").as("i"))
+    val edges = nodes.filter(col("i") > 1)
+      .select(col("i").as("child"),
+        (pmod(col("i") * 48271L, col("i") - 1) + 1).as("parent"))
+    GraphOps.rootAndDepth(edges, "child", "parent")
+      .select(col("node"), col("root"), col("depth"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -886,6 +903,7 @@ object Queries {
     "q46_decontaminate" -> (q46Decontaminate _),
     "q47_repetition" -> (q47Repetition _),
     "q48_split" -> (q48Split _),
-    "q49_search_topk" -> (q49SearchTopk _)
+    "q49_search_topk" -> (q49SearchTopk _),
+    "q50_graph_reach" -> (q50GraphReach _)
   )
 }

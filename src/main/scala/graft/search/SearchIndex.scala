@@ -73,6 +73,28 @@ object SearchIndex {
       changedRows: Long,
       apply: CdcApply.ApplyStats)
 
+  /** The index's persisted stop list ("the"-grade hot terms excluded from
+    * indexing — they skew their term bucket and poison AND-query pruning at
+    * corpus scale, the same hot-key problem DedupOps caps with dfCap). The
+    * list is FIXED at index creation and stored beside the index so every
+    * later refresh retracts and asserts under the same term set — a
+    * refresh-to-refresh change would strand old postings of newly-stopped
+    * terms. Derive candidates from [[documentFrequencies]] on a built
+    * index, then rebuild with the chosen list. */
+  def stopList(index: LakeTable): Set[String] = {
+    val f = s"${index.root}/stoplist.txt"
+    if (!graft.lake.LakeIO.exists(f)) Set.empty
+    else new String(graft.lake.LakeIO.readBytes(f), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private def persistStopList(index: LakeTable, terms: Set[String]): Unit =
+    if (terms.nonEmpty) {
+      graft.lake.LakeIO.mkdirs(index.root)
+      graft.lake.LakeIO.publishExclusive(s"${index.root}/stoplist.txt",
+        terms.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    }
+
   /** Bring the index up to date with `source`'s current snapshot. A fresh
     * index does a full build through the same code path (diff against the
     * empty table = everything inserted). Idempotent: a refresh against an
@@ -83,8 +105,22 @@ object SearchIndex {
       source: LakeTable,
       index: LakeTable,
       textCol: String = "text",
-      nBuckets: Int = 64): Option[RefreshStats] = {
+      nBuckets: Int = 64,
+      /** hot terms to exclude; honored on the FIRST build and persisted —
+        * later refreshes always use the persisted list (see [[stopList]]) */
+      stopTerms: Set[String] = Set.empty): Option[RefreshStats] = {
     val srcSnap = source.currentSnapshot.getOrElse(return None)
+    val stored = stopList(index)
+    val stop =
+      if (index.currentSnapshot.isEmpty) { // first build fixes the list
+        persistStopList(index, stopTerms); stopTerms
+      } else {
+        require(stopTerms.isEmpty || stopTerms == stored,
+          s"index ${index.root} was built with stop list $stored; a " +
+          "different list would strand old postings — rebuild the index " +
+          "to change it")
+        stored
+      }
     require(srcSnap.keySpec == Schemas.KeySpec.transcripts,
       s"SearchIndex indexes transcript-keyed tables; this lake is keyed " +
       s"${srcSnap.keySpec}")
@@ -102,13 +138,16 @@ object SearchIndex {
     // within one refresh the new image's postings win LWW over the
     // retraction of a term the row still contains.
     val epoch = srcSnap.snapshotId + 2
-    val retract = postings(
-      feed.filter(col(s"pre_$textCol").isNotNull), s"pre_$textCol")
+    def dropStop(df: DataFrame): DataFrame =
+      if (stop.isEmpty) df
+      else df.filter(!col("term").isin(stop.toSeq: _*))
+    val retract = dropStop(postings(
+      feed.filter(col(s"pre_$textCol").isNotNull), s"pre_$textCol"))
       .withColumn("op", lit(Schemas.OpDelete))
       .withColumn("_lsn", lit(epoch * 2))
-    val assert_ = postings(
+    val assert_ = dropStop(postings(
       feed.filter(col("action") =!= "deleted" &&
-        col(s"post_$textCol").isNotNull), s"post_$textCol")
+        col(s"post_$textCol").isNotNull), s"post_$textCol"))
       .withColumn("op", lit(Schemas.OpUpdate))
       .withColumn("_lsn", lit(epoch * 2 + 1))
     val batch = retract.unionByName(assert_)
@@ -131,8 +170,12 @@ object SearchIndex {
       queryTerms: Seq[String],
       topK: Int = 10): DataFrame = {
     val snap = index.currentSnapshot.getOrElse(return spark.emptyDataFrame)
-    val wanted = queryTerms.map(_.trim.toLowerCase).distinct.filter(_.nonEmpty)
-    require(wanted.nonEmpty, "empty query")
+    // stop-listed terms carry no postings: drop them from the query (the
+    // standard search-engine behavior) instead of AND-failing every doc
+    val stop = stopList(index)
+    val wanted = queryTerms.map(_.trim.toLowerCase).distinct
+      .filter(t => t.nonEmpty && !stop.contains(t))
+    require(wanted.nonEmpty, "empty query (all terms empty or stop-listed)")
     val files = wanted.flatMap(t => index.lookupFilesKeyed(Seq(t)))
       .map(_.path).distinct
     val base =

@@ -126,6 +126,35 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(idx.currentSnapshot.get.snapshotId == snapBefore)
   }
 
+  test("stop list is fixed at creation, filters postings and queries") {
+    val main = new LakeTable(spark, TestSpark.tmpDir("si-stop-main"))
+    val index = new LakeTable(spark, TestSpark.tmpDir("si-stop-index"))
+    CdcApply.apply(main, batch(Seq(
+      ("I", "a", 0, "the quick fox", 1L),
+      ("I", "b", 0, "the slow dog", 2L))), epoch = 1, nBuckets = 2)
+    SearchIndex.refresh(spark, main, index, nBuckets = 4,
+      stopTerms = Set("the"))
+    // hot term carries no postings at all
+    assert(SearchIndex.documentFrequencies(index).collect()
+      .forall(_.getString(0) != "the"))
+    // queries drop the stop term instead of AND-failing every document
+    assert(searched(index, Seq("the", "fox")) == Set(("a", 0, 1L)))
+    // an update under the same persisted list stays consistent
+    CdcApply.apply(main, batch(Seq(
+      ("U", "a", 0, "the quick wolf", 5L))), epoch = 2, nBuckets = 2)
+    SearchIndex.refresh(spark, main, index, nBuckets = 4)
+    assert(searched(index, Seq("wolf")) == Set(("a", 0, 1L)))
+    assert(searched(index, Seq("fox")).isEmpty)
+    // changing the list after creation is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.apply(main, batch(Seq(
+        ("I", "c", 0, "another row", 9L))), epoch = 3, nBuckets = 2)
+      SearchIndex.refresh(spark, main, index, nBuckets = 4,
+        stopTerms = Set("quick"))
+    }
+    assert(e.getMessage.contains("stop list"))
+  }
+
   test("document frequencies surface hot terms") {
     val main = new LakeTable(spark, TestSpark.tmpDir("si-df-main"))
     val index = new LakeTable(spark, TestSpark.tmpDir("si-df-index"))
