@@ -163,9 +163,23 @@ object Bench {
       cdcEvents / sec
     }
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    def spread(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else (xs.max - xs.min) / median(xs)
+
+    // Full-core headline runs: same discipline as the scaling pair —
+    // interleaved cf/nocf, median of N (a single 32-vCPU run on this host
+    // has swung 10x across steal bursts within one day).
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     warmup(spark) // query session has run no merge yet — warm the CDC path
-    val thrFull = replayThroughput(spark, "full")
-    val thrFullNoCf = replayThroughput(spark, "full-nocf", changeFeed = false)
+    val fullRuns = (1 to benchRuns).map { i =>
+      (replayThroughput(spark, s"full-r$i"),
+        replayThroughput(spark, s"full-nocf-r$i", changeFeed = false))
+    }
+    val thrFull = median(fullRuns.map(_._1))
+    val thrFullNoCf = median(fullRuns.map(_._2))
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -186,7 +200,6 @@ object Bench {
     }
     // Interleaved N/4N pairs: host drift (steal, writeback) hits both
     // configurations symmetrically instead of biasing whichever ran last.
-    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val pairRuns = (1 to benchRuns).map { i =>
       val n = inCores(scalePair._1)(s =>
         replayThroughput(s, s"c${scalePair._1}-r$i"))
@@ -194,11 +207,6 @@ object Bench {
         replayThroughput(s, s"c${scalePair._2}-r$i"))
       (n, fn)
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.size / 2)
-    }
-    def spread(xs: Seq[Double]): Double =
-      if (xs.isEmpty) 0.0 else (xs.max - xs.min) / median(xs)
     val nRuns = pairRuns.map(_._1._1)
     val fnRuns = pairRuns.map(_._2._1)
     val stealN = pairRuns.map(_._1._2)

@@ -113,7 +113,16 @@ object SearchIndex {
     val stored = stopList(index)
     val stop =
       if (index.currentSnapshot.isEmpty) { // first build fixes the list
-        persistStopList(index, stopTerms); stopTerms
+        persistStopList(index, stopTerms)
+        // publishExclusive never overwrites: if a crashed first build
+        // already persisted a DIFFERENT list, surface it instead of
+        // silently indexing under the in-memory one
+        val effective = stopList(index)
+        require(stopTerms.isEmpty || effective == stopTerms,
+          s"index ${index.root} already carries stop list $effective from " +
+          "an earlier (crashed) build; pass that list or clear the " +
+          "directory to change it")
+        effective
       } else {
         require(stopTerms.isEmpty || stopTerms == stored,
           s"index ${index.root} was built with stop list $stored; a " +
