@@ -78,25 +78,52 @@ object Bench {
     * false (and leaves affinity alone) where taskset is unavailable. */
   private def pinCpus(n: Int): Boolean = try {
     val pid = ProcessHandle.current().pid()
-    new ProcessBuilder("taskset", "-pc", s"0-${n - 1}", pid.toString)
-      .redirectErrorStream(true).start().waitFor() == 0
+    // -a pins ALL existing threads, not just the main one — GC and JIT
+    // compiler threads were created at JVM startup and would otherwise
+    // keep their full-machine mask, which is exactly the free-riding this
+    // pinning exists to stop. Its exit code is unreliable on a JVM (any
+    // thread exiting between enumeration and set fails the whole command),
+    // so success is judged by reading the affinity back.
+    val set = new ProcessBuilder("taskset", "-apc", s"0-${n - 1}", pid.toString)
+      .redirectErrorStream(true).start()
+    scala.io.Source.fromInputStream(set.getInputStream).mkString // drain
+    set.waitFor()
+    val get = new ProcessBuilder("taskset", "-pc", pid.toString).start()
+    val out = scala.io.Source.fromInputStream(get.getInputStream).mkString
+    get.waitFor()
+    val listed = out.trim.split(":").last.trim.split(",").flatMap { tok =>
+      tok.split("-") match {
+        case Array(a, b) => a.trim.toInt to b.trim.toInt
+        case Array(a) if a.trim.nonEmpty => Seq(a.trim.toInt)
+        case _ => Seq.empty[Int]
+      }
+    }.toSet
+    listed == (0 until n).toSet
   } catch { case _: Exception => false }
 
-  /** Cumulative (busy, steal, total) jiffies from /proc/stat — per-run
-    * hypervisor-steal evidence for the published measurements. */
-  private def cpuStat(): Option[(Long, Long, Long)] = try {
+  /** Cumulative (steal, total) jiffies summed over cpu0..cpu(n-1) from
+    * /proc/stat — the CPUs a pinned run actually uses. Measuring over the
+    * whole-machine line would dilute steal on 2 pinned CPUs by ~16x on a
+    * 32-vCPU host (and by a different factor for the 8-CPU run, making the
+    * two numbers incomparable). */
+  private def cpuStat(nCpus: Int): Option[(Long, Long)] = try {
     val src = scala.io.Source.fromFile("/proc/stat")
-    val l = try src.getLines().next() finally src.close()
-    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-    Some((f(0) + f(2), f(7), f.take(8).sum))
+    val lines = try src.getLines().toList finally src.close()
+    val wanted = (0 until nCpus).map(i => s"cpu$i").toSet
+    val rows = lines.filter(l => wanted.contains(l.takeWhile(_ != ' ')))
+    if (rows.isEmpty) None
+    else Some(rows.map { l =>
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (f(7), f.take(8).sum)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)))
   } catch { case _: Exception => None }
 
-  /** Steal share of total machine time across `f`'s execution, percent. */
-  private def stealDuring[A](f: => A): (A, Double) = {
-    val s0 = cpuStat(); val r = f; val s1 = cpuStat()
+  /** Steal share (percent) of the first `nCpus` CPUs' time across `f`. */
+  private def stealDuring[A](nCpus: Int)(f: => A): (A, Double) = {
+    val s0 = cpuStat(nCpus); val r = f; val s1 = cpuStat(nCpus)
     val pct = (for ((a, b) <- s0.zip(s1)) yield {
-      val dt = (b._3 - a._3).toDouble
-      if (dt <= 0) 0.0 else 100.0 * (b._2 - a._2) / dt
+      val dt = (b._2 - a._2).toDouble
+      if (dt <= 0) 0.0 else 100.0 * (b._1 - a._1) / dt
     }).getOrElse(0.0)
     (r, pct)
   }
@@ -191,7 +218,7 @@ object Bench {
     def inCores(cores: Int)(f: SparkSession => Double): (Double, Double) = {
       if (pinned) pinCpus(cores)
       val s = session(cores)
-      try { warmup(s); stealDuring(f(s)) }
+      try { warmup(s); stealDuring(cores)(f(s)) }
       finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -69,11 +69,16 @@ object CdcMain {
     case "replay" :: changelogDir :: lakeDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)
+      // flag-style args (patch / nocf / idx=<dir>) never occupy positional
+      // slots: `replay cl lake 4 64 0 idx=/i` must not read "idx=/i" as an
+      // aggregate-lake directory
+      val pos = rest.filterNot(a =>
+        a == "patch" || a == "nocf" || a.contains("="))
       val driver = new CdcDriver(spark, changelogDir, lake,
-        segmentsPerBatch = rest.headOption.map(_.toInt).getOrElse(4),
-        nBuckets = rest.lift(1).map(_.toInt).getOrElse(64),
-        saltBuckets = rest.lift(2).map(_.toInt).getOrElse(0),
-        aggLake = rest.lift(3).filter(_ != "-")
+        segmentsPerBatch = pos.headOption.map(_.toInt).getOrElse(4),
+        nBuckets = pos.lift(1).map(_.toInt).getOrElse(64),
+        saltBuckets = pos.lift(2).map(_.toInt).getOrElse(0),
+        aggLake = pos.lift(3).filter(_ != "-")
           .map(d => new LakeTable(spark, d)),
         patchEnabled = rest.contains("patch"),
         changeFeed = !rest.contains("nocf"),
@@ -99,9 +104,11 @@ object CdcMain {
           .option("recursiveFileLookup", "true")
           .parquet(changelogDir).schema
           .fields.filterNot(f => f.name == "p" || f.name == "seg"))
+      // flag-style args (idx=<dir>) never occupy positional slots
+      val pos = rest.filterNot(_.contains("="))
       // optional 4th arg: live processing interval in ms (0/absent = drain
       // the backlog with AvailableNow and exit; >0 = always-on tailer)
-      val liveMs = rest.lift(3).map(_.toLong).getOrElse(0L)
+      val liveMs = pos.lift(3).map(_.toLong).getOrElse(0L)
       val trig =
         if (liveMs > 0)
           org.apache.spark.sql.streaming.Trigger.ProcessingTime(liveMs)
@@ -110,9 +117,9 @@ object CdcMain {
       // — a transient batch failure restarts the tailer from its checkpoint
       // instead of ending an always-on deployment
       CdcStream.runSupervised(spark, changelogDir, lake, ckptDir, inferred,
-        nBuckets = rest.headOption.map(_.toInt).getOrElse(64),
-        saltBuckets = rest.lift(1).map(_.toInt).getOrElse(0),
-        maxFilesPerTrigger = rest.lift(2).map(_.toInt).getOrElse(16),
+        nBuckets = pos.headOption.map(_.toInt).getOrElse(64),
+        saltBuckets = pos.lift(1).map(_.toInt).getOrElse(0),
+        maxFilesPerTrigger = pos.lift(2).map(_.toInt).getOrElse(16),
         trigger = trig,
         searchIndex = rest.find(_.startsWith("idx="))
           .map(a => new LakeTable(spark, a.drop(4))))

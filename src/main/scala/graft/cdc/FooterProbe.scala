@@ -97,7 +97,13 @@ object FooterProbe {
     Some(CdcApply.ProbeInfo(stats.map(_._2).sum, lineage,
       keysNullFree = stats.forall(_._4),
       // order-stable distinct: additive evolution means later files extend
-      // earlier ones; the merge below unions fields by first appearance
-      schemaJsons = stats.flatMap(_._5).distinct))
+      // earlier ones; the merge below unions fields by first appearance.
+      // ANY file without embedded schema metadata (non-Spark writer) voids
+      // the fast path entirely — a schema built from the Spark-written
+      // subset would silently drop that file's extra columns; the
+      // mergeSchema fallback handles mixed batches correctly.
+      schemaJsons =
+        if (stats.exists(_._5.isEmpty)) Nil
+        else stats.flatMap(_._5).distinct))
   }
 }

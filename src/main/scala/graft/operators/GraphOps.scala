@@ -30,12 +30,24 @@ object GraphOps {
   def rootAndDepth(
       edges: DataFrame, childCol: String, parentCol: String,
       maxIters: Int = 40): DataFrame = {
+    // Each iteration eagerly checkpoints E rows; without releasing the
+    // previous generation, ceil(log2 D) full copies of the pointer table
+    // would pile up in the block manager. localCheckpoint's storage is not
+    // reachable through Dataset.unpersist, so generations are tracked by
+    // the RDD ids they add and released once the next one is materialized.
+    val sc = edges.sparkSession.sparkContext
+    def checkpointEager(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val d = df.localCheckpoint(true)
+      (d, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def release(ids: Set[Int]): Unit = ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     // ptr(node, anc, d): anc is node's 2^k-step ancestor — or its root, if
     // the root is nearer; d = the true number of steps anc is away.
-    var ptr = edges
+    var (ptr, ptrIds) = checkpointEager(edges
       .select(col(childCol).as("node"), col(parentCol).as("anc"))
-      .withColumn("d", lit(1L))
-      .localCheckpoint(true)
+      .withColumn("d", lit(1L)))
     var iter = 0
     var moved = 1L
     while (moved > 0 && iter < maxIters) {
@@ -43,14 +55,15 @@ object GraphOps {
         col("node").as("anc"), col("anc").as("_anc2"), col("d").as("_d2"))
       // A miss on the join means `anc` has no outgoing pointer: it IS the
       // root, and the row stops advancing (coalesce keeps it fixed).
-      val next = ptr.join(hop, Seq("anc"), "left")
+      val (next, nextIds) = checkpointEager(ptr.join(hop, Seq("anc"), "left")
         .select(col("node"),
           coalesce(col("_anc2"), col("anc")).as("anc"),
           (col("d") + coalesce(col("_d2"), lit(0L))).as("d"),
-          col("_anc2").isNotNull.as("_moved"))
-        .localCheckpoint(true)
+          col("_anc2").isNotNull.as("_moved")))
       moved = next.filter(col("_moved")).count()
+      release(ptrIds)
       ptr = next.drop("_moved")
+      ptrIds = nextIds
       iter += 1
     }
     if (moved > 0)

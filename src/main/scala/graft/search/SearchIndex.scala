@@ -178,13 +178,26 @@ object SearchIndex {
       index: LakeTable,
       queryTerms: Seq[String],
       topK: Int = 10): DataFrame = {
-    val snap = index.currentSnapshot.getOrElse(return spark.emptyDataFrame)
-    // stop-listed terms carry no postings: drop them from the query (the
-    // standard search-engine behavior) instead of AND-failing every doc
+    val emptyResult = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("conv_id", StringType),
+          StructField("turn_idx", IntegerType),
+          StructField("score", LongType))))
+    }
+    val snap = index.currentSnapshot.getOrElse(return emptyResult)
+    // Query terms MUST pass the same tokenization the index used
+    // (TextFunctions.normalized: lowercase, non-alphanumerics to spaces) —
+    // "Fox!" has to find the posting stored as "fox", and "don't" has to
+    // become the two indexed terms "don"/"t". Stop-listed terms carry no
+    // postings: drop them from the query (standard search-engine behavior),
+    // and an all-stop/all-blank query is an empty result, not an error.
     val stop = stopList(index)
-    val wanted = queryTerms.map(_.trim.toLowerCase).distinct
-      .filter(t => t.nonEmpty && !stop.contains(t))
-    require(wanted.nonEmpty, "empty query (all terms empty or stop-listed)")
+    val wanted = queryTerms
+      .flatMap(_.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").split("\\s+"))
+      .distinct.filter(t => t.nonEmpty && !stop.contains(t))
+    if (wanted.isEmpty) return emptyResult
     val files = wanted.flatMap(t => index.lookupFilesKeyed(Seq(t)))
       .map(_.path).distinct
     val base =

@@ -139,6 +139,10 @@ class SearchIndexSpec extends AnyFunSuite {
       .forall(_.getString(0) != "the"))
     // queries drop the stop term instead of AND-failing every document
     assert(searched(index, Seq("the", "fox")) == Set(("a", 0, 1L)))
+    // all-stop / all-blank query = empty result, not an error
+    assert(SearchIndex.search(spark, index, Seq("the", "  ")).collect().isEmpty)
+    // query terms pass the same tokenization as indexing
+    assert(searched(index, Seq("Fox!")) == Set(("a", 0, 1L)))
     // an update under the same persisted list stays consistent
     CdcApply.apply(main, batch(Seq(
       ("U", "a", 0, "the quick wolf", 5L))), epoch = 2, nBuckets = 2)
