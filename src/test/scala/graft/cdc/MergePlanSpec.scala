@@ -60,6 +60,15 @@ class MergePlanSpec extends AnyFunSuite {
         assert(sorts == 1, s"merge plan must have ONE sort:\n$p")
         assert(!p.contains("Window"),
           s"merge must not buffer through WindowExec:\n$p")
+        // the fused sort-prefix columns are DERIVED — they must be computed
+        // after the exchange (a Project on its output), never shuffled:
+        // 16 bytes/row through the merge's main bandwidth consumer. The
+        // tree prints children below their parent, so everything from the
+        // Exchange line onward is the map side — _bk/_kh must not appear
+        // there.
+        val mapSide = p.substring(p.indexOf("Exchange hashpartitioning"))
+        assert(!mapSide.contains("_bk") && !mapSide.contains("_kh"),
+          s"sort-prefix columns must not ride the shuffle:\n$p")
       }
     } finally spark.listenerManager.unregister(listener)
   }
