@@ -24,6 +24,7 @@ import graft.lake.LakeTable
  *   CdcMain merge   <lakeDir> <fromConv> <toConv>      — migration (epoch-neutral)
  *   CdcMain index   <lakeDir> <indexDir> [nBuckets]    — search-index refresh
  *   CdcMain search  <indexDir> <term> [term...]        — AND term query, top 10
+ *   CdcMain index-compact <indexDir>   — fold the index delta log (LWW)
  *
  * `replay` and `stream` accept `idx=<dir>`: maintain a secondary search
  * index per batch from the same pipeline (the reference mirrors entity
@@ -167,7 +168,18 @@ object CdcMain {
           s"""{"refreshed":true,"fromSourceSnapshot":${st.fromSourceSnapshot},""" +
           s""""toSourceSnapshot":${st.toSourceSnapshot},""" +
           s""""postingDeltas":${st.changedRows},""" +
-          s""""indexSnapshotId":${st.apply.snapshot.snapshotId}}""")
+          s""""indexSnapshotId":${st.snapshot.snapshotId}}""")
+      }
+      spark.stop()
+
+    case "index-compact" :: indexDir :: Nil =>
+      val spark = session()
+      val index = new LakeTable(spark, indexDir)
+      graft.search.SearchIndex.compact(index) match {
+        case None => println("""{"compacted":false,"reason":"empty index"}""")
+        case Some(s) => println(
+          s"""{"compacted":true,"snapshotId":${s.snapshotId},""" +
+          s""""rows":${s.metrics.getOrElse("rowsOut", 0.0).toLong}}""")
       }
       spark.stop()
 

@@ -115,7 +115,7 @@ class SearchIndexSpec extends AnyFunSuite {
     val full = new LakeTable(spark, s"$dir/idx-full")
     SearchIndex.refresh(spark, main, full, nBuckets = 8)
     def postings(t: LakeTable): Set[(String, String, Int, Long)] =
-      t.read().select("term", "conv_id", "turn_idx", "tf").collect()
+      SearchIndex.resolvedPostings(t).collect()
         .map(r => (r.getString(0), r.getString(1), r.getInt(2),
           r.getAs[Number](3).longValue)).toSet
     assert(postings(idx) == postings(full))
@@ -124,6 +124,16 @@ class SearchIndexSpec extends AnyFunSuite {
     new CdcDriver(spark, cl, main, segmentsPerBatch = 1, nBuckets = 8,
       quiet = true, searchIndex = Some(idx)).run()
     assert(idx.currentSnapshot.get.snapshotId == snapBefore)
+    // compaction folds the 4-refresh delta log into one resolved chain:
+    // fewer files, identical logical content, identical search results
+    val before = searched(idx, Seq("merge"))
+    val filesBefore = idx.currentSnapshot.get.files.size
+    assert(SearchIndex.compact(idx).isDefined)
+    assert(idx.currentSnapshot.get.files.size < filesBefore)
+    assert(postings(idx) == postings(full))
+    assert(searched(idx, Seq("merge")) == before)
+    // the epoch survives compaction, so the next refresh still fences
+    assert(SearchIndex.refresh(spark, main, idx).isEmpty)
   }
 
   test("stop list is fixed at creation, filters postings and queries") {
