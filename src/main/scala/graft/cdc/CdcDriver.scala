@@ -111,7 +111,17 @@ final class CdcDriver(
     * footers of the changelog's parquet files under `seg=N/p=P/` (driver
     * metadata IO only; no cluster scan — shared with the streaming tailer,
     * see [[FooterProbe]]). Returns None if the layout lacks `p=` dirs (flat
-    * segments fall back to the probe scan). */
-  private def probeFromFooters(segDirs: Seq[String]): Option[CdcApply.ProbeInfo] =
-    FooterProbe.fromSegDirs(segDirs, Set("conv_id", "turn_idx", "_lsn"))
+    * segments fall back to the probe scan).
+    *
+    * The null-free proof must cover the LAKE'S OWN key columns: probing the
+    * transcript names against a generic-key table would "prove" the wrong
+    * columns null-free and let a null real key skip validation — so the spec
+    * comes from the current snapshot (fresh lakes seed as transcripts, which
+    * is also what this driver's CdcApply call seeds). */
+  private def probeFromFooters(segDirs: Seq[String]): Option[CdcApply.ProbeInfo] = {
+    val ks = lake.currentSnapshot.map(_.keySpec)
+      .getOrElse(graft.model.Schemas.KeySpec.transcripts)
+    FooterProbe.fromSegDirs(segDirs, ks.keyCols.toSet + "_lsn",
+      bucketKey = ks.bucketCols.head)
+  }
 }

@@ -80,8 +80,13 @@ object CdcStream {
         // own input files: with it the merge is the batch's ONLY data pass
         // (validation rides the merge's observe; no lineage probe scan) —
         // without it a live tailer pays a standing ~2x read amplification.
+        // The null-free proof covers the LAKE'S key columns (a key spec is
+        // immutable once the table exists, so reading it per-batch only
+        // matters until the first commit seeds it).
+        val ks = lake.currentSnapshot.map(_.keySpec)
+          .getOrElse(graft.model.Schemas.KeySpec.transcripts)
         val probe = FooterProbe.fromInputFiles(batch.inputFiles.toSeq,
-          Set("conv_id", "turn_idx", "_lsn"))
+          ks.keyCols.toSet + "_lsn", bucketKey = ks.bucketCols.head)
         val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
           nBuckets, saltBuckets, probeInfo = probe,
           patchEnabled = patchEnabled, changeFeed = changeFeed)

@@ -105,10 +105,10 @@ object ParquetFooters {
       var mn = Long.MaxValue; var mx = Long.MinValue; var offMissing = false
       val nulls = scala.collection.mutable.Map(keyCols.toSeq.map(_ -> 0L): _*)
       var nullsMissing = false
-      var minKey: String = null
+      var minKey: String = null; var minKeyMissing = false
       footer.getBlocks.forEach { block =>
         rows += block.getRowCount
-        var offFound = false
+        var offFound = false; var keyMinFound = false
         val nullSeen = scala.collection.mutable.Set[String]()
         block.getColumns.forEach { c =>
           val name = c.getPath.toDotString
@@ -122,6 +122,7 @@ object ParquetFooters {
               if (hi > mx) mx = hi
             }
             if (name == bucketKey) {
+              keyMinFound = true
               val lo = st.minAsString()
               if (minKey == null || lo < minKey) minKey = lo
             }
@@ -134,13 +135,16 @@ object ParquetFooters {
         if (block.getRowCount > 0) {
           if (!offFound) offMissing = true
           if (nullSeen.size < keyCols.size) nullsMissing = true
+          // a populated block without bucket-key min stats could HIDE a
+          // blank key — the file-level min must not pretend to cover it
+          if (!keyMinFound) minKeyMissing = true
         }
       }
       ProbeFileStats(
         rows,
         if (offMissing || mn > mx) None else Some((mn, mx)),
         !nullsMissing && nulls.values.forall(_ == 0L),
-        Option(minKey).getOrElse(""),
+        if (minKeyMissing) "" else Option(minKey).getOrElse(""),
         Option(footer.getFileMetaData.getKeyValueMetaData
           .get("org.apache.spark.sql.parquet.row.metadata")))
     }

@@ -109,6 +109,38 @@ class CdcGenericKeySpec extends AnyFunSuite {
     assert(quar.select("_reason").head().getString(0) == "null_key")
   }
 
+  test("footer null-proof covers the LAKE's key columns, not transcript names") {
+    // Regression: the driver's footer probe must derive its null-free proof
+    // from the stored KeySpec. A feed that HAPPENS to carry null-free
+    // transcript-named columns while a real key column (userid) has a null
+    // must still be quarantined — a transcript-named proof would let the
+    // null key skip validation and merge as a key.
+    val lake = new LakeTable(spark, TestSpark.tmpDir("generic-probe-lake"))
+    val seed = events(0, 200)
+      .withColumn("conv_id", concat(lit("c-"), col("_lsn")))
+      .withColumn("turn_idx", lit(1))
+    CdcApply.apply(lake, seed, epoch = 1, nBuckets = 4, keys = enrolmentKeys)
+
+    val logDir = TestSpark.tmpDir("generic-probe-log")
+    val bad = spark.range(2).select(
+      lit("U").as("op"),
+      when(col("id") === 0, lit(null).cast("string"))
+        .otherwise(lit("user-live")).as("userid"),
+      lit("course-1").as("courseid"), lit(0).as("batchid"),
+      lit(1).as("status"), lit(0.5).as("pct"),
+      lit("conv-ok").as("conv_id"), lit(7).as("turn_idx"),
+      (col("id") + 5000L).as("_lsn"), lit(0).as("_src_part"),
+      (col("id") + 5000L).as("_src_off"))
+    bad.coalesce(1).write.parquet(s"$logDir/seg=1/p=0")
+
+    val stats = new CdcDriver(spark, logDir, lake, nBuckets = 4, quiet = true).run()
+    assert(stats.map(_.failedEvents).sum == 1,
+      "null userid must be quarantined even though transcript-named columns are null-free")
+    val quar = spark.read.parquet(s"${lake.root}/quarantine")
+    assert(quar.filter(col("_reason") === "null_key").count() == 1)
+    assert(!state(lake).exists(_._1._1 == null))
+  }
+
   test("generic key survives compaction and the snapshot-diff change feed") {
     val lake = new LakeTable(spark, TestSpark.tmpDir("generic-compact"))
     CdcApply.apply(lake, events(0, 2000), epoch = 1, nBuckets = 4,
