@@ -218,7 +218,13 @@ object Bench {
     def inCores(cores: Int)(f: SparkSession => Double): (Double, Double) = {
       if (pinned) pinCpus(cores)
       val s = session(cores)
-      try { warmup(s); stealDuring(cores)(f(s)) }
+      // steal is sampled over the CPUs the run actually occupies: the first
+      // `cores` only when pinning is in effect, else the whole machine (an
+      // unpinned run schedules anywhere, so a cpu0..n-1 sample would be
+      // unrelated to the run's own steal exposure)
+      val stealCpus =
+        if (pinned) cores else Runtime.getRuntime.availableProcessors()
+      try { warmup(s); stealDuring(stealCpus)(f(s)) }
       finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

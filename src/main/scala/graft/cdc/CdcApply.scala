@@ -280,10 +280,16 @@ object CdcApply {
     // relative: trust it only if the table still has the bucket count the
     // caller computed it under (a concurrent rebucket invalidates it).
     var batchScanned = probeInfo.isEmpty // the lineage probe above ran
+    // The dense all-buckets shortcut counts on rowsIn ~= valid rows: with
+    // validation on but unproven (no footer null-proof), a mostly-invalid
+    // dense batch would trigger an O(table) rewrite for a handful of
+    // survivors — take the exact probe (over cleanBatch, so invalid rows
+    // don't count) unless footers prove the keys clean or validation is off.
+    val denseTrusted = !validate || probeInfo.exists(_.keysNullFree)
     val touched: Set[Int] =
       touchedHint.filter(_ => nB == nBuckets).getOrElse {
         phase("probe-buckets") {
-          if (rowsIn >= nB.toLong * 64) (0 until nB).toSet
+          if (denseTrusted && rowsIn >= nB.toLong * 64) (0 until nB).toSet
           else {
             batchScanned = true
             cleanBatch

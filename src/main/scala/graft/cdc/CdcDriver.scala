@@ -122,6 +122,6 @@ final class CdcDriver(
     val ks = lake.currentSnapshot.map(_.keySpec)
       .getOrElse(graft.model.Schemas.KeySpec.transcripts)
     FooterProbe.fromSegDirs(segDirs, ks.keyCols.toSet + "_lsn",
-      bucketKey = ks.bucketCols.head)
+      bucketKeys = ks.bucketCols)
   }
 }

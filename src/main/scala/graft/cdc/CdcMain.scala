@@ -72,9 +72,11 @@ object CdcMain {
       val lake = new LakeTable(spark, lakeDir)
       // flag-style args (patch / nocf / idx=<dir>) never occupy positional
       // slots: `replay cl lake 4 64 0 idx=/i` must not read "idx=/i" as an
-      // aggregate-lake directory
+      // aggregate-lake directory. Only KNOWN flags are recognized — a bare
+      // contains("=") would silently swallow an aggDir path like
+      // /data/run=5/agg.
       val pos = rest.filterNot(a =>
-        a == "patch" || a == "nocf" || a.contains("="))
+        a == "patch" || a == "nocf" || a.startsWith("idx="))
       val driver = new CdcDriver(spark, changelogDir, lake,
         segmentsPerBatch = pos.headOption.map(_.toInt).getOrElse(4),
         nBuckets = pos.lift(1).map(_.toInt).getOrElse(64),
@@ -105,8 +107,9 @@ object CdcMain {
           .option("recursiveFileLookup", "true")
           .parquet(changelogDir).schema
           .fields.filterNot(f => f.name == "p" || f.name == "seg"))
-      // flag-style args (idx=<dir>) never occupy positional slots
-      val pos = rest.filterNot(_.contains("="))
+      // flag-style args (idx=<dir>) never occupy positional slots; only the
+      // known flag shape is recognized (see the replay parser above)
+      val pos = rest.filterNot(_.startsWith("idx="))
       // optional 4th arg: live processing interval in ms (0/absent = drain
       // the backlog with AvailableNow and exit; >0 = always-on tailer)
       val liveMs = pos.lift(3).map(_.toLong).getOrElse(0L)

@@ -86,7 +86,7 @@ object CdcStream {
         val ks = lake.currentSnapshot.map(_.keySpec)
           .getOrElse(graft.model.Schemas.KeySpec.transcripts)
         val probe = FooterProbe.fromInputFiles(batch.inputFiles.toSeq,
-          ks.keyCols.toSet + "_lsn", bucketKey = ks.bucketCols.head)
+          ks.keyCols.toSet + "_lsn", bucketKeys = ks.bucketCols)
         val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
           nBuckets, saltBuckets, probeInfo = probe,
           patchEnabled = patchEnabled, changeFeed = changeFeed)

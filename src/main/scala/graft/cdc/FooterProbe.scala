@@ -43,7 +43,8 @@ object FooterProbe {
     * Returns None when the layout lacks `p=` dirs (flat segments fall back
     * to CdcApply's probe scan). */
   def fromSegDirs(segDirs: Seq[String], keyCols: Set[String],
-                  bucketKey: String = "conv_id"): Option[CdcApply.ProbeInfo] = {
+                  bucketKeys: Seq[String] = Seq("conv_id"))
+      : Option[CdcApply.ProbeInfo] = {
     val perPart = segDirs.flatMap { d =>
       graft.lake.LakeIO.list(d)
         .filter { case (name, _, isDir) => isDir && name.startsWith("p=") }
@@ -53,39 +54,43 @@ object FooterProbe {
             .filter(_._1.endsWith(".parquet")).map(f => part -> f._2)
         }
     }
-    fromFiles(perPart, keyCols, bucketKey)
+    fromFiles(perPart, keyCols, bucketKeys)
   }
 
   /** Probe from concrete data-file paths (the streaming micro-batch's
     * `DataFrame.inputFiles`): source partition parsed from the `/p=P/` path
     * component. Returns None if any file lacks it. */
   def fromInputFiles(paths: Seq[String], keyCols: Set[String],
-                     bucketKey: String = "conv_id"): Option[CdcApply.ProbeInfo] = {
+                     bucketKeys: Seq[String] = Seq("conv_id"))
+      : Option[CdcApply.ProbeInfo] = {
     val perPart = paths.map { p =>
       partRe.findFirstMatchIn(p) match {
         case Some(m) => m.group(1).toInt -> p
         case None => return None // flat layout: fall back to the probe scan
       }
     }
-    fromFiles(perPart, keyCols, bucketKey)
+    fromFiles(perPart, keyCols, bucketKeys)
   }
 
   /** Core: (srcPartition, filePath) pairs -> ProbeInfo, or None when any
     * populated file lacks `_src_off` footer stats (recording corrupted
     * lineage bounds would be worse than one probe scan). */
   def fromFiles(perPart: Seq[(Int, String)], keyCols: Set[String],
-                bucketKey: String = "conv_id"): Option[CdcApply.ProbeInfo] = {
+                bucketKeys: Seq[String] = Seq("conv_id"))
+      : Option[CdcApply.ProbeInfo] = {
     if (perPart.isEmpty) return None
     val stats = graft.lake.ParquetFooters.parMap(perPart) { case (part, path) =>
       // ONE footer open per file: rows + lineage bounds + the key-null proof
-      // + bucket-key min + embedded schema. The applier may skip the key
-      // checks of the validation scan only if footers PROVE them impossible:
-      // zero nulls in the key columns AND the bucket-key min excludes
-      // empty/whitespace-leading strings (an all-blank key sorts before any
-      // printable character, so it would BE the min if present).
+      // + per-bucket-col mins + embedded schema. The applier may skip the
+      // key checks of the validation scan only if footers PROVE them
+      // impossible: zero nulls in the key columns AND EVERY bucket column's
+      // min excludes empty/whitespace-leading strings (an all-blank key
+      // sorts before any printable character, so it would BE the min if
+      // present) — invalidReason quarantines a blank in ANY bucket column,
+      // so the proof must cover them all, not just the head.
       val s = graft.lake.ParquetFooters.probeStats(
-        path, "_src_off", keyCols, bucketKey)
-      val nonBlank = s.minBucketKey.nonEmpty && s.minBucketKey.head > ' '
+        path, "_src_off", keyCols, bucketKeys)
+      val nonBlank = s.minBucketKeys.forall(m => m.nonEmpty && m.head > ' ')
       (part, s.rows, s.offBounds, s.keysNullFree && nonBlank, s.schemaJson)
     }
     if (stats.exists(s => s._2 > 0 && s._3.isEmpty)) return None

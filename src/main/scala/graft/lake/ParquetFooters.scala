@@ -92,23 +92,29 @@ object ParquetFooters {
     }
 
   /** Everything the changelog probe needs from one footer in ONE open:
-    * (rows, _src_off bounds or None, key columns null-free, min of
-    * `bucketKey`, embedded Spark schema JSON). A multi-thousand-file batch
-    * pays one metadata IO per file instead of four. */
+    * (rows, _src_off bounds or None, key columns null-free, per-bucket-col
+    * mins, embedded Spark schema JSON). A multi-thousand-file batch pays one
+    * metadata IO per file instead of four. `minBucketKeys` aligns with the
+    * `bucketKeys` argument; an entry is "" when ANY populated block lacks
+    * min/max stats for that column (a stats-less block could HIDE a blank
+    * key, so the file-level min must not pretend to cover it). */
   final case class ProbeFileStats(rows: Long, offBounds: Option[(Long, Long)],
-                                  keysNullFree: Boolean, minBucketKey: String,
+                                  keysNullFree: Boolean,
+                                  minBucketKeys: Seq[String],
                                   schemaJson: Option[String])
   def probeStats(path: String, offCol: String, keyCols: Set[String],
-                 bucketKey: String): ProbeFileStats =
+                 bucketKeys: Seq[String]): ProbeFileStats =
     withFooter(path) { footer =>
       var rows = 0L
       var mn = Long.MaxValue; var mx = Long.MinValue; var offMissing = false
       val nulls = scala.collection.mutable.Map(keyCols.toSeq.map(_ -> 0L): _*)
       var nullsMissing = false
-      var minKey: String = null; var minKeyMissing = false
+      val minKey = scala.collection.mutable.Map[String, String]()
+      val minKeyMissing = scala.collection.mutable.Set[String]()
       footer.getBlocks.forEach { block =>
         rows += block.getRowCount
-        var offFound = false; var keyMinFound = false
+        var offFound = false
+        val keyMinFound = scala.collection.mutable.Set[String]()
         val nullSeen = scala.collection.mutable.Set[String]()
         block.getColumns.forEach { c =>
           val name = c.getPath.toDotString
@@ -121,10 +127,10 @@ object ParquetFooters {
               if (lo < mn) mn = lo
               if (hi > mx) mx = hi
             }
-            if (name == bucketKey) {
-              keyMinFound = true
+            if (bucketKeys.contains(name)) {
+              keyMinFound += name
               val lo = st.minAsString()
-              if (minKey == null || lo < minKey) minKey = lo
+              if (!minKey.get(name).exists(_ <= lo)) minKey(name) = lo
             }
           }
           if (keyCols.contains(name) && st != null && st.isNumNullsSet) {
@@ -135,16 +141,15 @@ object ParquetFooters {
         if (block.getRowCount > 0) {
           if (!offFound) offMissing = true
           if (nullSeen.size < keyCols.size) nullsMissing = true
-          // a populated block without bucket-key min stats could HIDE a
-          // blank key — the file-level min must not pretend to cover it
-          if (!keyMinFound) minKeyMissing = true
+          bucketKeys.foreach(k => if (!keyMinFound(k)) minKeyMissing += k)
         }
       }
       ProbeFileStats(
         rows,
         if (offMissing || mn > mx) None else Some((mn, mx)),
         !nullsMissing && nulls.values.forall(_ == 0L),
-        if (minKeyMissing) "" else Option(minKey).getOrElse(""),
+        bucketKeys.map(k =>
+          if (minKeyMissing(k)) "" else minKey.getOrElse(k, "")),
         Option(footer.getFileMetaData.getKeyValueMetaData
           .get("org.apache.spark.sql.parquet.row.metadata")))
     }

@@ -228,6 +228,10 @@ object DedupOps {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
       .localCheckpoint(true)
+    // release each superseded checkpoint generation precisely (see
+    // GraphOps.rootAndDepth / GraftBridge.checkpointedRdd) — diameter
+    // rounds of full label copies must not pile up in the block manager
+    var labelsRdd = org.apache.spark.sql.graft.GraftBridge.checkpointedRdd(labels)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -240,7 +244,9 @@ object DedupOps {
       changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.cluster") < col("o.cluster")).count()
+      labelsRdd.foreach(_.unpersist(blocking = false))
       labels = next
+      labelsRdd = org.apache.spark.sql.graft.GraftBridge.checkpointedRdd(next)
       iter += 1
     }
     labels

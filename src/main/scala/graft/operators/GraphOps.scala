@@ -33,16 +33,18 @@ object GraphOps {
     // Each iteration eagerly checkpoints E rows; without releasing the
     // previous generation, ceil(log2 D) full copies of the pointer table
     // would pile up in the block manager. localCheckpoint's storage is not
-    // reachable through Dataset.unpersist, so generations are tracked by
-    // the RDD ids they add and released once the next one is materialized.
-    val sc = edges.sparkSession.sparkContext
-    def checkpointEager(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // reachable through Dataset.unpersist, so each generation's backing RDD
+    // is taken straight off the checkpointed plan (GraftBridge) and released
+    // once the next one is materialized — never a getPersistentRDDs keyset
+    // diff, which would capture (and later kill) checkpoints persisted
+    // concurrently by other threads on the shared context.
+    def checkpointEager(df: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val d = df.localCheckpoint(true)
-      (d, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (d, org.apache.spark.sql.graft.GraftBridge.checkpointedRdd(d))
     }
-    def release(ids: Set[Int]): Unit = ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def release(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      r.foreach(_.unpersist(blocking = false))
     // ptr(node, anc, d): anc is node's 2^k-step ancestor — or its root, if
     // the root is nearer; d = the true number of steps anc is away.
     var (ptr, ptrIds) = checkpointEager(edges

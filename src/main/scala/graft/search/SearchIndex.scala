@@ -281,8 +281,12 @@ object SearchIndex {
     // postings: drop them from the query (standard search-engine behavior),
     // and an all-stop/all-blank query is an empty result, not an error.
     val stop = stopList(index)
+    // Locale.ROOT: the index side lowercases via Spark's locale-independent
+    // lower(); a default-locale toLowerCase would tokenize differently on
+    // e.g. tr-TR JVMs ("INDEX" -> "ındex") and miss indexed terms.
     val wanted = queryTerms
-      .flatMap(_.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").split("\\s+"))
+      .flatMap(_.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^a-z0-9\\s]", " ").split("\\s+"))
       .distinct.filter(t => t.nonEmpty && !stop.contains(t))
     if (wanted.isEmpty) return emptyResult
     val files = wanted.flatMap(t => index.lookupFilesKeyed(Seq(t)))

@@ -12,4 +12,17 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The persisted RDD behind an eager `localCheckpoint` result (the
+    * LogicalRDD its plan wraps), so iterative operators can release a
+    * superseded checkpoint generation PRECISELY. The alternative — diffing
+    * `sc.getPersistentRDDs` around the checkpoint call — captures RDDs
+    * persisted concurrently by other threads on the shared context and
+    * unpersists someone else's live checkpoint (unrecoverable: truncated
+    * lineage cannot recompute). */
+  def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
 }

@@ -141,6 +141,33 @@ class CdcGenericKeySpec extends AnyFunSuite {
     assert(!state(lake).exists(_._1._1 == null))
   }
 
+  test("footer blank-key proof covers EVERY bucket column, not just the head") {
+    // On a multi-bucket-column table, a blank (non-null) value in a NON-HEAD
+    // bucket column must still be quarantined when the batch arrives through
+    // the footer fast path — the nonBlank proof has to cover all bucket
+    // columns (invalidReason flags a blank in any of them).
+    val twoColKeys = KeySpec(Seq("userid", "courseid"),
+      Seq("userid", "courseid", "batchid"))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("generic-blank-lake"))
+    CdcApply.apply(lake, events(0, 200), epoch = 1, nBuckets = 4,
+      keys = twoColKeys)
+
+    val logDir = TestSpark.tmpDir("generic-blank-log")
+    val bad = spark.range(2).select(
+      lit("U").as("op"), lit("user-live").as("userid"),
+      when(col("id") === 0, lit("")).otherwise(lit("course-1")).as("courseid"),
+      lit(0).as("batchid"), lit(1).as("status"), lit(0.5).as("pct"),
+      (col("id") + 9000L).as("_lsn"), lit(0).as("_src_part"),
+      (col("id") + 9000L).as("_src_off"))
+    bad.coalesce(1).write.parquet(s"$logDir/seg=1/p=0")
+
+    val stats = new CdcDriver(spark, logDir, lake, nBuckets = 4, quiet = true).run()
+    assert(stats.map(_.failedEvents).sum == 1,
+      "blank courseid must be quarantined despite the footer fast path")
+    val quar = spark.read.parquet(s"${lake.root}/quarantine")
+    assert(quar.filter(col("_reason") === "null_key").count() == 1)
+  }
+
   test("generic key survives compaction and the snapshot-diff change feed") {
     val lake = new LakeTable(spark, TestSpark.tmpDir("generic-compact"))
     CdcApply.apply(lake, events(0, 2000), epoch = 1, nBuckets = 4,
