@@ -40,7 +40,10 @@ final class CdcDriver(
       * table), refreshed after every batch from the change-feed images —
       * the reference mirrors every entity update into Elasticsearch from
       * the same stream (ElasticSearchUtil.scala:62-106) */
-    searchIndex: Option[LakeTable] = None) {
+    searchIndex: Option[LakeTable] = None,
+    /** auto-compact the index once any bucket's delta chain reaches this
+      * many segments (LSM merge policy; 0 = never — manual CLI only) */
+    indexCompactChain: Int = 16) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -88,8 +91,10 @@ final class CdcDriver(
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
       }
       if (!stats.skipped)
-        searchIndex.foreach(si =>
-          graft.search.SearchIndex.refresh(spark, lake, si))
+        searchIndex.foreach { si =>
+          graft.search.SearchIndex.refresh(spark, lake, si)
+          graft.search.SearchIndex.maybeCompact(si, indexCompactChain)
+        }
       out += stats
       if (!quiet) {
         val s = stats

@@ -28,7 +28,9 @@ import graft.lake.LakeTable
  *
  * `replay` and `stream` accept `idx=<dir>`: maintain a secondary search
  * index per batch from the same pipeline (the reference mirrors entity
- * updates into Elasticsearch from the same stream).
+ * updates into Elasticsearch from the same stream), and `idxchain=<n>`:
+ * auto-compact the index once any bucket's delta chain reaches n segments
+ * (LSM merge policy, default 16; 0 = manual `index-compact` only).
  *
  * Parallelism comes from SPARK_GRAFT_CPUS (local[N]) or the real cluster's
  * spark-submit config; shuffle partitions follow the core count.
@@ -76,7 +78,8 @@ object CdcMain {
       // contains("=") would silently swallow an aggDir path like
       // /data/run=5/agg.
       val pos = rest.filterNot(a =>
-        a == "patch" || a == "nocf" || a.startsWith("idx="))
+        a == "patch" || a == "nocf" || a.startsWith("idx=") ||
+          a.startsWith("idxchain="))
       val driver = new CdcDriver(spark, changelogDir, lake,
         segmentsPerBatch = pos.headOption.map(_.toInt).getOrElse(4),
         nBuckets = pos.lift(1).map(_.toInt).getOrElse(64),
@@ -85,9 +88,12 @@ object CdcMain {
           .map(d => new LakeTable(spark, d)),
         patchEnabled = rest.contains("patch"),
         changeFeed = !rest.contains("nocf"),
-        // idx=<dir>: maintain a secondary search index per batch
+        // idx=<dir>: maintain a secondary search index per batch;
+        // idxchain=<n>: LSM merge threshold (auto-compact, 0 = never)
         searchIndex = rest.find(_.startsWith("idx="))
-          .map(a => new LakeTable(spark, a.drop(4))))
+          .map(a => new LakeTable(spark, a.drop(4))),
+        indexCompactChain = rest.find(_.startsWith("idxchain="))
+          .map(_.drop(9).toInt).getOrElse(16))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -109,7 +115,8 @@ object CdcMain {
           .fields.filterNot(f => f.name == "p" || f.name == "seg"))
       // flag-style args (idx=<dir>) never occupy positional slots; only the
       // known flag shape is recognized (see the replay parser above)
-      val pos = rest.filterNot(_.startsWith("idx="))
+      val pos = rest.filterNot(a =>
+        a.startsWith("idx=") || a.startsWith("idxchain="))
       // optional 4th arg: live processing interval in ms (0/absent = drain
       // the backlog with AvailableNow and exit; >0 = always-on tailer)
       val liveMs = pos.lift(3).map(_.toLong).getOrElse(0L)
@@ -126,7 +133,9 @@ object CdcMain {
         maxFilesPerTrigger = pos.lift(2).map(_.toInt).getOrElse(16),
         trigger = trig,
         searchIndex = rest.find(_.startsWith("idx="))
-          .map(a => new LakeTable(spark, a.drop(4))))
+          .map(a => new LakeTable(spark, a.drop(4))),
+        indexCompactChain = rest.find(_.startsWith("idxchain="))
+          .map(_.drop(9).toInt).getOrElse(16))
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()

@@ -54,6 +54,9 @@ object CdcStream {
         * same stream (ElasticSearchUtil.scala:62-106); refresh is catch-up
         * by construction, so fenced/replayed batches self-heal */
       searchIndex: Option[LakeTable] = None,
+      /** auto-compact the index once any bucket's delta chain reaches this
+        * many segments (LSM merge policy; 0 = never) */
+      indexCompactChain: Int = 16,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
       onBatch: Long => Unit = _ => ()): StreamingQuery = {
@@ -97,8 +100,12 @@ object CdcStream {
           else if (stats.skipped)
             AggMaintenance.catchUp(spark, lake, al)
         }
-        searchIndex.foreach(si =>
-          graft.search.SearchIndex.refresh(spark, lake, si))
+        searchIndex.foreach { si =>
+          graft.search.SearchIndex.refresh(spark, lake, si)
+          // LSM merge policy: a live tailer refreshes the index per
+          // micro-batch, so chains grow without bound unless merged here
+          graft.search.SearchIndex.maybeCompact(si, indexCompactChain)
+        }
         ()
       }
       .start()
@@ -118,10 +125,11 @@ object CdcStream {
       trigger: Trigger = Trigger.AvailableNow(),
       patchEnabled: Boolean = false,
       changeFeed: Boolean = true,
-      searchIndex: Option[LakeTable] = None): Unit =
+      searchIndex: Option[LakeTable] = None,
+      indexCompactChain: Int = 16): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
-      changeFeed, searchIndex).awaitTermination()
+      changeFeed, searchIndex, indexCompactChain).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
     * (one transient FS hiccup would otherwise end the deployment) restarts
@@ -148,6 +156,7 @@ object CdcStream {
       patchEnabled: Boolean = false,
       changeFeed: Boolean = true,
       searchIndex: Option[LakeTable] = None,
+      indexCompactChain: Int = 16,
       restartAttempts: Int = 3,
       restartDelayMs: Long = 30000L,
       onBatch: Long => Unit = _ => ()): Unit = {
@@ -157,7 +166,7 @@ object CdcStream {
       val epochBefore = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
       val q = start(spark, changelogDir, lake, checkpointDir, schema,
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
-        patchEnabled, changeFeed, searchIndex, onBatch)
+        patchEnabled, changeFeed, searchIndex, indexCompactChain, onBatch)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)

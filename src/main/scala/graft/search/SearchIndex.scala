@@ -318,6 +318,37 @@ object SearchIndex {
     Some(snap)
   }
 
+  /** Max delta-chain length across buckets: how many manifest segments a
+    * single-bucket term lookup must merge — the LSM read amplification
+    * (1 = fully compacted; each refresh appends one segment per touched
+    * bucket). O(1) driver metadata, no file IO. */
+  def maxChainLength(index: LakeTable): Int =
+    index.currentSnapshot.map { s =>
+      if (s.manifests.isEmpty) 0
+      else s.manifests.groupBy(_.bucket).values.map(_.size).max
+    }.getOrElse(0)
+
+  /** Threshold-triggered compaction — the automatic segment-merge policy
+    * every LSM store runs (Lucene/ES merge on write; an unmerged index
+    * degrades reads linearly in refresh count, which at 10^10-event scale
+    * with thousands of maintained batches would be unbounded). When any
+    * bucket's chain reaches `maxChain`, fold the log ([[compact]]) and
+    * reclaim superseded delta files (`expireSnapshots(keepSnapshots)`).
+    * Best-effort: a commit race with a concurrent maintainer skips this
+    * cycle (the next refresh re-triggers) rather than failing the pipeline
+    * — compaction is an optimization, never required for correctness. */
+  def maybeCompact(index: LakeTable, maxChain: Int,
+                   keepSnapshots: Int = 2): Option[Snapshot] =
+    if (maxChain <= 0 || maxChainLength(index) < maxChain) None
+    else
+      try {
+        val s = compact(index)
+        if (s.isDefined) index.expireSnapshots(keepSnapshots)
+        s
+      } catch {
+        case _: graft.lake.CommitConflictException => None
+      }
+
   /** The resolved live postings (term, conv_id, turn_idx, tf) — the
     * logical content of the index regardless of how many delta files
     * currently back it. */

@@ -136,6 +136,39 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(SearchIndex.refresh(spark, main, idx).isEmpty)
   }
 
+  test("auto-compaction bounds the delta chain during a maintained replay") {
+    import graft.cdc.CdcDriver
+    import graft.changelog.ChangelogGen
+    val dir = TestSpark.tmpDir("si-autocompact")
+    val cl = s"$dir/changelog"
+    ChangelogGen.write(spark, cl, ChangelogGen.Config(
+      nEvents = 16000, nConvs = 80, skew = 1.1,
+      evolveAt = -1, segSize = 2000))
+    val main = new LakeTable(spark, s"$dir/lake")
+    val idx = new LakeTable(spark, s"$dir/idx")
+    // 8 segments, 1 per batch -> 8 refreshes; merge policy folds at chain 3,
+    // so the LSM read amplification never exceeds the threshold (an
+    // unmerged index would be at chain length 8 here and unbounded at 10^10)
+    new CdcDriver(spark, cl, main, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true, searchIndex = Some(idx), indexCompactChain = 3).run()
+    assert(SearchIndex.maxChainLength(idx) <= 3,
+      s"chain ${SearchIndex.maxChainLength(idx)} exceeds the merge threshold")
+    assert(SearchIndex.indexedSourceSnapshot(idx) ==
+      main.currentSnapshot.get.snapshotId)
+    // superseded delta files were reclaimed, not just superseded
+    assert(idx.snapshots.size <= 3, s"${idx.snapshots.size} snapshots retained")
+    // logical content identical to a fresh one-shot build
+    val full = new LakeTable(spark, s"$dir/idx-full")
+    SearchIndex.refresh(spark, main, full, nBuckets = 8)
+    def postings(t: LakeTable): Set[(String, String, Int, Long)] =
+      SearchIndex.resolvedPostings(t).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getAs[Number](3).longValue)).toSet
+    assert(postings(idx) == postings(full))
+    // epoch fencing survives the interleaved maintenance commits
+    assert(SearchIndex.refresh(spark, main, idx).isEmpty)
+  }
+
   test("stop list is fixed at creation, filters postings and queries") {
     val main = new LakeTable(spark, TestSpark.tmpDir("si-stop-main"))
     val index = new LakeTable(spark, TestSpark.tmpDir("si-stop-index"))
