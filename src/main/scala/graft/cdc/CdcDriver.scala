@@ -43,7 +43,19 @@ final class CdcDriver(
     searchIndex: Option[LakeTable] = None,
     /** auto-compact the index once any bucket's delta chain reaches this
       * many segments (LSM merge policy; 0 = never — manual CLI only) */
-    indexCompactChain: Int = 16) {
+    indexCompactChain: Int = 16,
+    /** snapshot retention: after each batch, expire all but the newest N
+      * snapshots of the lake (and derived agg table), reclaiming data files
+      * only they reference. 0 = keep everything (manual `expire` CLI).
+      * Copy-on-write retains every superseded bucket file until expiry, so
+      * an unbounded-history 10^10-event replay would hold O(batches x
+      * touched data) on disk; retention bounds that at O(N x table).
+      * Trade: time travel / snapshot-diff change feeds reach back only N
+      * snapshots. When a derived table or search index is attached, the
+      * effective floor is 2 so their catch-up/refresh base (at most one
+      * snapshot behind, crash windows included) is never expired from
+      * under them. */
+    keepSnapshots: Int = 0) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -95,6 +107,14 @@ final class CdcDriver(
           graft.search.SearchIndex.refresh(spark, lake, si)
           graft.search.SearchIndex.maybeCompact(si, indexCompactChain)
         }
+      if (keepSnapshots > 0) {
+        val keep =
+          if (aggLake.isDefined || searchIndex.isDefined)
+            math.max(keepSnapshots, 2)
+          else keepSnapshots
+        lake.expireSnapshots(keep)
+        aggLake.foreach(_.expireSnapshots(keep))
+      }
       out += stats
       if (!quiet) {
         val s = stats

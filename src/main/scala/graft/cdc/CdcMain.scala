@@ -28,9 +28,12 @@ import graft.lake.LakeTable
  *
  * `replay` and `stream` accept `idx=<dir>`: maintain a secondary search
  * index per batch from the same pipeline (the reference mirrors entity
- * updates into Elasticsearch from the same stream), and `idxchain=<n>`:
+ * updates into Elasticsearch from the same stream); `idxchain=<n>`:
  * auto-compact the index once any bucket's delta chain reaches n segments
- * (LSM merge policy, default 16; 0 = manual `index-compact` only).
+ * (LSM merge policy, default 16; 0 = manual `index-compact` only); and
+ * `keep=<n>`: snapshot retention — expire all but the newest n snapshots
+ * after each batch, reclaiming superseded copy-on-write files (0 = keep
+ * all; floor 2 with a derived table/index attached).
  *
  * Parallelism comes from SPARK_GRAFT_CPUS (local[N]) or the real cluster's
  * spark-submit config; shuffle partitions follow the core count.
@@ -79,7 +82,7 @@ object CdcMain {
       // /data/run=5/agg.
       val pos = rest.filterNot(a =>
         a == "patch" || a == "nocf" || a.startsWith("idx=") ||
-          a.startsWith("idxchain="))
+          a.startsWith("idxchain=") || a.startsWith("keep="))
       val driver = new CdcDriver(spark, changelogDir, lake,
         segmentsPerBatch = pos.headOption.map(_.toInt).getOrElse(4),
         nBuckets = pos.lift(1).map(_.toInt).getOrElse(64),
@@ -93,7 +96,10 @@ object CdcMain {
         searchIndex = rest.find(_.startsWith("idx="))
           .map(a => new LakeTable(spark, a.drop(4))),
         indexCompactChain = rest.find(_.startsWith("idxchain="))
-          .map(_.drop(9).toInt).getOrElse(16))
+          .map(_.drop(9).toInt).getOrElse(16),
+        // keep=<n>: snapshot retention (expire after each batch; 0 = all)
+        keepSnapshots = rest.find(_.startsWith("keep="))
+          .map(_.drop(5).toInt).getOrElse(0))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -116,7 +122,8 @@ object CdcMain {
       // flag-style args (idx=<dir>) never occupy positional slots; only the
       // known flag shape is recognized (see the replay parser above)
       val pos = rest.filterNot(a =>
-        a.startsWith("idx=") || a.startsWith("idxchain="))
+        a.startsWith("idx=") || a.startsWith("idxchain=") ||
+          a.startsWith("keep="))
       // optional 4th arg: live processing interval in ms (0/absent = drain
       // the backlog with AvailableNow and exit; >0 = always-on tailer)
       val liveMs = pos.lift(3).map(_.toLong).getOrElse(0L)
@@ -135,7 +142,9 @@ object CdcMain {
         searchIndex = rest.find(_.startsWith("idx="))
           .map(a => new LakeTable(spark, a.drop(4))),
         indexCompactChain = rest.find(_.startsWith("idxchain="))
-          .map(_.drop(9).toInt).getOrElse(16))
+          .map(_.drop(9).toInt).getOrElse(16),
+        keepSnapshots = rest.find(_.startsWith("keep="))
+          .map(_.drop(5).toInt).getOrElse(0))
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()

@@ -57,6 +57,10 @@ object CdcStream {
       /** auto-compact the index once any bucket's delta chain reaches this
         * many segments (LSM merge policy; 0 = never) */
       indexCompactChain: Int = 16,
+      /** expire all but the newest N snapshots after each micro-batch
+        * (0 = keep everything); floor 2 when a derived table/index is
+        * attached — see CdcDriver.keepSnapshots */
+      keepSnapshots: Int = 0,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
       onBatch: Long => Unit = _ => ()): StreamingQuery = {
@@ -106,6 +110,14 @@ object CdcStream {
           // micro-batch, so chains grow without bound unless merged here
           graft.search.SearchIndex.maybeCompact(si, indexCompactChain)
         }
+        if (keepSnapshots > 0) {
+          val keep =
+            if (aggLake.isDefined || searchIndex.isDefined)
+              math.max(keepSnapshots, 2)
+            else keepSnapshots
+          lake.expireSnapshots(keep)
+          aggLake.foreach(_.expireSnapshots(keep))
+        }
         ()
       }
       .start()
@@ -126,10 +138,12 @@ object CdcStream {
       patchEnabled: Boolean = false,
       changeFeed: Boolean = true,
       searchIndex: Option[LakeTable] = None,
-      indexCompactChain: Int = 16): Unit =
+      indexCompactChain: Int = 16,
+      keepSnapshots: Int = 0): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
-      changeFeed, searchIndex, indexCompactChain).awaitTermination()
+      changeFeed, searchIndex, indexCompactChain,
+      keepSnapshots).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
     * (one transient FS hiccup would otherwise end the deployment) restarts
@@ -157,6 +171,7 @@ object CdcStream {
       changeFeed: Boolean = true,
       searchIndex: Option[LakeTable] = None,
       indexCompactChain: Int = 16,
+      keepSnapshots: Int = 0,
       restartAttempts: Int = 3,
       restartDelayMs: Long = 30000L,
       onBatch: Long => Unit = _ => ()): Unit = {
@@ -166,7 +181,8 @@ object CdcStream {
       val epochBefore = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
       val q = start(spark, changelogDir, lake, checkpointDir, schema,
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
-        patchEnabled, changeFeed, searchIndex, indexCompactChain, onBatch)
+        patchEnabled, changeFeed, searchIndex, indexCompactChain,
+        keepSnapshots, onBatch)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)

@@ -31,6 +31,58 @@ class CdcSpec extends AnyFunSuite {
     assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(allEvents(dir)))
   }
 
+  test("snapshot retention bounds history; state and derived tables intact") {
+    val dir = changelog("retain", ChangelogGen.Config(
+      nEvents = 8000, nConvs = 50, turnsPerConv = 8,
+      pUpdate = 0.3, pDelete = 0.08, pDup = 0.1, segSize = 1000))
+    // reference replay: unbounded history
+    val ref = new LakeTable(spark, TestSpark.tmpDir("retain-ref"))
+    new CdcDriver(spark, dir, ref, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true).run()
+    // retained replay with derived agg + search index, restarted mid-way
+    // (exercises catch-up paths against an expired-history commit log)
+    val lake = new LakeTable(spark, TestSpark.tmpDir("retain-lake"))
+    val agg = new LakeTable(spark, TestSpark.tmpDir("retain-agg"))
+    val idx = new LakeTable(spark, TestSpark.tmpDir("retain-idx"))
+    def driver() = new CdcDriver(spark, dir, lake, segmentsPerBatch = 1,
+      nBuckets = 8, quiet = true, aggLake = Some(agg),
+      searchIndex = Some(idx), indexCompactChain = 3, keepSnapshots = 2)
+    driver().run(maxBatches = 4)
+    driver().run() // "restart": catch-up + remaining batches
+    assert(lake.snapshots.size <= 2,
+      s"${lake.snapshots.size} snapshots retained under keep=2")
+    assert(agg.snapshots.size <= 2)
+    // final state identical to the unbounded-history replay
+    assert(CdcOracle.tableState(lake.read()) == CdcOracle.tableState(ref.read()))
+    // reclaimed: dead copy-on-write files actually deleted from disk
+    val liveFiles = lake.snapshots.flatMap(_.files.map(_.path)).toSet
+    val onDisk = graft.lake.LakeIO.list(s"${lake.root}/data")
+      .filter(_._3).flatMap { case (_, d, _) =>
+        graft.lake.LakeIO.list(d).filter(_._3).flatMap { case (_, bd, _) =>
+          graft.lake.LakeIO.list(bd).map(_._2).filter(_.endsWith(".parquet"))
+        }
+      }.toSet
+    assert((onDisk -- liveFiles).isEmpty,
+      s"${(onDisk -- liveFiles).size} dead data files left on disk")
+    // derived agg equals a from-scratch recompute over the final state
+    val expect = ref.read().filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.col("_tombstone")))
+      .groupBy("conv_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = agg.read().collect()
+      .map(r => r.getAs[String]("conv_id") -> r.getAs[Int]("n_turns").toLong)
+      .toMap
+    assert(got == expect, "derived conv_agg diverged under retention")
+    // index equals a fresh full rebuild over the final state
+    val full = new LakeTable(spark, TestSpark.tmpDir("retain-idx-full"))
+    graft.search.SearchIndex.refresh(spark, lake, full, nBuckets = 8)
+    def postings(t: LakeTable) =
+      graft.search.SearchIndex.resolvedPostings(t).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+          r.getAs[Number](3).longValue)).toSet
+    assert(postings(idx) == postings(full), "index diverged under retention")
+  }
+
   test("mixed I/U/D with duplicate deliveries matches fold oracle (LWW)") {
     val dir = changelog("mix", ChangelogGen.Config(
       nEvents = 4000, nConvs = 30, turnsPerConv = 8,
