@@ -168,6 +168,47 @@ class CdcGenericKeySpec extends AnyFunSuite {
     assert(quar.filter(col("_reason") === "null_key").count() == 1)
   }
 
+  test("patch events (op='P' + unset_cols) work on a generic 3-column key") {
+    // The patch merge derives its grouping from the stored KeySpec; this
+    // exercises overlay / stale-drop / field-unset on the enrolment key.
+    val lake = new LakeTable(spark, TestSpark.tmpDir("generic-patch"))
+    def ev(op: String, u: String, c: String, b: Int, status: java.lang.Integer,
+           pct: java.lang.Double, lsn: Long, unset: Seq[String] = null) = {
+      val base = spark.range(1).select(lit(op).as("op"), lit(u).as("userid"),
+        lit(c).as("courseid"), lit(b).as("batchid"),
+        lit(status).cast("int").as("status"),
+        lit(pct).cast("double").as("pct"),
+        lit(lsn).as("_lsn"), lit(0).as("_src_part"), lit(lsn).as("_src_off"))
+      if (unset == null) base
+      else base.withColumn(graft.model.Schemas.UnsetCol,
+        array(unset.map(lit): _*))
+    }
+    def applyB(df: org.apache.spark.sql.DataFrame, epoch: Long) =
+      CdcApply.apply(lake, df, epoch, nBuckets = 4, patchEnabled = true,
+        keys = enrolmentKeys)
+
+    applyB(ev("I", "u1", "c1", 0, 1, 0.25, 10), 1)
+    // pct-only patch: status untouched
+    applyB(ev("P", "u1", "c1", 0, null, 0.5, 20), 2)
+    val r1 = lake.read().head()
+    assert(r1.getAs[Int]("status") == 1 && r1.getAs[Double]("pct") == 0.5)
+    // stale patch dropped
+    applyB(ev("P", "u1", "c1", 0, 9, 0.9, 15), 3)
+    val r2 = lake.read().head()
+    assert(r2.getAs[Int]("status") == 1 && r2.getAs[Double]("pct") == 0.5)
+    // field unset clears status, keeps pct
+    applyB(ev("P", "u1", "c1", 0, null, null, 30, unset = Seq("status")), 4)
+    val r3 = lake.read().head()
+    assert(r3.isNullAt(r3.fieldIndex("status")) &&
+      r3.getAs[Double]("pct") == 0.5)
+    // a same-user different-course key is independent (full key grouping)
+    applyB(ev("P", "u1", "c2", 1, 7, null, 40), 5)
+    assert(lake.read().count() == 2)
+    val other = lake.read().filter(col("courseid") === "c2").head()
+    assert(other.getAs[Int]("status") == 7 &&
+      other.isNullAt(other.fieldIndex("pct")))
+  }
+
   test("generic key survives compaction and the snapshot-diff change feed") {
     val lake = new LakeTable(spark, TestSpark.tmpDir("generic-compact"))
     CdcApply.apply(lake, events(0, 2000), epoch = 1, nBuckets = 4,
