@@ -20,6 +20,27 @@ import graft.lake.LakeTable
  * Per-batch metrics (rows/sec) are printed as one JSON line each and stored
  * in the snapshot metadata (north rule: per-batch rows/sec + lineage).
  */
+object CdcDriver {
+  /** Effective retention for a run: the caller's `keepSnapshots`, floored
+    * at 2 when a derived table or search index is attached (their
+    * catch-up/refresh base is at most one snapshot back, crash windows
+    * included, so it must never be expired from under them); 0 = keep
+    * everything. Shared by the batch driver and the streaming tailer. */
+  private[cdc] def effectiveKeep(keepSnapshots: Int, hasDerived: Boolean): Int =
+    if (keepSnapshots <= 0) 0
+    else if (hasDerived) math.max(keepSnapshots, 2)
+    else keepSnapshots
+
+  /** Per-batch retention step shared by the batch driver and the tailer. */
+  private[cdc] def expireRetained(lake: LakeTable, aggLake: Option[LakeTable],
+                                  keep: Int): Unit =
+    if (keep > 0) {
+      lake.expireSnapshots(keep)
+      aggLake.foreach(_.expireSnapshots(keep))
+      ()
+    }
+}
+
 final class CdcDriver(
     spark: SparkSession,
     changelogDir: String,
@@ -102,19 +123,14 @@ final class CdcDriver(
         if (!stats.skipped && stats.touchedSet.nonEmpty)
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
       }
+      val keep = CdcDriver.effectiveKeep(keepSnapshots,
+        aggLake.isDefined || searchIndex.isDefined)
       if (!stats.skipped)
         searchIndex.foreach { si =>
           graft.search.SearchIndex.refresh(spark, lake, si)
-          graft.search.SearchIndex.maybeCompact(si, indexCompactChain)
+          graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
         }
-      if (keepSnapshots > 0) {
-        val keep =
-          if (aggLake.isDefined || searchIndex.isDefined)
-            math.max(keepSnapshots, 2)
-          else keepSnapshots
-        lake.expireSnapshots(keep)
-        aggLake.foreach(_.expireSnapshots(keep))
-      }
+      CdcDriver.expireRetained(lake, aggLake, keep)
       out += stats
       if (!quiet) {
         val s = stats

@@ -40,6 +40,17 @@ import graft.lake.LakeTable
  */
 object CdcMain {
 
+  /** `<name>=<value>` flag-style argument (idx=/idxchain=/keep=): flags
+    * never occupy positional slots, and only KNOWN names are recognized —
+    * a bare contains("=") would silently swallow a positional path like
+    * /data/run=5/agg. */
+  private def flag(rest: List[String], name: String): Option[String] =
+    rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
+  private val flagNames = Seq("idx", "idxchain", "keep")
+  private def positionals(rest: List[String]): List[String] =
+    rest.filterNot(a => a == "patch" || a == "nocf" ||
+      flagNames.exists(n => a.startsWith(n + "=")))
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val b = SparkSession.builder()
@@ -75,14 +86,7 @@ object CdcMain {
     case "replay" :: changelogDir :: lakeDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)
-      // flag-style args (patch / nocf / idx=<dir>) never occupy positional
-      // slots: `replay cl lake 4 64 0 idx=/i` must not read "idx=/i" as an
-      // aggregate-lake directory. Only KNOWN flags are recognized — a bare
-      // contains("=") would silently swallow an aggDir path like
-      // /data/run=5/agg.
-      val pos = rest.filterNot(a =>
-        a == "patch" || a == "nocf" || a.startsWith("idx=") ||
-          a.startsWith("idxchain=") || a.startsWith("keep="))
+      val pos = positionals(rest)
       val driver = new CdcDriver(spark, changelogDir, lake,
         segmentsPerBatch = pos.headOption.map(_.toInt).getOrElse(4),
         nBuckets = pos.lift(1).map(_.toInt).getOrElse(64),
@@ -92,14 +96,11 @@ object CdcMain {
         patchEnabled = rest.contains("patch"),
         changeFeed = !rest.contains("nocf"),
         // idx=<dir>: maintain a secondary search index per batch;
-        // idxchain=<n>: LSM merge threshold (auto-compact, 0 = never)
-        searchIndex = rest.find(_.startsWith("idx="))
-          .map(a => new LakeTable(spark, a.drop(4))),
-        indexCompactChain = rest.find(_.startsWith("idxchain="))
-          .map(_.drop(9).toInt).getOrElse(16),
+        // idxchain=<n>: LSM merge threshold (auto-compact, 0 = never);
         // keep=<n>: snapshot retention (expire after each batch; 0 = all)
-        keepSnapshots = rest.find(_.startsWith("keep="))
-          .map(_.drop(5).toInt).getOrElse(0))
+        searchIndex = flag(rest, "idx").map(d => new LakeTable(spark, d)),
+        indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
+        keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -119,11 +120,7 @@ object CdcMain {
           .option("recursiveFileLookup", "true")
           .parquet(changelogDir).schema
           .fields.filterNot(f => f.name == "p" || f.name == "seg"))
-      // flag-style args (idx=<dir>) never occupy positional slots; only the
-      // known flag shape is recognized (see the replay parser above)
-      val pos = rest.filterNot(a =>
-        a.startsWith("idx=") || a.startsWith("idxchain=") ||
-          a.startsWith("keep="))
+      val pos = positionals(rest)
       // optional 4th arg: live processing interval in ms (0/absent = drain
       // the backlog with AvailableNow and exit; >0 = always-on tailer)
       val liveMs = pos.lift(3).map(_.toLong).getOrElse(0L)
@@ -139,12 +136,9 @@ object CdcMain {
         saltBuckets = pos.lift(1).map(_.toInt).getOrElse(0),
         maxFilesPerTrigger = pos.lift(2).map(_.toInt).getOrElse(16),
         trigger = trig,
-        searchIndex = rest.find(_.startsWith("idx="))
-          .map(a => new LakeTable(spark, a.drop(4))),
-        indexCompactChain = rest.find(_.startsWith("idxchain="))
-          .map(_.drop(9).toInt).getOrElse(16),
-        keepSnapshots = rest.find(_.startsWith("keep="))
-          .map(_.drop(5).toInt).getOrElse(0))
+        searchIndex = flag(rest, "idx").map(d => new LakeTable(spark, d)),
+        indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
+        keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0))
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()

@@ -104,20 +104,15 @@ object CdcStream {
           else if (stats.skipped)
             AggMaintenance.catchUp(spark, lake, al)
         }
+        val keep = CdcDriver.effectiveKeep(keepSnapshots,
+          aggLake.isDefined || searchIndex.isDefined)
         searchIndex.foreach { si =>
           graft.search.SearchIndex.refresh(spark, lake, si)
           // LSM merge policy: a live tailer refreshes the index per
           // micro-batch, so chains grow without bound unless merged here
-          graft.search.SearchIndex.maybeCompact(si, indexCompactChain)
+          graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
         }
-        if (keepSnapshots > 0) {
-          val keep =
-            if (aggLake.isDefined || searchIndex.isDefined)
-              math.max(keepSnapshots, 2)
-            else keepSnapshots
-          lake.expireSnapshots(keep)
-          aggLake.foreach(_.expireSnapshots(keep))
-        }
+        CdcDriver.expireRetained(lake, aggLake, keep)
         ()
       }
       .start()

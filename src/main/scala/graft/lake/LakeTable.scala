@@ -290,8 +290,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   /** Expire all but the newest `keepLast` snapshots: their metadata files
     * are removed and any data file or manifest referenced ONLY by expired
-    * snapshots is deleted (both are shared across snapshots by carry-over,
-    * so retention is by reference count against the retained set). Returns
+    * snapshots is deleted (manifests are shared across snapshots by
+    * carry-over, so retention is by reference count against the retained
+    * set). A data file is listed by exactly ONE manifest — file and
+    * manifest are created together by the same write, and carry-over shares
+    * the manifest by path rather than re-listing files — so dead files are
+    * exactly the files of expired-only manifests, and the whole operation
+    * is O(expired work): per-batch retention (CdcDriver.keepSnapshots)
+    * never loads the retained snapshots' manifest contents, which at a
+    * 32k-bucket table would be a serial per-batch driver tax. Returns
     * (snapshots expired, data files deleted). */
   def expireSnapshots(keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
@@ -299,13 +306,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     if (all.size <= keepLast) return (0, 0)
     val (expired, retained) = all.splitAt(all.size - keepLast)
     val liveManifests = retained.flatMap(_.manifests.map(_.path)).toSet
-    val deadManifests = expired.flatMap(_.manifests.map(_.path)).distinct
-      .filterNot(liveManifests.contains)
-    val live = retained.flatMap(_.files.map(_.path)).toSet
-    val dead = expired.flatMap(_.files.map(_.path)).distinct
-      .filterNot(live.contains)
+    val deadRefs = expired.flatMap(_.manifests).distinctBy(_.path)
+      .filterNot(r => liveManifests.contains(r.path))
+    val dead = Manifests.loadAll(deadRefs).map(_.path)
     dead.foreach(LakeIO.delete)
-    deadManifests.foreach(LakeIO.delete)
+    deadRefs.foreach(r => LakeIO.delete(r.path))
     expired.foreach(s => LakeIO.delete(versionPath(s.snapshotId)))
     (expired.size, dead.size)
   }

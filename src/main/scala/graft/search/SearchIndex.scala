@@ -119,15 +119,18 @@ object SearchIndex {
     }
 
   /** Append `deltas` (term, conv_id, turn_idx, tf, _lsn, _tombstone) as new
-    * per-bucket files. `carryParent = true` keeps the parent's manifests
-    * (LSM append); `false` replaces them (compaction rewrite). Files are
-    * term-sorted so footer [min,max] term stats prune tightly. */
+    * per-bucket files. `replaceBuckets = None` keeps ALL the parent's
+    * manifests (LSM append — a refresh); `Some(bs)` drops the parent's
+    * manifests for exactly those buckets (a compaction rewrite of them —
+    * including a bucket whose resolved content is now empty, which simply
+    * ends with no files). Files are term-sorted so footer [min,max] term
+    * stats prune tightly. */
   private def appendCommit(
       index: LakeTable,
       deltas: DataFrame,
       epoch: Long,
       nBuckets: Int,
-      carryParent: Boolean,
+      replaceBuckets: Option[Set[Int]],
       maintenance: Boolean): (Snapshot, Long) = {
     val t0 = System.nanoTime()
     val cur = index.currentSnapshot
@@ -152,8 +155,11 @@ object SearchIndex {
       DataFileMeta(p, b, n, mn, mx)
     }
     val newRefs = index.writeManifests(snapshotId, metas.groupBy(_.bucket))
-    val carried =
-      if (carryParent) cur.map(_.manifests).getOrElse(Seq.empty) else Seq.empty
+    val carried = replaceBuckets match {
+      case None => cur.map(_.manifests).getOrElse(Seq.empty)
+      case Some(bs) => cur.map(_.manifests).getOrElse(Seq.empty)
+        .filterNot(r => bs.contains(r.bucket))
+    }
     val rowsOut = metas.map(_.rows).sum
     val durationSec = (System.nanoTime() - t0) / 1e9
     val snap = Snapshot(snapshotId, cur.map(_.snapshotId).getOrElse(-1L),
@@ -239,7 +245,7 @@ object SearchIndex {
       .withColumn("_tombstone", lit(false))
 
     val (snap, rows) = appendCommit(index, retract.unionByName(assert_),
-      epoch, nBuckets, carryParent = true, maintenance = false)
+      epoch, nBuckets, replaceBuckets = None, maintenance = false)
     Some(RefreshStats(from, srcSnap.snapshotId, rows, snap))
   }
 
@@ -306,15 +312,23 @@ object SearchIndex {
   }
 
   /** Fold the delta log back to one resolved file chain per bucket: LWW per
-    * key, tombstones dropped (globally resolved, so dropping retraction AND
-    * retracted together is exact). Maintenance commit — same epoch, so the
-    * next refresh fences exactly as before; run `expireSnapshots` after to
-    * reclaim superseded delta files. */
-  def compact(index: LakeTable): Option[Snapshot] = {
+    * key, tombstones dropped (resolution is per-key and every key lives
+    * wholly in one bucket, so dropping retraction AND retracted together is
+    * exact bucket-locally too). `buckets = None` compacts everything;
+    * `Some(bs)` rewrites only those buckets and carries the rest's
+    * manifests untouched — the per-bucket merge a skewed workload needs
+    * (hot term buckets fold often, cold ones never pay the rewrite).
+    * Maintenance commit — same epoch, so the next refresh fences exactly as
+    * before; run `expireSnapshots` after to reclaim superseded delta
+    * files. */
+  def compact(index: LakeTable,
+              buckets: Option[Set[Int]] = None): Option[Snapshot] = {
     val cur = index.currentSnapshot.getOrElse(return None)
-    val resolved = resolve(index.readBuckets(None))
+    val target = buckets.getOrElse(cur.manifests.map(_.bucket).toSet)
+    if (target.isEmpty) return None
+    val resolved = resolve(index.readBuckets(Some(target)))
     val (snap, _) = appendCommit(index, resolved, cur.epoch, cur.nBuckets,
-      carryParent = false, maintenance = true)
+      replaceBuckets = Some(target), maintenance = true)
     Some(snap)
   }
 
@@ -331,23 +345,34 @@ object SearchIndex {
   /** Threshold-triggered compaction — the automatic segment-merge policy
     * every LSM store runs (Lucene/ES merge on write; an unmerged index
     * degrades reads linearly in refresh count, which at 10^10-event scale
-    * with thousands of maintained batches would be unbounded). When any
-    * bucket's chain reaches `maxChain`, fold the log ([[compact]]) and
-    * reclaim superseded delta files (`expireSnapshots(keepSnapshots)`).
+    * with thousands of maintained batches would be unbounded). Folds ONLY
+    * the buckets whose chain reached `maxChain` — under term-frequency skew
+    * a hot bucket hits the threshold every few refreshes while cold ones
+    * sit at chain 1, and a whole-index fold on every trigger would
+    * re-introduce (amortized) exactly the O(index) rewrite the LSM append
+    * design removed. Superseded delta files are reclaimed by
+    * `expireSnapshots(keepSnapshots)` (0 = caller keeps history — the
+    * `keep=0` contract — and reclaims via the expire CLI).
     * Best-effort: a commit race with a concurrent maintainer skips this
     * cycle (the next refresh re-triggers) rather than failing the pipeline
     * — compaction is an optimization, never required for correctness. */
   def maybeCompact(index: LakeTable, maxChain: Int,
-                   keepSnapshots: Int = 2): Option[Snapshot] =
-    if (maxChain <= 0 || maxChainLength(index) < maxChain) None
+                   keepSnapshots: Int = 2): Option[Snapshot] = {
+    if (maxChain <= 0) return None
+    val hot = index.currentSnapshot.map(_.manifests.groupBy(_.bucket)
+      .collect { case (b, rs) if rs.size >= maxChain => b }.toSet)
+      .getOrElse(Set.empty)
+    if (hot.isEmpty) None
     else
       try {
-        val s = compact(index)
-        if (s.isDefined) index.expireSnapshots(keepSnapshots)
+        val s = compact(index, Some(hot))
+        if (s.isDefined && keepSnapshots > 0)
+          index.expireSnapshots(keepSnapshots)
         s
       } catch {
         case _: graft.lake.CommitConflictException => None
       }
+  }
 
   /** The resolved live postings (term, conv_id, turn_idx, tf) — the
     * logical content of the index regardless of how many delta files

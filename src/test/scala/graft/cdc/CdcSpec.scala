@@ -65,8 +65,8 @@ class CdcSpec extends AnyFunSuite {
     assert((onDisk -- liveFiles).isEmpty,
       s"${(onDisk -- liveFiles).size} dead data files left on disk")
     // derived agg equals a from-scratch recompute over the final state
-    val expect = ref.read().filter(org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.col("_tombstone")))
+    // (read() already filters tombstones)
+    val expect = ref.read()
       .groupBy("conv_id").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = agg.read().collect()

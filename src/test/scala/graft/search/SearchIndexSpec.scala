@@ -148,9 +148,12 @@ class SearchIndexSpec extends AnyFunSuite {
     val idx = new LakeTable(spark, s"$dir/idx")
     // 8 segments, 1 per batch -> 8 refreshes; merge policy folds at chain 3,
     // so the LSM read amplification never exceeds the threshold (an
-    // unmerged index would be at chain length 8 here and unbounded at 10^10)
+    // unmerged index would be at chain length 8 here and unbounded at 10^10).
+    // keepSnapshots=2: superseded delta files reclaim as the policy runs
+    // (keep=0 would retain every delta snapshot per the keep-all contract).
     new CdcDriver(spark, cl, main, segmentsPerBatch = 1, nBuckets = 8,
-      quiet = true, searchIndex = Some(idx), indexCompactChain = 3).run()
+      quiet = true, searchIndex = Some(idx), indexCompactChain = 3,
+      keepSnapshots = 2).run()
     assert(SearchIndex.maxChainLength(idx) <= 3,
       s"chain ${SearchIndex.maxChainLength(idx)} exceeds the merge threshold")
     assert(SearchIndex.indexedSourceSnapshot(idx) ==
@@ -167,6 +170,39 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(postings(idx) == postings(full))
     // epoch fencing survives the interleaved maintenance commits
     assert(SearchIndex.refresh(spark, main, idx).isEmpty)
+  }
+
+  test("per-bucket compact rewrites only the chosen buckets") {
+    val main = new LakeTable(spark, TestSpark.tmpDir("si-pb-main"))
+    val idx = new LakeTable(spark, TestSpark.tmpDir("si-pb-idx"))
+    CdcApply.apply(main, batch((0 until 60).map(i =>
+      ("I", s"c$i", 0, s"alpha$i beta$i gamma$i", i.toLong + 1))),
+      epoch = 1, nBuckets = 4)
+    SearchIndex.refresh(spark, main, idx, nBuckets = 8)
+    // one-document update: its few terms touch a strict subset of buckets,
+    // so the second refresh leaves the other buckets at chain length 1
+    CdcApply.apply(main, batch(Seq(
+      ("U", "c5", 0, "delta5 beta5", 100L))), epoch = 2, nBuckets = 4)
+    SearchIndex.refresh(spark, main, idx, nBuckets = 8)
+    val before = idx.currentSnapshot.get.manifests
+      .groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
+    val hot = before.collect { case (b, ps) if ps.size >= 2 => b }.toSet
+    val cold = before.keySet -- hot
+    assert(hot.nonEmpty && cold.nonEmpty, s"need both: hot=$hot cold=$cold")
+    val posBefore = SearchIndex.resolvedPostings(idx).collect().toSet
+    assert(SearchIndex.compact(idx, Some(hot)).isDefined)
+    val after = idx.currentSnapshot.get.manifests
+      .groupBy(_.bucket).view.mapValues(_.map(_.path).toSet).toMap
+    // cold buckets: manifests carried by path, never rewritten
+    cold.foreach(b => assert(after(b) == before(b),
+      s"cold bucket $b was rewritten"))
+    // hot buckets: folded to one fresh chain each
+    hot.foreach { b =>
+      assert(after.getOrElse(b, Set.empty).size <= 1, s"bucket $b not folded")
+      assert((after.getOrElse(b, Set.empty) -- before(b)).size ==
+        after.getOrElse(b, Set.empty).size, s"bucket $b kept old manifests")
+    }
+    assert(SearchIndex.resolvedPostings(idx).collect().toSet == posBefore)
   }
 
   test("stop list is fixed at creation, filters postings and queries") {
