@@ -207,6 +207,46 @@ object Bench {
     }
     val thrFull = median(fullRuns.map(_._1))
     val thrFullNoCf = median(fullRuns.map(_._2))
+
+    // ---- MoR vs CoW on the workload MoR exists for: many small update
+    // batches trickling into a table they keep touching everywhere. Each
+    // batch hits ~every bucket with few rows per bucket, so copy-on-write
+    // rewrites the WHOLE table per batch while merge-on-read appends
+    // O(batch) and amortizes folds (auto-fold chain 16). The headline
+    // replay above is the opposite shape (4 huge batches) where CoW is
+    // already right — both numbers published so the trade is visible.
+    // SPARK_GRAFT_MOR_EVENTS=0 disables.
+    val morEvents = sys.env.getOrElse("SPARK_GRAFT_MOR_EVENTS", "8000000").toLong
+    val morBlock: Option[(Double, Double, Int)] =
+      if (morEvents <= 0) None
+      else {
+        val trickleCl = new java.io.File(base, "trickle-changelog").getPath
+        val nBatches = 64
+        ChangelogGen.write(spark, trickleCl, ChangelogGen.Config(
+          nEvents = morEvents, nConvs = math.max(morEvents / 200, 10L),
+          skew = 1.2, evolveAt = morEvents / 2,
+          segSize = math.max(morEvents / nBatches, 1L)))
+        def trickle(tag: String, morMode: Boolean): Double = {
+          val lake = new LakeTable(spark,
+            new java.io.File(base, s"lake-trickle-$tag").getPath)
+          val sec = timeSec {
+            new CdcDriver(spark, trickleCl, lake, segmentsPerBatch = 1,
+              nBuckets = 64, quiet = true, mor = morMode).run()
+          }
+          morEvents / sec
+        }
+        // interleaved, median-of-runs — same discipline as the pair bench
+        val runs = (1 to benchRuns).map { i =>
+          (trickle(s"cow-r$i", morMode = false),
+            trickle(s"mor-r$i", morMode = true))
+        }
+        Some((median(runs.map(_._1)), median(runs.map(_._2)), nBatches))
+      }
+    val morJson = morBlock.map { case (cow, mor, b) =>
+      f""","mor":{"events":$morEvents,"batches":$b,""" +
+      f""""throughput_cow":$cow%.1f,"throughput_mor":$mor%.1f,""" +
+      f""""speedup":${mor / cow}%.2f}"""
+    }.getOrElse("")
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -287,6 +327,6 @@ object Bench {
       f""""scaling_efficiency":$efficiency%.3f,""" +
       f""""runs":$benchRuns,"pinned":$pinned,""" +
       f""""steal_pct":{"n":${stealN.max}%.1f,"four_n":${steal4n.max}%.1f},""" +
-      f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f}$soakJson}}""")
+      f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f}$morJson$soakJson}}""")
   }
 }

@@ -608,6 +608,16 @@ object OracleSql {
          |    WHEN coalesce(NOT st, FALSE) THEN 'updated'
          |    ELSE 'inserted' END AS action,
          |  count(*) AS n
-         |FROM j GROUP BY 1""".stripMargin
+         |FROM j GROUP BY 1""".stripMargin,
+
+    // q51: LWW with deletes over the same synthesized change feed the MoR
+    // engine replays — 'error' events map to deletes (tombstoned), every
+    // other event upserts; identical winner semantics to q35's window.
+    "q51_mor_roundtrip" ->
+      s"""SELECT user_id AS conv_id, turn_idx, event_id AS winner_lsn,
+         |  event_type AS winner_type FROM (
+         |  SELECT user_id, CAST(event_id % 20 AS INT) AS turn_idx, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

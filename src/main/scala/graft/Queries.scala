@@ -852,6 +852,39 @@ object Queries {
       .select(col("node"), col("root"), col("depth"))
   }
 
+  /** Merge-on-read engine round-trip: the events table as a 4-batch change
+    * feed (event_type 'error' ↦ delete, else upsert; lsn = event_id) is
+    * replayed through CdcApply in MoR mode — each batch APPENDS per-bucket
+    * delta files, two buckets are folded mid-stream so the read spans
+    * folded AND raw chains — and the resolved table (LakeTable.read →
+    * LwwResolve) must equal plain SQL LWW over the same events. This routes
+    * the oracle gate through the actual ingest engine (same per-key
+    * semantics as q35, but computed by the MoR write/read paths instead of
+    * one window). */
+  def q51MorRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q51-mor-${System.nanoTime()}")
+    val maxId = ev.agg(max("_lsn")).head().getLong(0)
+    val step = maxId / 4 + 1
+    (0 until 4).foreach { k =>
+      graft.cdc.CdcApply.apply(lake,
+        ev.filter(col("_lsn") >= k * step && col("_lsn") < (k + 1) * step),
+        epoch = k + 1, nBuckets = 16, mor = true)
+      if (k == 1) // mixed read: two folded buckets next to raw delta chains
+        graft.cdc.CdcApply.foldBuckets(lake, Set(0, 1))
+    }
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -904,6 +937,7 @@ object Queries {
     "q47_repetition" -> (q47Repetition _),
     "q48_split" -> (q48Split _),
     "q49_search_topk" -> (q49SearchTopk _),
-    "q50_graph_reach" -> (q50GraphReach _)
+    "q50_graph_reach" -> (q50GraphReach _),
+    "q51_mor_roundtrip" -> (q51MorRoundtrip _)
   )
 }

@@ -53,7 +53,15 @@ object AggMaintenance {
         s"conv_agg maintenance aggregates transcript-keyed tables; this " +
         s"lake is keyed ${s.keySpec}"))
     val mainBuckets = mainLake.currentSnapshot.map(_.nBuckets).getOrElse(64)
-    val state = mainLake.readBuckets(Some(buckets))
+    val state0 = mainLake.readBuckets(Some(buckets))
+    // MoR main lake: the touched buckets hold multi-version chains; resolve
+    // LWW winners before aggregating or superseded versions double-count.
+    val state = mainLake.currentSnapshot match {
+      case Some(s) if s.mor && state0.columns.contains("_lsn") =>
+        graft.plans.LwwResolve.resolve(state0, s.keySpec, s.nBuckets,
+          spark.sessionState.conf.numShufflePartitions)
+      case _ => state0
+    }
     val live = if (state.columns.contains("_tombstone"))
       state.filter(!col("_tombstone")) else state
 

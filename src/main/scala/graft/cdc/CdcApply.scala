@@ -160,7 +160,22 @@ object CdcApply {
       /** key contract SEEDING a new table; once the table exists its
         * snapshot's stored spec is authoritative (like nBuckets). */
       keys: graft.model.Schemas.KeySpec =
-        graft.model.Schemas.KeySpec.transcripts): ApplyStats = {
+        graft.model.Schemas.KeySpec.transcripts,
+      /** merge-on-read SEED for a new table (stored flag authoritative once
+        * the table exists, like nBuckets/keys): ingest APPENDS per-bucket
+        * delta files — O(batch) write cost regardless of table size — and
+        * readers resolve LWW over the chain (LakeTable read paths /
+        * graft.plans.LwwResolve). The LSM half of the CoW/MoR trade: right
+        * for update-heavy trickle feeds into a large table, where
+        * copy-on-write rewrites whole touched buckets per batch. Chains are
+        * bounded by [[foldBuckets]] / [[maybeFold]]. Patch events (op='P')
+        * require the stored base image at write time and are refused. */
+      mor: Boolean = false,
+      /** engine-internal: copy-on-write-rewrite the touchedHint buckets of
+        * a MoR table even though the table is append-mode — the per-bucket
+        * chain fold (compaction) that bounds read amplification. Callers
+        * use [[foldBuckets]], not this flag. */
+      fold: Boolean = false): ApplyStats = {
     val t0 = System.nanoTime()
     val cur = lake.currentSnapshot
     if (!maintenance) cur match {
@@ -184,6 +199,23 @@ object CdcApply {
     // Compaction.rebucket, and appliers pick the new count up here.
     val nB = cur.map(_.nBuckets).getOrElse(nBuckets)
     val ks = cur.map(_.keySpec).getOrElse(keys)
+    // storage mode is a TABLE property: the caller's `mor` only seeds a new
+    // table; an existing table's stored flag wins (mixing modes silently
+    // would corrupt reader expectations). `fold` temporarily reverts one
+    // apply to copy-on-write semantics to collapse chains.
+    val tableMor = cur.map(_.mor).getOrElse(mor)
+    val morMode = tableMor && !fold
+    require(!(morMode && patchEnabled),
+      "patch events (op='P') need the stored base image at write time; " +
+      "merge-on-read tables defer state reads — use copy-on-write for " +
+      "patch feeds")
+    require(!fold || tableMor,
+      "fold is the MoR chain compaction; this table is copy-on-write")
+    // per-batch inserted/updated/... classification needs the stored image;
+    // MoR defers all state reads, so the audit feed comes from the
+    // snapshot-diff ChangeFeedReader instead (exact, replayable, off the
+    // ingest hot path).
+    val cfOn = changeFeed && !morMode
     val spark = lake.spark
 
     // Dead-letter quarantine: events failing validation never reach the
@@ -286,8 +318,11 @@ object CdcApply {
     // survivors — take the exact probe (over cleanBatch, so invalid rows
     // don't count) unless footers prove the keys clean or validation is off.
     val denseTrusted = !validate || probeInfo.exists(_.keysNullFree)
+    // MoR appends never read state, so the touched set is not needed before
+    // the write — it falls out of the written files afterwards (zero probe).
     val touched: Set[Int] =
-      touchedHint.filter(_ => nB == nBuckets).getOrElse {
+      if (morMode) Set.empty
+      else touchedHint.filter(_ => nB == nBuckets).getOrElse {
         phase("probe-buckets") {
           if (denseTrusted && rowsIn >= nB.toLong * 64) (0 until nB).toSet
           else {
@@ -309,7 +344,7 @@ object CdcApply {
         PartitionLineage(p, ls.map(_.minOff).min, ls.map(_.maxOff).max)
       }.toSeq.sortBy(_.srcPart)
 
-    if (touched.isEmpty) {
+    if (if (morMode) rowsIn == 0 else touched.isEmpty) {
       // Empty (or fully-quarantined) batch: advance the epoch, carry all
       // files forward. Same maintenance mode + conflict-retry discipline as
       // the main commit path (a maintenance apply landing here must not be
@@ -324,14 +359,14 @@ object CdcApply {
         schemaVersion, nB, cur.map(_.manifests).getOrElse(Seq.empty),
         lineage, Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> 0.0,
           "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble),
-        bucketCols = ks.bucketCols, keyCols = ks.keyCols)
+        bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor)
       val committed =
         try lake.commit(snap, maintenance = maintenance)
         catch {
           case _: graft.lake.CommitConflictException =>
             return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
               validate, patchEnabled, changeFeed, maintenance, touchedHint,
-              keys)
+              keys, mor, fold)
         }
       return ApplyStats(committed, committed.snapshotId != snapshotId, rowsIn,
         0, 0, (System.nanoTime() - t0) / 1e9, Set.empty,
@@ -341,7 +376,10 @@ object CdcApply {
     // batch (no stored rows in any touched bucket) needs no union with state,
     // no `_hl` rollup window, and classifies trivially (nothing can be
     // carried/updated/deleted when there is nothing stored).
-    val stateEmpty =
+    // A MoR append behaves exactly like a bulk-load batch: no state union,
+    // no `_hl` rollup, no classification — the batch's in-batch LWW winners
+    // (with delete tombstones) ARE the delta files.
+    val stateEmpty = morMode ||
       !cur.exists(_.manifests.exists(r => touched.contains(r.bucket)))
 
     // Read-side: only the touched buckets of the current state. Deletes are
@@ -388,7 +426,13 @@ object CdcApply {
     // still lands wholly in ONE task (hash of b), so file count, the window
     // clustering guarantee, and the one-exchange plan are all unchanged,
     // and empty tasks cost microseconds.
-    val nPart = math.max(touched.size * 4, 1)
+    // MoR appends have no touched set pre-write; size the in-batch dedup
+    // exchange by the session's shuffle width instead (a bucket still lands
+    // wholly in one task — hash of b — so each bucket gets ONE delta file
+    // per batch and the chain grows by exactly one segment).
+    val nPart =
+      if (morMode) math.max(spark.sessionState.conf.numShufflePartitions, 1)
+      else math.max(touched.size * 4, 1)
 
     // LWW winner per key in ONE shuffle: repartition on the bucket (which is
     // a function of the bucket cols, so every key is partition-local), sort
@@ -440,7 +484,7 @@ object CdcApply {
         "_kh" +: ks.keyCols, orderSpec,
         // the `_hl` rollup is only meaningful when stored rows exist: on an
         // initial/bulk-load batch every key's `_hl` is the literal 0
-        rollupCol = if (changeFeed && !stateEmpty) Some("_hl") else None,
+        rollupCol = if (cfOn && !stateEmpty) Some("_hl") else None,
         declareOrderedBy = Seq("b"))
         .drop("_kh", "_bk")
     }
@@ -471,7 +515,7 @@ object CdcApply {
     val isCarried = col("_st")
     val hadLive = col("_hl") === 1
     val obs = org.apache.spark.sql.Observation()
-    val observed = if (!changeFeed) merged.drop("_st", "_hl") else merged
+    val observed = if (!cfOn) merged.drop("_st", "_hl") else merged
       .observe(obs,
         cnt(!isCarried && !col("_tombstone") && !hadLive, "inserted"),
         cnt(!isCarried && !col("_tombstone") && hadLive, "updated"),
@@ -484,7 +528,7 @@ object CdcApply {
     val dataDir = lake.newDataDir(snapshotId)
     phase("merge+write") { observed.write.partitionBy("b").parquet(dataDir) }
     val actionCounts: Map[String, Long] =
-      if (!changeFeed) Map.empty
+      if (!cfOn) Map.empty
       else obs.get.map { case (k, v) =>
         k -> (v match { case n: Number => n.longValue(); case _ => 0L })
       }
@@ -516,12 +560,18 @@ object CdcApply {
       }
     }
     val rowsOut = newFiles.map(_.rows).sum
+    // The batch's real touched set: pre-computed for copy-on-write (it
+    // drives the state read), derived from the written delta files for MoR
+    // (where nothing needed it earlier).
+    val touchedOut = if (morMode) newFiles.map(_.bucket).toSet else touched
     // Commit metadata is O(touched): one manifest file per rewritten bucket;
-    // untouched buckets carry the parent's manifest refs by path.
+    // untouched buckets carry the parent's manifest refs by path. A MoR
+    // append REPLACES nothing — every parent ref is carried and the delta
+    // refs extend the buckets' chains.
     val newRefs = phase("manifests") {
       lake.writeManifests(snapshotId, newFiles.groupBy(_.bucket)) }
     val carried = cur.map(_.manifests).getOrElse(Seq.empty)
-      .filterNot(r => touched.contains(r.bucket))
+      .filterNot(r => !morMode && touched.contains(r.bucket))
 
     val durationSec = (System.nanoTime() - t0) / 1e9
     val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
@@ -531,7 +581,7 @@ object CdcApply {
         "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0),
         "failedEvents" -> nInvalid.toDouble) ++
         actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble },
-      bucketCols = ks.bucketCols, keyCols = ks.keyCols)
+      bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor)
     val committed =
       try phase("commit") { lake.commit(snap, maintenance = maintenance) }
       catch {
@@ -548,11 +598,59 @@ object CdcApply {
         case _: graft.lake.CommitConflictException =>
           return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
             validate, patchEnabled, changeFeed, maintenance, touchedHint,
-            keys)
+            keys, mor, fold)
       }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
-    ApplyStats(committed, skipped, rowsIn, rowsOut, touched.size, durationSec,
-      touched, failedEvents = nInvalid, actions = actionCounts)
+    ApplyStats(committed, skipped, rowsIn, rowsOut, touchedOut.size,
+      durationSec, touchedOut, failedEvents = nInvalid,
+      actions = actionCounts)
+  }
+
+  /** Per-bucket delta-chain lengths of a MoR snapshot (manifest refs per
+    * bucket) — metadata-only, drives the fold policy. */
+  def chainLengths(snap: Snapshot): Map[Int, Int] =
+    snap.manifests.groupBy(_.bucket).map { case (b, rs) => b -> rs.size }
+
+  /** Fold the delta chains of `buckets` on a merge-on-read table: rewrite
+    * each chosen bucket as one LWW-resolved file chain (tombstones kept —
+    * they still fence late re-deliveries; [[graft.lake.Compaction]] owns
+    * watermark-based tombstone GC). This is the LSM merge policy's unit of
+    * work, expressed as an EMPTY maintenance batch through the normal merge:
+    * the CoW path unions the chosen buckets' state with nothing, elects
+    * winners, rewrites exactly those buckets, and commits at the same epoch
+    * — so fencing, kill/resume, commit races, lineage and time travel hold
+    * without any new machinery (the same move SearchIndex.compact makes for
+    * the posting index). Folding is an optimization, never required for
+    * correctness: a lost commit race (CommitConflictException) can simply be
+    * skipped by policy-driven callers — the next append re-triggers it. */
+  def foldBuckets(lake: LakeTable, buckets: Set[Int]): ApplyStats = {
+    val cur = lake.currentSnapshot.getOrElse(
+      throw new IllegalStateException("nothing to fold: empty table"))
+    require(cur.mor, s"${lake.root} is copy-on-write; folds are MoR-only")
+    val spark = lake.spark
+    val batchSchema = StructType(
+      org.apache.spark.sql.types.StructField("op",
+        org.apache.spark.sql.types.StringType) +:
+      cur.schema.fields.filterNot(_.name == "_tombstone"))
+    val emptyBatch = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batchSchema)
+    apply(lake, emptyBatch, cur.epoch, cur.nBuckets,
+      probeInfo = Some(ProbeInfo(0L, Nil, keysNullFree = true)),
+      validate = false, changeFeed = false, maintenance = true,
+      touchedHint = Some(buckets), fold = true)
+  }
+
+  /** Threshold-triggered fold (the automatic LSM merge policy): fold every
+    * bucket whose delta chain reached `chainThreshold` segments. Returns the
+    * buckets folded (empty = nothing due or lost a benign commit race). */
+  def maybeFold(lake: LakeTable, chainThreshold: Int): Set[Int] = {
+    if (chainThreshold <= 0) return Set.empty
+    val due = lake.currentSnapshot.map(chainLengths)
+      .getOrElse(Map.empty)
+      .collect { case (b, n) if n >= chainThreshold => b }.toSet
+    if (due.isEmpty) return Set.empty
+    try { foldBuckets(lake, due); due }
+    catch { case _: graft.lake.CommitConflictException => Set.empty }
   }
 
   /** Patch-aware merge (op='P'): per key, the winning FULL image (highest

@@ -76,7 +76,17 @@ final class CdcDriver(
       * effective floor is 2 so their catch-up/refresh base (at most one
       * snapshot behind, crash windows included) is never expired from
       * under them. */
-    keepSnapshots: Int = 0) {
+    keepSnapshots: Int = 0,
+    /** merge-on-read ingest (seeds a NEW table; an existing table's stored
+      * mode wins): batches append per-bucket delta files instead of
+      * rewriting touched buckets — O(batch) writes for update-heavy trickle
+      * feeds into a large table; readers resolve LWW over the chain. See
+      * CdcApply `mor`. */
+    mor: Boolean = false,
+    /** automatic LSM merge policy for a MoR lake: after each batch, fold
+      * any bucket whose delta chain reached this many segments
+      * (CdcApply.maybeFold; 0 = never — manual CLI `fold` only). */
+    morCompactChain: Int = 16) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -118,7 +128,11 @@ final class CdcDriver(
       val epoch = group.max + 1
       val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets,
         probeInfo = probe, patchEnabled = patchEnabled,
-        changeFeed = changeFeed)
+        changeFeed = changeFeed, mor = mor)
+      // LSM merge policy: bound the MoR delta chains before derived-table /
+      // retention work (the fold is a maintenance commit at the same epoch)
+      if (!stats.skipped && lake.currentSnapshot.exists(_.mor))
+        CdcApply.maybeFold(lake, morCompactChain)
       aggLake.foreach { al =>
         if (!stats.skipped && stats.touchedSet.nonEmpty)
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)

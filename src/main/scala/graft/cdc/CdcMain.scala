@@ -26,6 +26,14 @@ import graft.lake.LakeTable
  *   CdcMain search  <indexDir> <term> [term...]        — AND term query, top 10
  *   CdcMain index-compact <indexDir>   — fold the index delta log (LWW)
  *
+ *   CdcMain fold    <lakeDir> [chainThreshold] — MoR delta-chain fold
+ *
+ * `replay` and `stream` accept `mor` (merge-on-read ingest: batches APPEND
+ * per-bucket delta files instead of rewriting touched buckets — O(batch)
+ * writes for update-heavy trickle feeds; readers resolve LWW over the
+ * chain) and `morchain=<n>` (automatic LSM merge policy: fold any bucket
+ * whose chain reaches n segments, default 16; 0 = manual `fold` only).
+ *
  * `replay` and `stream` accept `idx=<dir>`: maintain a secondary search
  * index per batch from the same pipeline (the reference mirrors entity
  * updates into Elasticsearch from the same stream); `idxchain=<n>`:
@@ -46,9 +54,9 @@ object CdcMain {
     * /data/run=5/agg. */
   private def flag(rest: List[String], name: String): Option[String] =
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
-  private val flagNames = Seq("idx", "idxchain", "keep")
+  private val flagNames = Seq("idx", "idxchain", "keep", "morchain")
   private def positionals(rest: List[String]): List[String] =
-    rest.filterNot(a => a == "patch" || a == "nocf" ||
+    rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
 
   private def session(): SparkSession = {
@@ -100,7 +108,9 @@ object CdcMain {
         // keep=<n>: snapshot retention (expire after each batch; 0 = all)
         searchIndex = flag(rest, "idx").map(d => new LakeTable(spark, d)),
         indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
-        keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0))
+        keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0),
+        mor = rest.contains("mor"),
+        morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -138,7 +148,9 @@ object CdcMain {
         trigger = trig,
         searchIndex = flag(rest, "idx").map(d => new LakeTable(spark, d)),
         indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
-        keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0))
+        keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0),
+        mor = rest.contains("mor"),
+        morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16))
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()
@@ -205,6 +217,17 @@ object CdcMain {
       println(hits.map(r =>
         s"""{"conv_id":"${r.getString(0)}","turn_idx":${r.getInt(1)},""" +
         s""""score":${r.getLong(2)}}""").mkString("[", ",", "]"))
+      spark.stop()
+
+    case "fold" :: lakeDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val threshold = rest.headOption.map(_.toInt).getOrElse(2)
+      val folded = CdcApply.maybeFold(lake, threshold)
+      val chains = lake.currentSnapshot.map(CdcApply.chainLengths)
+        .getOrElse(Map.empty)
+      val maxChain = if (chains.isEmpty) 0 else chains.values.max
+      println(s"""{"foldedBuckets":${folded.size},"maxChain":$maxChain}""")
       spark.stop()
 
     case "expire" :: lakeDir :: rest =>

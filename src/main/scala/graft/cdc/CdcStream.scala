@@ -61,6 +61,12 @@ object CdcStream {
         * (0 = keep everything); floor 2 when a derived table/index is
         * attached — see CdcDriver.keepSnapshots */
       keepSnapshots: Int = 0,
+      /** merge-on-read ingest (seeds a NEW lake; an existing lake's stored
+        * mode wins — see CdcApply `mor`) */
+      mor: Boolean = false,
+      /** automatic LSM merge policy for a MoR lake: fold any bucket whose
+        * delta chain reached this many segments (0 = never) */
+      morCompactChain: Int = 16,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
       onBatch: Long => Unit = _ => ()): StreamingQuery = {
@@ -96,7 +102,10 @@ object CdcStream {
           ks.keyCols.toSet + "_lsn", bucketKeys = ks.bucketCols)
         val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
           nBuckets, saltBuckets, probeInfo = probe,
-          patchEnabled = patchEnabled, changeFeed = changeFeed)
+          patchEnabled = patchEnabled, changeFeed = changeFeed, mor = mor)
+        // LSM merge policy: bound the MoR delta chains per micro-batch
+        if (!stats.skipped && lake.currentSnapshot.exists(_.mor))
+          CdcApply.maybeFold(lake, morCompactChain)
         aggLake.foreach { al =>
           if (!stats.skipped && stats.touchedSet.nonEmpty)
             AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
@@ -134,11 +143,13 @@ object CdcStream {
       changeFeed: Boolean = true,
       searchIndex: Option[LakeTable] = None,
       indexCompactChain: Int = 16,
-      keepSnapshots: Int = 0): Unit =
+      keepSnapshots: Int = 0,
+      mor: Boolean = false,
+      morCompactChain: Int = 16): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
       changeFeed, searchIndex, indexCompactChain,
-      keepSnapshots).awaitTermination()
+      keepSnapshots, mor, morCompactChain).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
     * (one transient FS hiccup would otherwise end the deployment) restarts
@@ -169,6 +180,8 @@ object CdcStream {
       keepSnapshots: Int = 0,
       restartAttempts: Int = 3,
       restartDelayMs: Long = 30000L,
+      mor: Boolean = false,
+      morCompactChain: Int = 16,
       onBatch: Long => Unit = _ => ()): Unit = {
     var attempt = 0
     var running = true
@@ -177,7 +190,7 @@ object CdcStream {
       val q = start(spark, changelogDir, lake, checkpointDir, schema,
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
         patchEnabled, changeFeed, searchIndex, indexCompactChain,
-        keepSnapshots, onBatch)
+        keepSnapshots, mor, morCompactChain, onBatch)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)

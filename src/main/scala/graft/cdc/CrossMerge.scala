@@ -76,7 +76,15 @@ object CrossMerge {
     val buckets = pairs.flatMap { case (f, t) =>
       Seq(LakeTable.bucketOfValue(f, nB), LakeTable.bucketOfValue(t, nB))
     }.toSet
-    val state = lake.readBuckets(Some(buckets))
+    val state0 = lake.readBuckets(Some(buckets))
+    // MoR chains hold superseded versions: resolve LWW winners first, or
+    // the migration would synthesize upserts from stale images (and hand
+    // several versions of one turn the same synthetic lsn).
+    val state =
+      if (snap.mor && state0.columns.contains("_lsn"))
+        graft.plans.LwwResolve.resolve(state0, snap.keySpec, nB,
+          spark.sessionState.conf.numShufflePartitions)
+      else state0
     val live =
       if (state.columns.contains("_tombstone"))
         state.filter(!col("_tombstone")).drop("_tombstone")

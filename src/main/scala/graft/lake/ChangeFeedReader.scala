@@ -45,11 +45,18 @@ object ChangeFeedReader {
       else Some(snaps.find(_.snapshotId == fromSnapshotId).getOrElse(
         throw new NoSuchElementException(s"no snapshot $fromSnapshotId")))
 
-    // changed buckets by manifest-ref identity (O(buckets) compare)
-    val fromRefs = fromOpt.map(_.manifests.map(r => r.bucket -> r.path).toMap)
-      .getOrElse(Map.empty[Int, String])
-    val changed = to.manifests
-      .filter(r => !fromRefs.get(r.bucket).contains(r.path)).map(_.bucket).toSet
+    // changed buckets by manifest-ref identity (O(buckets) compare). A
+    // bucket is compared by its ref-path SET: merge-on-read snapshots carry
+    // several refs per bucket (the delta chain), and an append changes the
+    // set without replacing the existing refs.
+    val fromRefs = fromOpt
+      .map(_.manifests.groupBy(_.bucket)
+        .map { case (b, rs) => b -> rs.map(_.path).toSet })
+      .getOrElse(Map.empty[Int, Set[String]])
+    val changed = to.manifests.groupBy(_.bucket)
+      .collect { case (b, rs)
+        if fromRefs.getOrElse(b, Set.empty[String]) != rs.map(_.path).toSet => b }
+      .toSet
     // buckets that vanished entirely (rebucketing) force a full diff
     val vanished = fromRefs.keySet -- to.manifests.map(_.bucket).toSet
     val diffBuckets =
@@ -62,11 +69,19 @@ object ChangeFeedReader {
         case Some(bs) => s.manifests.filter(r => bs.contains(r.bucket))
       }
       val files = Manifests.loadAll(refs)
-      val base =
+      val base0 =
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
         else spark.read.schema(s.schema).parquet(files.map(_.path): _*)
+      // MoR snapshots hold multi-version chains: resolve each side to its
+      // LWW winners BEFORE the live filter, or a superseded old version
+      // would join as a phantom second row per key.
+      val base =
+        if (s.mor && base0.columns.contains("_lsn"))
+          graft.plans.LwwResolve.resolve(base0, s.keySpec, s.nBuckets,
+            spark.sessionState.conf.numShufflePartitions)
+        else base0
       val live = if (base.columns.contains("_tombstone"))
         base.filter(!col("_tombstone")) else base
       // image cols absent on one side (pre-evolution snapshot) read as nulls

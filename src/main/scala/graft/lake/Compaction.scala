@@ -52,12 +52,21 @@ object Compaction {
     val spark = lake.spark
     val nB = newBuckets.getOrElse(cur.nBuckets)
 
-    val raw = lake.readBuckets(None)
+    val ks = cur.keySpec
+    val raw0 = lake.readBuckets(None)
+    // A MoR table's buckets hold multi-version chains: resolve LWW FIRST,
+    // then apply the tombstone watermark — filtering unresolved chains would
+    // drop a winning tombstone while keeping the older live version it
+    // fences (resurrection). The rewrite doubles as a full chain fold.
+    val raw =
+      if (cur.mor && raw0.columns.contains("_lsn"))
+        graft.plans.LwwResolve.resolve(raw0, ks, cur.nBuckets,
+          spark.sessionState.conf.numShufflePartitions)
+      else raw0
     val kept =
       if (raw.columns.contains("_tombstone"))
         raw.filter(!col("_tombstone") || col("_lsn") >= tombstoneWatermark)
       else raw
-    val ks = cur.keySpec
     val withB = kept.withColumn("b",
       CdcApply.bucketOfCols(ks.bucketCols.map(col), nB))
 
@@ -100,7 +109,7 @@ object Compaction {
       cur.schemaJson, cur.schemaVersion, nB, newRefs, cur.lineage,
       Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
         "rowsAfter" -> rowsAfter.toDouble),
-      bucketCols = ks.bucketCols, keyCols = ks.keyCols)
+      bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor)
     val committed = lake.commit(snap, maintenance = true)
     CompactionStats(committed, cur.totalFiles, newFiles.size,
       rowsBefore, rowsAfter, rowsBefore - rowsAfter)

@@ -59,7 +59,15 @@ final case class Snapshot(
       * creation so every applier/reader agrees; null in pre-keyspec
       * metadata -> transcript default via [[keySpec]]. */
     bucketCols: Seq[String] = Seq("conv_id"),
-    keyCols: Seq[String] = Seq("conv_id", "turn_idx")) {
+    keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
+    /** Merge-on-read (LSM) table: ingest APPENDS per-bucket delta files
+      * instead of rewriting touched buckets, so a bucket's manifest chain
+      * can hold multiple versions of a key; readers resolve last-writer-
+      * wins by `_lsn` ([[graft.plans.LwwResolve]]) and per-bucket folds
+      * (CdcApply.foldBuckets) bound the chain. Set at table creation by
+      * the first commit, authoritative thereafter (like nBuckets /
+      * keySpec). Missing in pre-MoR metadata -> false (copy-on-write). */
+    mor: Boolean = false) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   @com.fasterxml.jackson.annotation.JsonIgnore
@@ -216,17 +224,29 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     val pred = s.keySpec.bucketCols.zip(bucketValues)
       .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
-    val df = spark.read.schema(s.schema).parquet(files.map(_.path): _*)
-      .filter(pred)
+    val df = resolveIfMor(
+      spark.read.schema(s.schema).parquet(files.map(_.path): _*).filter(pred),
+      s)
     if (df.columns.contains("_tombstone"))
       df.filter(not(col("_tombstone"))).drop("_tombstone")
     else df
   }
 
+  /** MoR read resolution: collapse the bucket chains' multi-version rows to
+    * their LWW winners (tombstones kept — the caller filters). No-op on
+    * copy-on-write snapshots, where every key already has exactly one row. */
+  private def resolveIfMor(df: DataFrame, s: Snapshot): DataFrame =
+    if (!s.mor || !df.columns.contains("_lsn")) df
+    else graft.plans.LwwResolve.resolve(df, s.keySpec, s.nBuckets,
+      spark.sessionState.conf.numShufflePartitions)
+
   /** Public read: current live rows (tombstoned keys filtered out; the
     * tombstone mechanics stay internal to the MERGE path). */
   def read(): DataFrame = {
-    val df = readBuckets(None)
+    val df = currentSnapshot match {
+      case Some(s) => resolveIfMor(readBuckets(None), s)
+      case None => readBuckets(None)
+    }
     if (df.columns.contains("_tombstone"))
       df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
         .drop("_tombstone")
@@ -241,11 +261,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       throw new NoSuchElementException(
         s"no snapshot $snapshotId in $root (expired or never committed)"))
     val files = s.files
-    val df =
+    val df = resolveIfMor(
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-      else spark.read.schema(s.schema).parquet(files.map(_.path): _*)
+      else spark.read.schema(s.schema).parquet(files.map(_.path): _*),
+      s)
     if (df.columns.contains("_tombstone"))
       df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
         .drop("_tombstone")
