@@ -13,7 +13,9 @@ import graft.lake.LakeTable
  *           "full_cores":C,"throughput_n":ev/s,"throughput_4n":ev/s,
  *           "n_cores":2,"four_n_cores":8,"scaling_efficiency":r,
  *           "pinned":bool,"steal_pct":{"n":max,"four_n":max},
- *           "spread":{"n":x,"four_n":y},"soak":{...}}}
+ *           "spread":{"n":x,"four_n":y},
+ *           "mor":{"events":N,"batches":64,"throughput_cow":ev/s,
+ *                  "throughput_mor":ev/s,"speedup":r},"soak":{...}}}
  *
  * Pair runs are CPU-affinity-pinned to exactly N (resp. 4N) CPUs via
  * taskset when available ("N cores" = N CPUs, as on a real N-executor
@@ -216,7 +218,7 @@ object Bench {
     // replay above is the opposite shape (4 huge batches) where CoW is
     // already right — both numbers published so the trade is visible.
     // SPARK_GRAFT_MOR_EVENTS=0 disables.
-    val morEvents = sys.env.getOrElse("SPARK_GRAFT_MOR_EVENTS", "8000000").toLong
+    val morEvents = sys.env.getOrElse("SPARK_GRAFT_MOR_EVENTS", "4000000").toLong
     val morBlock: Option[(Double, Double, Int)] =
       if (morEvents <= 0) None
       else {
@@ -236,7 +238,10 @@ object Bench {
           morEvents / sec
         }
         // interleaved, median-of-runs — same discipline as the pair bench
-        val runs = (1 to benchRuns).map { i =>
+        // (capped at 2 pairs: the CoW side is deliberately the slow shape,
+        // and the tracked quantity is the RATIO, which interleaving keeps
+        // honest even under host drift — see BASELINE.md round-3 pairs)
+        val runs = (1 to math.min(benchRuns, 2)).map { i =>
           (trickle(s"cow-r$i", morMode = false),
             trickle(s"mor-r$i", morMode = true))
         }

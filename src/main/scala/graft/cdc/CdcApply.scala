@@ -94,10 +94,20 @@ object CdcApply {
     * explicit so both sides get identical column order). */
   private def align(df: DataFrame, schema: StructType,
                     extras: Seq[(String, Column)] = Nil): DataFrame = {
-    val present = df.columns.toSet
+    val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(schema.fields.map { f =>
-      if (present.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      present.get(f.name) match {
+        // lossless upcast to the (possibly widened) target type — narrow
+        // batch columns into a widened table, and old stored state under a
+        // just-widened schema, both land on the same type before the union.
+        // sameType (nullability-blind): complex columns routinely differ
+        // only in containsNull flags, and ANSI cast refuses a
+        // nullable-to-non-nullable map "cast" that moves no data
+        case Some(t) if graft.model.Schemas.sameIgnoringNull(t, f.dataType) =>
+          col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq ++ extras.map { case (n, c) => c.as(n) }: _*)
   }
 
@@ -277,12 +287,37 @@ object CdcApply {
       case None => StructType(batchDataFields)
       case Some(s) =>
         val known = s.schema.fieldNames.toSet
-        StructType(s.schema.fields ++ batchDataFields.filterNot(f => known(f.name)))
+        val batchByName = batchDataFields.map(f => f.name -> f).toMap
+        // Widening promotion (Schemas.widen): a stored column whose batch
+        // counterpart arrives with a LOSSLESSLY wider numeric type adopts
+        // the wider type; old narrow files stay on disk and upcast at read
+        // (schema-first reads — Spark 4 parquet readers do the promotion
+        // natively). An incompatible change (string vs int, long vs double)
+        // is a feed-contract break and fails loudly — coercing it silently
+        // would corrupt every LWW winner that follows.
+        val widened = s.schema.fields.map { f =>
+          batchByName.get(f.name) match {
+            case Some(bf)
+              if !graft.model.Schemas.sameIgnoringNull(bf.dataType, f.dataType) =>
+              graft.model.Schemas.widen(f.dataType, bf.dataType) match {
+                case Some(w) => f.copy(dataType = w)
+                case None => throw new IllegalArgumentException(
+                  s"incompatible type change for column ${f.name}: table " +
+                  s"has ${f.dataType.simpleString}, batch has " +
+                  s"${bf.dataType.simpleString} — not a lossless widening")
+              }
+            case _ => f
+          }
+        }
+        StructType(widened ++ batchDataFields.filterNot(f => known(f.name)))
     }
     val schemaVersion = cur match {
       case None => 1
       case Some(s) =>
-        if (targetSchema.length > s.schema.length) s.schemaVersion + 1
+        if (targetSchema.length > s.schema.length ||
+            targetSchema.fields.zip(s.schema.fields)
+              .exists { case (n, o) => n.dataType != o.dataType })
+          s.schemaVersion + 1
         else s.schemaVersion
     }
 

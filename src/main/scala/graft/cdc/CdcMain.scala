@@ -273,8 +273,16 @@ object CdcMain {
             count(lit(1)).as("n"),
             sum(xxhash64(hashCols: _*)
               .cast("decimal(38,0)")).as("ck")).head()
+          val morInfo =
+            if (!snap.mor) ""
+            else {
+              val chains = CdcApply.chainLengths(snap)
+              s""""mor":true,"maxChain":${
+                if (chains.isEmpty) 0 else chains.values.max},"""
+            }
           println(s"""{"rows":${row.getLong(0)},"checksum":${row.getDecimal(1)},""" +
             s""""snapshotId":${snap.snapshotId},"epoch":${snap.epoch},""" +
+            morInfo +
             s""""schemaVersion":${snap.schemaVersion},""" +
             s""""lineage":${snap.lineage.map(l =>
               s"""{"part":${l.srcPart},"lo":${l.minOff},"hi":${l.maxOff}}""")

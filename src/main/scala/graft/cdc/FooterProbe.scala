@@ -31,8 +31,17 @@ object FooterProbe {
       schemas.foreach(_.fields.foreach { f =>
         out.get(f.name) match {
           case None => out(f.name) = f.copy(nullable = true)
-          case Some(g) if g.dataType == f.dataType => // already recorded
-          case Some(_) => return None // non-additive change: let Spark merge
+          case Some(g) if graft.model.Schemas.sameIgnoringNull(
+            g.dataType, f.dataType) => // already recorded
+          case Some(g) =>
+            // mid-batch widening (Schemas.widen): read the whole batch with
+            // the wider type — parquet upcasts the narrow files natively.
+            // A non-widening conflict falls back to Spark's mergeSchema,
+            // which fails loudly on it (feed-contract break).
+            graft.model.Schemas.widen(g.dataType, f.dataType) match {
+              case Some(w) => out(f.name) = g.copy(dataType = w)
+              case None => return None
+            }
         }
       })
       Some(StructType(out.values.toSeq))

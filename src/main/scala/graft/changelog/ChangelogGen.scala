@@ -40,6 +40,12 @@ object ChangelogGen {
       segSize: Long = 100000L,
       /** delivery index at which tool_meta starts existing; <0 = never. */
       evolveAt: Long = -1L,
+      /** widening evolution: when >= 0 the changelog carries a numeric
+        * `latency_ms` column that is INT32 in segments before this delivery
+        * index and INT64 (with values beyond 2^31) from it onward — the
+        * counter-outgrows-its-type case Schemas.widen promotes. <0 = no
+        * such column. */
+      widenAt: Long = -1L,
       /** probability an event is malformed (null key / null turn / bad op)
         * — exercises the dead-letter quarantine path. */
       pBad: Double = 0.0,
@@ -63,9 +69,13 @@ object ChangelogGen {
     "value", "agg", "column", "big", "vector", "a", "turn", "tool", "model",
     "chat", "reply", "plan", "code", "test", "run")
 
-  /** Build the change-event DataFrame for delivery indices [lo, hi). */
+  /** Build the change-event DataFrame for delivery indices [lo, hi).
+    * `latWide`: this chunk writes `latency_ms` as long (post-widenAt
+    * segments); the VALUE stays a pure function of the effective event
+    * index, so a verbatim redelivery of a pre-cut event carries its
+    * original (int-range) value regardless of the chunk's column type. */
   def events(spark: SparkSession, cfg: Config, lo: Long, hi: Long,
-             withEvolution: Boolean): DataFrame = {
+             withEvolution: Boolean, latWide: Boolean = false): DataFrame = {
     val df = spark.range(lo, hi).toDF("i")
 
     def h(c: org.apache.spark.sql.Column, salt: String) =
@@ -157,15 +167,25 @@ object ChangelogGen {
             .otherwise(lit(""))), ""))
           .otherwise(lit(null).cast("array<string>")))
 
+    val base3 =
+      if (cfg.widenAt < 0) base2
+      else {
+        val latBase = pmod(h(e, "lat"), lit(1000000L))
+        val lat = when(e >= cfg.widenAt, latBase + lit(3000000000L))
+          .otherwise(latBase)
+        base2.withColumn("latency_ms",
+          if (latWide) lat.cast("long") else lat.cast("int"))
+      }
     val withMeta =
-      if (withEvolution) base2.withColumn("tool_meta",
+      if (withEvolution) base3.withColumn("tool_meta",
         when(e >= cfg.evolveAt && !isP,
           concat(lit("""{"v":"""), pmod(h(e, "tm"), lit(100L)).cast("string"),
             lit("}"))).otherwise(lit(null).cast("string")))
-      else base2
+      else base3
 
     val cols = Seq("op", "conv_id", "turn_idx", "role", "text", "tool", "ts",
       "_lsn", "_src_part", "_src_off") ++
+      (if (cfg.widenAt >= 0) Seq("latency_ms") else Nil) ++
       (if (cfg.pUnset > 0) Seq(graft.model.Schemas.UnsetCol) else Nil) ++
       (if (withEvolution) Seq("tool_meta") else Nil)
     withMeta.withColumn("seg", (col("i") / cfg.segSize).cast("long"))
@@ -181,22 +201,27 @@ object ChangelogGen {
     * the v1 schema (no tool_meta) and later segments with v2 — a genuine
     * mid-stream additive schema change as seen by the tailer. */
   def write(spark: SparkSession, dir: String, cfg: Config): Unit = {
-    val cut =
-      if (cfg.evolveAt < 0) cfg.nEvents
-      else (cfg.evolveAt / cfg.segSize) * cfg.segSize // segment-aligned
+    def aligned(at: Long): Long =
+      if (at < 0) cfg.nEvents
+      else math.min((at / cfg.segSize) * cfg.segSize, cfg.nEvents) // segment-aligned
+    val evolveCut = aligned(cfg.evolveAt)
+    val widenCut = aligned(cfg.widenAt)
     val chunk = pmod(xxhash64(col("_lsn")), lit(cfg.filesPerSeg.toLong))
     def part(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
       df.withColumn("p", col("_src_part"))
         .repartition(
           (((hi - lo) / cfg.segSize + 1) * cfg.nSrcPartitions * cfg.filesPerSeg).toInt,
           col("seg"), col("p"), chunk)
-    if (cut > 0)
-      part(events(spark, cfg, 0L, math.min(cut, cfg.nEvents), withEvolution = false),
-        0L, math.min(cut, cfg.nEvents))
-        .write.mode("overwrite").partitionBy("seg", "p").parquet(dir)
-    if (cut < cfg.nEvents)
-      part(events(spark, cfg, cut, cfg.nEvents, withEvolution = true), cut, cfg.nEvents)
-        .write.mode("append").partitionBy("seg", "p").parquet(dir)
+    val cuts = (Seq(0L, cfg.nEvents) ++
+      Seq(evolveCut, widenCut).filter(c => c > 0 && c < cfg.nEvents))
+      .distinct.sorted
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      part(events(spark, cfg, lo, hi,
+          withEvolution = lo >= evolveCut, latWide = lo >= widenCut), lo, hi)
+        .write.mode(if (lo == 0) "overwrite" else "append")
+        .partitionBy("seg", "p").parquet(dir)
+      case _ => ()
+    }
   }
 
   /** Sorted list of segment indices present under `dir`. */

@@ -226,7 +226,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
     val df = resolveIfMor(
       spark.read.schema(s.schema).parquet(files.map(_.path): _*).filter(pred),
-      s)
+      s, nPart = 2)
     if (df.columns.contains("_tombstone"))
       df.filter(not(col("_tombstone"))).drop("_tombstone")
     else df
@@ -234,11 +234,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
 
   /** MoR read resolution: collapse the bucket chains' multi-version rows to
     * their LWW winners (tombstones kept — the caller filters). No-op on
-    * copy-on-write snapshots, where every key already has exactly one row. */
-  private def resolveIfMor(df: DataFrame, s: Snapshot): DataFrame =
+    * copy-on-write snapshots, where every key already has exactly one row.
+    * `nPart` sizes the clustering exchange: full shuffle width for table
+    * scans, a handful of partitions for single-entity point lookups (32
+    * near-empty tasks would dominate a one-conversation read). */
+  private def resolveIfMor(df: DataFrame, s: Snapshot,
+                           nPart: Int = -1): DataFrame =
     if (!s.mor || !df.columns.contains("_lsn")) df
     else graft.plans.LwwResolve.resolve(df, s.keySpec, s.nBuckets,
-      spark.sessionState.conf.numShufflePartitions)
+      if (nPart > 0) nPart else spark.sessionState.conf.numShufflePartitions)
 
   /** Public read: current live rows (tombstoned keys filtered out; the
     * tombstone mechanics stay internal to the MERGE path). */

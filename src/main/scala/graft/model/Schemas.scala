@@ -108,4 +108,43 @@ object Schemas {
     * (`removeEmptyFields`/`removeFrameworkFields` -> `hdelWithRetry`).
     * Never persisted in the lake table (engine meta, like `op`). */
   val UnsetCol = "unset_cols"
+
+  /** LOSSLESS widening-promotion lattice for schema evolution beyond
+    * additive columns: a stored column may grow to a strictly wider numeric
+    * type mid-stream (the int counter that outgrows 2^31 — Iceberg's
+    * `updateColumn` type promotion, and exactly the set Spark 4's parquet
+    * readers upcast natively when the read schema is wider than the file:
+    * byte→short→int→long, float→double, {byte,short,int}→double).
+    * long→double and int→float are REFUSED — they lose integer precision
+    * (53- / 24-bit mantissas), and a lossy "widening" silently corrupts
+    * LWW state. Returns the wider type, or None when the pair is not a
+    * lossless promotion (a real schema break: fail loudly, never coerce). */
+  /** Nullability-blind type equality (Spark's DataType.sameType is
+    * private[sql]): complex columns routinely differ only in containsNull
+    * flags between a written file and the expression that produced it, and
+    * that difference is not a type change. */
+  def sameIgnoringNull(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.length == y.length && x.fields.zip(y.fields).forall { case (f, g) =>
+        f.name == g.name && sameIgnoringNull(f.dataType, g.dataType)
+      }
+    case (x: ArrayType, y: ArrayType) =>
+      sameIgnoringNull(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      sameIgnoringNull(x.keyType, y.keyType) &&
+        sameIgnoringNull(x.valueType, y.valueType)
+    case _ => a == b
+  }
+
+  private val intChain: Map[DataType, Int] =
+    Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+  def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case _ if sameIgnoringNull(a, b) => Some(a)
+    case _ if intChain.contains(a) && intChain.contains(b) =>
+      Some(if (intChain(a) >= intChain(b)) a else b)
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case (t, DoubleType) if intChain.get(t).exists(_ <= 2) => Some(DoubleType)
+    case (DoubleType, t) if intChain.get(t).exists(_ <= 2) => Some(DoubleType)
+    case _ => None
+  }
 }

@@ -189,6 +189,75 @@ class CdcMorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("merge-on-read"))
   }
 
+  test("MoR state is invariant to delivery permutation, segmentation, fold points") {
+    val cfg = ChangelogGen.Config(
+      nEvents = 1200, nConvs = 15, turnsPerConv = 5,
+      pUpdate = 0.4, pDelete = 0.1, pDup = 0.1, pBad = 0.1, segSize = 300)
+    val d1 = TestSpark.tmpDir("mor-prop-cl1")
+    ChangelogGen.write(spark, d1, cfg)
+    val events = spark.read.parquet(d1).drop("seg")
+    // deterministic pseudo-random permutation, re-segmented differently
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(events.collect().toList)
+    val d2 = TestSpark.tmpDir("mor-prop-cl2")
+    shuffled.zipWithIndex.groupBy(_._2 / 200).foreach { case (seg, rows) =>
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(_._1)), events.schema)
+        .write.parquet(s"$d2/seg=$seg")
+    }
+    def replay(dir: String, segs: Int, chain: Int) = {
+      val lake = new LakeTable(spark, TestSpark.tmpDir("mor-prop-lake"))
+      new CdcDriver(spark, dir, lake, segs, nBuckets = 8, quiet = true,
+        mor = true, morCompactChain = chain).run()
+      CdcOracle.tableState(lake.read())
+    }
+    val s1 = replay(d1, segs = 2, chain = 0) // raw chains, never folded
+    val s2 = replay(d2, segs = 1, chain = 2) // aggressive folding
+    val s3 = replay(d2, segs = 3, chain = 3)
+    assert(s1.nonEmpty)
+    assert(s1 == s2 && s1 == s3)
+    assert(s1 == CdcOracle.fold(events))
+  }
+
+  test("two concurrent MoR appenders converge exactly-once") {
+    val dir = changelog("mor-race", ChangelogGen.Config(
+      nEvents = 3000, nConvs = 25, turnsPerConv = 6,
+      pUpdate = 0.35, pDelete = 0.1, pDup = 0.1, segSize = 300))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("mor-race-lake"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        try new CdcDriver(spark, dir, lake, segmentsPerBatch = 1,
+          nBuckets = 8, quiet = true, mor = true, morCompactChain = 3).run()
+        catch { case t: Throwable => errors.add(t) }
+      }, s"mor-applier-$i")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"appender failed: ${errors.peek()}")
+    assert(lake.currentSnapshot.get.epoch == 10)
+    assert(CdcOracle.tableState(lake.read()) ==
+      CdcOracle.fold(spark.read.parquet(dir)))
+  }
+
+  test("streaming tailer in MoR mode matches the batch replay") {
+    val dir = changelog("mor-stream", updateHeavy)
+    val batchLake = new LakeTable(spark, TestSpark.tmpDir("mor-stream-batch"))
+    new CdcDriver(spark, dir, batchLake, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true, mor = true, morCompactChain = 3).run()
+    val streamLake = new LakeTable(spark, TestSpark.tmpDir("mor-stream-lake"))
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(dir).schema
+        .fields.filterNot(f => f.name == "p" || f.name == "seg"))
+    CdcStream.run(spark, dir, streamLake,
+      TestSpark.tmpDir("mor-stream-ckpt"), schema, nBuckets = 8,
+      maxFilesPerTrigger = 16, mor = true, morCompactChain = 3)
+    assert(streamLake.currentSnapshot.exists(_.mor))
+    assert(CdcOracle.tableState(streamLake.read()) ==
+      CdcOracle.tableState(batchLake.read()))
+  }
+
   test("storage mode is a table property: the stored flag beats the caller") {
     val dir = changelog("mor-sticky", ChangelogGen.Config(
       nEvents = 2000, nConvs = 20, turnsPerConv = 8,

@@ -72,4 +72,74 @@ class MergePlanSpec extends AnyFunSuite {
       }
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("MoR plans: append never scans the lake; read resolves in one exchange") {
+    val dir = TestSpark.tmpDir("plan-mor-cl")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 2000, nConvs = 20, turnsPerConv = 6,
+      pUpdate = 0.4, pDelete = 0.05, pDup = 0.05, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir("plan-mor-lake"))
+
+    val plans = mutable.ArrayBuffer[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    def finalPlan(p0: String): String = p0.split("== Initial Plan ==")(0)
+    def shape(p: String): (Int, Int) = (
+      "Exchange (hash|range)partitioning".r.findAllIn(p).size,
+      raw"\bSort \[".r.findAllIn(p).size)
+
+    spark.listenerManager.register(listener)
+    try {
+      new CdcDriver(spark, dir, lake, segmentsPerBatch = 1, nBuckets = 8,
+        quiet = true, mor = true, morCompactChain = 0).run()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (System.nanoTime() < deadline &&
+        plans.synchronized(plans.count(p =>
+          p.contains("WriteFiles") && p.contains("SortedLwwDedup")) < 4))
+        Thread.sleep(50)
+      val appendPlans = plans.synchronized {
+        plans.filter(p => p.contains("WriteFiles") && p.contains("SortedLwwDedup"))
+      }
+      assert(appendPlans.size >= 4, "append write plans not captured")
+      appendPlans.map(finalPlan).foreach { p =>
+        assert(shape(p) == ((1, 1)),
+          s"MoR append must stay one exchange + one sort:\n$p")
+        assert(!p.contains("Window"), s"no WindowExec in the append:\n$p")
+        // O(batch) writes: the ONLY parquet scan is the changelog batch —
+        // a lake-data scan here would mean the state union crept back in
+        val scans = raw"Scan parquet\b".r.findAllIn(p).size
+        assert(scans == 1,
+          s"MoR append must scan only the batch ($scans scans):\n$p")
+        // the write TARGET is under /data/snap- by construction; only a
+        // SCAN line mentioning it would mean state is being read
+        assert(!p.linesIterator.exists(l =>
+            l.contains("FileScan") && l.contains("/data/snap-")),
+          s"MoR append must not read lake data files:\n$p")
+      }
+
+      // read-side resolution: one clustering exchange, one sort, streaming
+      // dedup — and tombstone filtering stays ABOVE the dedup (a winner
+      // must be elected before its tombstone can drop the key)
+      plans.synchronized(plans.clear())
+      lake.read().write.format("noop").mode("overwrite").save()
+      val deadline2 = System.nanoTime() + 10e9.toLong
+      while (System.nanoTime() < deadline2 &&
+        plans.synchronized(!plans.exists(_.contains("SortedLwwDedup"))))
+        Thread.sleep(50)
+      val readPlan = plans.synchronized {
+        plans.find(_.contains("SortedLwwDedup")).map(finalPlan)
+      }
+      assert(readPlan.isDefined, "resolved read plan not captured")
+      readPlan.foreach { p =>
+        assert(shape(p) == ((1, 1)),
+          s"MoR read must resolve in one exchange + one sort:\n$p")
+        assert(!p.contains("Window"), s"no WindowExec on the read:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
