@@ -109,6 +109,32 @@ class CdcGenericKeySpec extends AnyFunSuite {
     assert(quar.select("_reason").head().getString(0) == "null_key")
   }
 
+  test("3-column-key table in MoR mode: append, fold, resolved lookup") {
+    val lake = new LakeTable(spark, TestSpark.tmpDir("generic-mor-lake"))
+    CdcApply.apply(lake, events(0, 1500), epoch = 1, nBuckets = 8,
+      keys = enrolmentKeys, mor = true)
+    CdcApply.apply(lake, events(1500, 3000), epoch = 2, nBuckets = 8)
+    CdcApply.apply(lake, events(3000, 4000), epoch = 3, nBuckets = 8)
+    val snap = lake.currentSnapshot.get
+    assert(snap.mor && snap.keySpec == enrolmentKeys)
+    assert(CdcApply.chainLengths(snap).values.max > 1, "chains never grew")
+    val want = fold(events(0, 4000))
+    assert(state(lake) == want)
+    // resolved point lookup through the generic (string userid) bucket route
+    val someUser = want.keySet.head._1
+    val got = lake.lookupKeyed(Seq(someUser)).collect()
+      .map(r => (r.getAs[String]("courseid"), r.getAs[Int]("batchid")) ->
+        r.getAs[Long]("_lsn")).toMap
+    val wantUser = want.collect { case ((u, c, b), (_, _, lsn)) if u == someUser =>
+      (c, b) -> lsn }
+    assert(got == wantUser && got.nonEmpty)
+    // fold everything; state and spec survive
+    CdcApply.foldBuckets(lake, CdcApply.chainLengths(snap).keySet)
+    assert(CdcApply.chainLengths(lake.currentSnapshot.get).values.max == 1)
+    assert(state(lake) == want)
+    assert(lake.currentSnapshot.get.keySpec == enrolmentKeys)
+  }
+
   test("footer null-proof covers the LAKE's key columns, not transcript names") {
     // Regression: the driver's footer probe must derive its null-free proof
     // from the stored KeySpec. A feed that HAPPENS to carry null-free
