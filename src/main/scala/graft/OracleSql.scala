@@ -618,6 +618,28 @@ object OracleSql {
          |  event_type AS winner_type FROM (
          |  SELECT user_id, CAST(event_id % 20 AS INT) AS turn_idx, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
-         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q52: the q51 LWW winners restricted to a ts window — the engine side
+    // reads through the zone-map-pruned scanRange, the oracle is the same
+    // election plus a plain predicate on the winner's ts.
+    "q52_zone_scan" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, epoch_us(ts) AS ts_us FROM (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'
+         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    // q53: the q51 LWW winners restricted to the replica predicate — the
+    // engine side maintains a filtered mirror incrementally from the change
+    // feed; the oracle is the same election plus the predicate.
+    "q53_replica_mirror" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_type, value FROM (
+         |  SELECT user_id, event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type = 'click'""".stripMargin
   )
 }

@@ -885,6 +885,73 @@ object Queries {
       col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
   }
 
+  /** Zone-map range scan through the engine: the events feed (same LWW
+    * mapping as q51, deletes for 'error') is replayed into a COPY-ON-WRITE
+    * lake carrying the real `ts` column, then read back through
+    * `LakeTable.scanRange("ts", …)` — the per-file INT64 zone maps collected
+    * from the parquet footers at write prune files whose [min,max] misses
+    * the window, and the residual filter makes the result EXACTLY equal to
+    * a full-scan filter. The oracle is plain SQL LWW + a ts predicate, so
+    * the gate covers both the winner election and the pruned read path. */
+  def q52ZoneScan(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("ts").cast("timestamp").as("ts"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q52-zone-${System.nanoTime()}")
+    val maxId = ev.agg(max("_lsn")).head().getLong(0)
+    val step = maxId / 4 + 1
+    (0 until 4).foreach { k =>
+      graft.cdc.CdcApply.apply(lake,
+        ev.filter(col("_lsn") >= k * step && col("_lsn") < (k + 1) * step),
+        epoch = k + 1, nBuckets = 16)
+    }
+    def us(iso: String): Long = java.time.LocalDateTime.parse(iso)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    lake.scanRange("ts", us("2024-01-10T00:00:00"), us("2024-01-20T00:00:00"))
+      .select(col("conv_id"), col("turn_idx"),
+        col("_lsn").as("winner_lsn"), unix_micros(col("ts")).as("ts_us"))
+  }
+
+  /** Filtered/projected replica maintained from the change feed: the events
+    * LWW feed (as in q51) replays into a source lake batch by batch, and
+    * after EVERY batch `Replica.refresh` folds the snapshot diff into a
+    * mirror holding only 'click' winners — rows entering, leaving (an
+    * update away from 'click' must DELETE the mirrored row) and deleted at
+    * the source all flow through the same epoch-fenced MERGE. Oracle: plain
+    * SQL LWW + the predicate. Reference analogue: user-cache-updater
+    * mirrors entity subsets into Redis from the same stream. */
+  def q53ReplicaMirror(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("value"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val tag = System.nanoTime()
+    val source = new graft.lake.LakeTable(s, s"target/q53-src-$tag")
+    val replica = new graft.lake.LakeTable(s, s"target/q53-rep-$tag")
+    val maxId = ev.agg(max("_lsn")).head().getLong(0)
+    val step = maxId / 4 + 1
+    (0 until 4).foreach { k =>
+      graft.cdc.CdcApply.apply(source,
+        ev.filter(col("_lsn") >= k * step && col("_lsn") < (k + 1) * step),
+        epoch = k + 1, nBuckets = 16)
+      graft.cdc.Replica.refresh(s, source, replica,
+        "event_type = 'click'", Seq("event_type", "value"), nBuckets = 8)
+    }
+    replica.read().select(col("conv_id"), col("turn_idx"),
+      col("event_type"), col("value"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -938,6 +1005,8 @@ object Queries {
     "q48_split" -> (q48Split _),
     "q49_search_topk" -> (q49SearchTopk _),
     "q50_graph_reach" -> (q50GraphReach _),
-    "q51_mor_roundtrip" -> (q51MorRoundtrip _)
+    "q51_mor_roundtrip" -> (q51MorRoundtrip _),
+    "q52_zone_scan" -> (q52ZoneScan _),
+    "q53_replica_mirror" -> (q53ReplicaMirror _)
   )
 }

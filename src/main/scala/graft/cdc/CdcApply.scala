@@ -561,6 +561,7 @@ object CdcApply {
 
     // Write-side: copy-on-write rewrite of touched buckets only.
     val dataDir = lake.newDataDir(snapshotId)
+    graft.lake.LakeIO.ensureMicrosTimestamps(spark)
     phase("merge+write") { observed.write.partitionBy("b").parquet(dataDir) }
     val actionCounts: Map[String, Long] =
       if (!cfOn) Map.empty
@@ -571,11 +572,13 @@ object CdcApply {
     val nInvalid = observedInvalid()
     quarantine(nInvalid)
 
-    // Per-file stats (row count + bucket-key min/max) straight from the
-    // parquet footers on the driver — no extra Spark job; O(files) metadata
-    // work, the same write-side metrics collection a real table format does.
-    // Range stats are collected for a STRING leading bucket column (lookup
-    // pruning compares strings); other key types keep bucket pruning only.
+    // Per-file stats (row count + bucket-key min/max + INT32/INT64 zone
+    // maps) straight from the parquet footers on the driver — no extra
+    // Spark job; O(files) metadata work, the same write-side metrics
+    // collection a real table format does. Key range stats are collected
+    // for a STRING leading bucket column (lookup pruning compares strings);
+    // other key types keep bucket pruning only. Zone maps feed
+    // LakeTable.scanRange (ts/_lsn/turn_idx file skipping).
     val statsCol = ks.bucketCols.head
     val statsIsString = targetSchema.fields.find(_.name == statsCol)
       .exists(_.dataType == org.apache.spark.sql.types.StringType)
@@ -585,13 +588,10 @@ object CdcApply {
       }
       // footer reads are independent metadata fetches — parallelize
       graft.lake.ParquetFooters.parMap(work) { case (b, p) =>
-        if (statsIsString) {
-          val (n, mn, mx) = graft.lake.ParquetFooters.stringStats(p, statsCol)
-          DataFileMeta(p, b, n, mn, mx)
-        } else {
-          val (n, _) = graft.lake.ParquetFooters.longStats(p, "_lsn")
-          DataFileMeta(p, b, n, "", "")
-        }
+        val st = graft.lake.ParquetFooters.writeStats(p,
+          if (statsIsString) Some(statsCol) else None)
+        DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
+          st.zoneCols, st.zoneMins, st.zoneMaxs)
       }
     }
     val rowsOut = newFiles.map(_.rows).sum

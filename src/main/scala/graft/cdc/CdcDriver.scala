@@ -33,10 +33,12 @@ object CdcDriver {
 
   /** Per-batch retention step shared by the batch driver and the tailer. */
   private[cdc] def expireRetained(lake: LakeTable, aggLake: Option[LakeTable],
-                                  keep: Int): Unit =
+                                  keep: Int,
+                                  replica: Option[LakeTable] = None): Unit =
     if (keep > 0) {
       lake.expireSnapshots(keep)
       aggLake.foreach(_.expireSnapshots(keep))
+      replica.foreach(_.expireSnapshots(keep))
       ()
     }
 }
@@ -86,7 +88,14 @@ final class CdcDriver(
     /** automatic LSM merge policy for a MoR lake: after each batch, fold
       * any bucket whose delta chain reached this many segments
       * (CdcApply.maybeFold; 0 = never — manual CLI `fold` only). */
-    morCompactChain: Int = 16) {
+    morCompactChain: Int = 16,
+    /** optional filtered/projected row-level replica (graft.cdc.Replica),
+      * refreshed after every batch from the change feed — the reference
+      * mirrors entity subsets into Redis/ES from the same stream. The
+      * contract persists with the replica; where/cols seed a NEW one. */
+    replica: Option[LakeTable] = None,
+    replicaWhere: String = "",
+    replicaCols: Seq[String] = Nil) {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -100,6 +109,10 @@ final class CdcDriver(
     // source snapshot the index last saw) — one call heals a crash that
     // landed between a main commit and its index refresh.
     searchIndex.foreach(si => graft.search.SearchIndex.refresh(spark, lake, si))
+    // Replica.refresh is likewise catch-up (diffs from whatever source
+    // snapshot the replica last folded) — heals the same crash window.
+    replica.foreach(r =>
+      Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
     val segs = ChangelogGen.listSegments(changelogDir)
     val applied = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
     val pending = segs.filter(_ >= applied)
@@ -138,13 +151,16 @@ final class CdcDriver(
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
       }
       val keep = CdcDriver.effectiveKeep(keepSnapshots,
-        aggLake.isDefined || searchIndex.isDefined)
-      if (!stats.skipped)
+        aggLake.isDefined || searchIndex.isDefined || replica.isDefined)
+      if (!stats.skipped) {
         searchIndex.foreach { si =>
           graft.search.SearchIndex.refresh(spark, lake, si)
           graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
         }
-      CdcDriver.expireRetained(lake, aggLake, keep)
+        replica.foreach(r =>
+          Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
+      }
+      CdcDriver.expireRetained(lake, aggLake, keep, replica)
       out += stats
       if (!quiet) {
         val s = stats

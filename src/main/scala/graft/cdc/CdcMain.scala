@@ -27,6 +27,12 @@ import graft.lake.LakeTable
  *   CdcMain index-compact <indexDir>   — fold the index delta log (LWW)
  *
  *   CdcMain fold    <lakeDir> [chainThreshold] — MoR delta-chain fold
+ *   CdcMain range   <lakeDir> <column> <lo> <hi> — zone-map-pruned scan of
+ *                   live rows with column in [lo,hi] (ts in epoch micros,
+ *                   _lsn/ints raw); prints rows + files pruned/total
+ *   CdcMain replica <lakeDir> <replicaDir> [rwhere=<sql>] [rcols=<a,b,c>]
+ *                   [nBuckets] — manual filtered-replica refresh (catch-up;
+ *                   where/cols seed a NEW replica, persisted thereafter)
  *
  * `replay` and `stream` accept `mor` (merge-on-read ingest: batches APPEND
  * per-bucket delta files instead of rewriting touched buckets — O(batch)
@@ -43,6 +49,12 @@ import graft.lake.LakeTable
  * after each batch, reclaiming superseded copy-on-write files (0 = keep
  * all; floor 2 with a derived table/index attached).
  *
+ * `replay` and `stream` accept `rep=<dir>` with `rwhere=<sql>` and
+ * `rcols=<a,b,c>`: maintain a filtered/projected row replica per batch
+ * from the change feed (the reference mirrors entity subsets into
+ * Redis/ES from the same stream); where/cols seed a NEW replica and
+ * persist with it — later runs may omit them.
+ *
  * Parallelism comes from SPARK_GRAFT_CPUS (local[N]) or the real cluster's
  * spark-submit config; shuffle partitions follow the core count.
  */
@@ -54,7 +66,8 @@ object CdcMain {
     * /data/run=5/agg. */
   private def flag(rest: List[String], name: String): Option[String] =
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
-  private val flagNames = Seq("idx", "idxchain", "keep", "morchain")
+  private val flagNames =
+    Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
@@ -110,7 +123,13 @@ object CdcMain {
         indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
         keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0),
         mor = rest.contains("mor"),
-        morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16))
+        morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16),
+        // rep=<dir>: maintain a filtered/projected row replica per batch;
+        // rwhere=<sql> + rcols=<a,b,c> seed a NEW replica's contract
+        replica = flag(rest, "rep").map(d => new LakeTable(spark, d)),
+        replicaWhere = flag(rest, "rwhere").getOrElse(""),
+        replicaCols = flag(rest, "rcols")
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -150,7 +169,11 @@ object CdcMain {
         indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
         keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0),
         mor = rest.contains("mor"),
-        morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16))
+        morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16),
+        replica = flag(rest, "rep").map(d => new LakeTable(spark, d)),
+        replicaWhere = flag(rest, "rwhere").getOrElse(""),
+        replicaCols = flag(rest, "rcols")
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()
@@ -251,6 +274,33 @@ object CdcMain {
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +
         s""""snapshotId":${st.snapshot.snapshotId}}""")
+      spark.stop()
+
+    case "replica" :: lakeDir :: replicaDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val rep = new LakeTable(spark, replicaDir)
+      val st = Replica.refreshAttached(spark, lake, rep,
+        predicate = flag(rest, "rwhere").getOrElse(""),
+        cols = flag(rest, "rcols")
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        nBuckets = positionals(rest).headOption.map(_.toInt).getOrElse(64))
+      st match {
+        case None => println("""{"refreshed":false}""")
+        case Some(s) =>
+          println(s"""{"refreshed":true,"fromSnapshot":${s.fromSnapshot},""" +
+            s""""toSnapshot":${s.toSnapshot},"rowsApplied":${s.rowsApplied},""" +
+            s""""replicaRows":${rep.read().count()}}""")
+      }
+      spark.stop()
+
+    case "range" :: lakeDir :: column :: lo :: hi :: Nil =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val (kept, total) = lake.scanRangeFiles(column, lo.toLong, hi.toLong)
+      val n = lake.scanRange(column, lo.toLong, hi.toLong).count()
+      println(s"""{"rows":$n,"filesScanned":${kept.size},""" +
+        s""""filesTotal":$total}""")
       spark.stop()
 
     case "state" :: lakeDir :: Nil =>

@@ -67,6 +67,12 @@ object CdcStream {
       /** automatic LSM merge policy for a MoR lake: fold any bucket whose
         * delta chain reached this many segments (0 = never) */
       morCompactChain: Int = 16,
+      /** optional filtered/projected row-level replica (graft.cdc.Replica),
+        * refreshed per micro-batch — the contract persists with the
+        * replica; where/cols seed a NEW one */
+      replica: Option[LakeTable] = None,
+      replicaWhere: String = "",
+      replicaCols: Seq[String] = Nil,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
       onBatch: Long => Unit = _ => ()): StreamingQuery = {
@@ -114,14 +120,16 @@ object CdcStream {
             AggMaintenance.catchUp(spark, lake, al)
         }
         val keep = CdcDriver.effectiveKeep(keepSnapshots,
-          aggLake.isDefined || searchIndex.isDefined)
+          aggLake.isDefined || searchIndex.isDefined || replica.isDefined)
         searchIndex.foreach { si =>
           graft.search.SearchIndex.refresh(spark, lake, si)
           // LSM merge policy: a live tailer refreshes the index per
           // micro-batch, so chains grow without bound unless merged here
           graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
         }
-        CdcDriver.expireRetained(lake, aggLake, keep)
+        replica.foreach(r =>
+          Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
+        CdcDriver.expireRetained(lake, aggLake, keep, replica)
         ()
       }
       .start()
@@ -145,11 +153,15 @@ object CdcStream {
       indexCompactChain: Int = 16,
       keepSnapshots: Int = 0,
       mor: Boolean = false,
-      morCompactChain: Int = 16): Unit =
+      morCompactChain: Int = 16,
+      replica: Option[LakeTable] = None,
+      replicaWhere: String = "",
+      replicaCols: Seq[String] = Nil): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
       changeFeed, searchIndex, indexCompactChain,
-      keepSnapshots, mor, morCompactChain).awaitTermination()
+      keepSnapshots, mor, morCompactChain, replica, replicaWhere,
+      replicaCols).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
     * (one transient FS hiccup would otherwise end the deployment) restarts
@@ -182,6 +194,9 @@ object CdcStream {
       restartDelayMs: Long = 30000L,
       mor: Boolean = false,
       morCompactChain: Int = 16,
+      replica: Option[LakeTable] = None,
+      replicaWhere: String = "",
+      replicaCols: Seq[String] = Nil,
       onBatch: Long => Unit = _ => ()): Unit = {
     var attempt = 0
     var running = true
@@ -190,7 +205,8 @@ object CdcStream {
       val q = start(spark, changelogDir, lake, checkpointDir, schema,
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
         patchEnabled, changeFeed, searchIndex, indexCompactChain,
-        keepSnapshots, mor, morCompactChain, onBatch)
+        keepSnapshots, mor, morCompactChain, replica, replicaWhere,
+        replicaCols, onBatch)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)

@@ -71,6 +71,7 @@ object Compaction {
       CdcApply.bucketOfCols(ks.bucketCols.map(col), nB))
 
     val dataDir = lake.newDataDir(cur.snapshotId + 1)
+    LakeIO.ensureMicrosTimestamps(spark)
     val writer = withB
       .repartition(nB, col("b"))
       .sortWithinPartitions(col("b") +: ks.keyCols.map(col): _*)
@@ -91,13 +92,10 @@ object Compaction {
             .map(x => (b, x._2))
         }
       ParquetFooters.parMap(work) { case (b, p) =>
-        if (statsIsString) {
-          val (n, mn, mx) = ParquetFooters.stringStats(p, statsCol)
-          DataFileMeta(p, b, n, mn, mx)
-        } else {
-          val (n, _) = ParquetFooters.longStats(p, "_lsn")
-          DataFileMeta(p, b, n, "", "")
-        }
+        val st = ParquetFooters.writeStats(p,
+          if (statsIsString) Some(statsCol) else None)
+        DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
+          st.zoneCols, st.zoneMins, st.zoneMaxs)
       }
     }
 

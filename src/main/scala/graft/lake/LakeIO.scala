@@ -55,6 +55,15 @@ object LakeIO {
 
   def isLocal(p: String): Boolean = fs(p).getScheme == "file"
 
+  /** Lake storage contract: timestamps are persisted as TIMESTAMP_MICROS.
+    * Spark still defaults to the deprecated INT96 encoding, which carries
+    * NO min/max statistics — every ts zone map (LakeTable.scanRange) would
+    * silently be void. Engine write paths (CdcApply, Compaction,
+    * SearchIndex) call this before writing; idempotent, and left set — all
+    * writes through an engine session should follow the same contract. */
+  def ensureMicrosTimestamps(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   def exists(p: String): Boolean = fs(p).exists(new Path(p))
 
   def mkdirs(p: String): Unit = { fs(p).mkdirs(new Path(p)); () }

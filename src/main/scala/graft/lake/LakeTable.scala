@@ -9,9 +9,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One parquet data file owned by a snapshot, with per-file key stats used
   * for bucket/key pruning on the MERGE read path (the Spark-side analogue of
-  * the reference's Cassandra partition-key point reads). */
+  * the reference's Cassandra partition-key point reads) plus zone-map
+  * bounds (`zoneCols`/`zoneMins`/`zoneMaxs`, aligned arrays) for every
+  * top-level INT32/INT64 column — ts (micros), turn_idx, _lsn, … — the
+  * file-skipping statistics real table formats keep in their manifests.
+  * Zone arrays may be null when the manifest predates the feature; readers
+  * go through [[DataFileMeta.zone]], which treats that as "no stats" (kept,
+  * never pruned). */
 final case class DataFileMeta(
-    path: String, bucket: Int, rows: Long, minKey: String, maxKey: String)
+    path: String, bucket: Int, rows: Long, minKey: String, maxKey: String,
+    zoneCols: Array[String] = Array.empty,
+    zoneMins: Array[Long] = Array.empty,
+    zoneMaxs: Array[Long] = Array.empty) {
+  /** [min, max] of `column` in this file, None when not collected (pre-zone
+    * manifest, all-null file, or a block without stats). */
+  def zone(column: String): Option[(Long, Long)] = {
+    if (zoneCols == null || zoneMins == null || zoneMaxs == null) return None
+    val i = zoneCols.indexOf(column)
+    if (i < 0) None else Some((zoneMins(i), zoneMaxs(i)))
+  }
+  /** Can this file contain a value of `column` in [lo, hi]? No stats = yes. */
+  def mayOverlap(column: String, lo: Long, hi: Long): Boolean =
+    zone(column) match {
+      case Some((mn, mx)) => !(mx < lo || mn > hi)
+      case None => true
+    }
+}
 
 /** Per-source-partition lineage: the source offset range whose changes are
   * contained in (this and all ancestor) snapshots. North-rule requirement:
@@ -275,6 +298,87 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
         .drop("_tombstone")
     else df
+  }
+
+  /** The data files a zone-pruned range scan must open, with the total file
+    * count for observability. Granularity follows the storage mode:
+    *
+    *  - copy-on-write: FILE-level — every key has exactly one live row, so a
+    *    file whose [min, max] for `column` misses [lo, hi] can hold no
+    *    qualifying row.
+    *  - merge-on-read: BUCKET-level — LWW election needs a key's whole delta
+    *    chain (pruning single chain files could elect a stale version whose
+    *    value IS in range), but a bucket none of whose files overlaps cannot
+    *    produce a winner in range, so whole buckets drop.
+    *
+    * The CDC-natural win: "rows whose winning change is recent" (`ts`, or
+    * `_lsn` for change-cursor consumers) skips every bucket that no recent
+    * batch touched — untouched buckets' files keep their old bounds. */
+  def scanRangeFiles(column: String, lo: Long, hi: Long)
+      : (Seq[DataFileMeta], Int) =
+    currentSnapshot match {
+      case None => (Seq.empty, 0)
+      case Some(s) =>
+        // a MoR bucket's chain spans SEVERAL manifest refs (one per delta
+        // segment) — group before deciding, the whole chain lives or dies
+        val byBucket = s.manifests.groupBy(_.bucket).view
+          .mapValues(Manifests.loadAll).toSeq
+        val total = byBucket.map(_._2.size).sum
+        val kept =
+          if (!s.mor) byBucket.flatMap(_._2.filter(_.mayOverlap(column, lo, hi)))
+          else byBucket.collect {
+            case (_, fs) if fs.exists(_.mayOverlap(column, lo, hi)) => fs
+          }.flatten
+        (kept, total)
+    }
+
+  /** Zone-map-pruned range scan: live rows with `column` in [lo, hi]
+    * (inclusive). `lo`/`hi` are in the column's PHYSICAL stats domain —
+    * epoch micros for TimestampType, epoch days for DateType, the value
+    * itself for integral types; other types throw (string range pruning is
+    * the bucket-key `lookup` path, everything else has no zone stats).
+    * Residual filtering runs after pruning, so the result equals
+    * `read().filter(column between lo and hi)` exactly — pruning is an IO
+    * optimization, never a semantic change. */
+  def scanRange(column: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, not}
+    import org.apache.spark.sql.types._
+    val s = currentSnapshot.getOrElse(return spark.emptyDataFrame)
+    val field = s.schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"scanRange column $column is not in the table schema"))
+    val residual = field.dataType match {
+      case TimestampType =>
+        expr(s"unix_micros(`$column`)").between(lit(lo), lit(hi))
+      case TimestampNTZType =>
+        // NTZ literals compare in the column's own (local) domain — exactly
+        // the domain the parquet stats are in; no session-tz dependence
+        def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        col(column).between(lit(ntz(lo)), lit(ntz(hi)))
+      case DateType =>
+        expr(s"unix_date(`$column`)").between(lit(lo), lit(hi))
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(column).between(lit(lo), lit(hi))
+      case dt =>
+        throw new IllegalArgumentException(
+          s"scanRange supports integral/timestamp/date columns; $column is $dt" +
+          " (string point/range lookups go through lookupKeyed)")
+    }
+    val (files, _) = scanRangeFiles(column, lo, hi)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+        .filter(residual)
+    val df = resolveIfMor(
+      spark.read.schema(s.schema).parquet(files.map(_.path): _*), s)
+    val live =
+      if (df.columns.contains("_tombstone"))
+        df.filter(not(col("_tombstone"))).drop("_tombstone")
+      else df
+    live.filter(residual)
   }
 
   /** Atomically publish `snap` as the next version. Epoch fencing: if an

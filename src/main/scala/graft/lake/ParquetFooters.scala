@@ -154,6 +154,61 @@ object ParquetFooters {
           .get("org.apache.spark.sql.parquet.row.metadata")))
     }
 
+  /** Everything the WRITE side records per data file in ONE footer open:
+    * row count, bucket-key string min/max (when `stringCol` is set), and
+    * zone-map bounds for every top-level INT32/INT64 column — ints, longs,
+    * timestamps (TIMESTAMP_MICROS) and dates land in parquet as INT32/INT64,
+    * so one pass covers `ts`, `turn_idx`, `_lsn`, … A column qualifies only
+    * when EVERY populated block carries min/max statistics for it (a
+    * stats-less block could hide out-of-range values, so a file-level bound
+    * must not pretend to cover it); all-null blocks simply contribute
+    * nothing. The read-path consumer is [[LakeTable.scanRange]]. */
+  final case class WriteFileStats(rows: Long, minKey: String, maxKey: String,
+                                  zoneCols: Array[String],
+                                  zoneMins: Array[Long],
+                                  zoneMaxs: Array[Long])
+  def writeStats(path: String, stringCol: Option[String]): WriteFileStats =
+    withFooter(path) { footer =>
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      var rows = 0L; var mnK: String = null; var mxK: String = null
+      val zMin = scala.collection.mutable.Map[String, Long]()
+      val zMax = scala.collection.mutable.Map[String, Long]()
+      val dropped = scala.collection.mutable.Set[String]()
+      footer.getBlocks.forEach { block =>
+        rows += block.getRowCount
+        val populated = block.getRowCount > 0
+        block.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          val hasStats = st != null && !st.isEmpty
+          if (stringCol.contains(name) && hasStats) {
+            val lo = st.minAsString(); val hi = st.maxAsString()
+            if (mnK == null || lo < mnK) mnK = lo
+            if (mxK == null || hi > mxK) mxK = hi
+          }
+          if (!name.contains('.') &&
+              (c.getPrimitiveType.getPrimitiveTypeName == INT64 ||
+               c.getPrimitiveType.getPrimitiveTypeName == INT32)) {
+            if (hasStats) {
+              val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+              val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+              if (!zMin.get(name).exists(_ <= lo)) zMin(name) = lo
+              if (!zMax.get(name).exists(_ >= hi)) zMax(name) = hi
+            } else if (populated &&
+                       !(st != null && st.isNumNullsSet &&
+                         st.getNumNulls == block.getRowCount)) {
+              // populated block, no usable bounds, not provably all-null
+              dropped += name
+            }
+          }
+        }
+      }
+      val keep = (zMin.keySet -- dropped).toArray.sorted
+      WriteFileStats(rows, Option(mnK).getOrElse(""),
+        Option(mxK).getOrElse(""), keep,
+        keep.map(zMin), keep.map(zMax))
+    }
+
   private def withFooter[A](path: String)(
       f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
     val reader = ParquetFileReader.open(

@@ -151,8 +151,9 @@ object SearchIndex {
           .filter(_._1.endsWith(".parquet")).map(f => b -> f._2)
       }
     val metas = ParquetFooters.parMap(files) { case (b, p) =>
-      val (n, mn, mx) = ParquetFooters.stringStats(p, "term")
-      DataFileMeta(p, b, n, mn, mx)
+      val st = ParquetFooters.writeStats(p, Some("term"))
+      DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
+        st.zoneCols, st.zoneMins, st.zoneMaxs)
     }
     val newRefs = index.writeManifests(snapshotId, metas.groupBy(_.bucket))
     val carried = replaceBuckets match {

@@ -1,0 +1,162 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.CdcApply
+
+/** File-level zone maps (per-file INT32/INT64 min/max collected from the
+  * parquet footers at write) and the pruned range scan built on them:
+  * `LakeTable.scanRange` must equal `read().filter(range)` EXACTLY while
+  * opening only the files/buckets the zones cannot rule out. Pruning
+  * granularity is file-level on copy-on-write and bucket-level on
+  * merge-on-read (a key's LWW election needs its whole delta chain — see
+  * the stale-winner trap case below). */
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def tsLit(s: String): String = s // ISO timestamp literal
+  private def micros(s: String): Long =
+    java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli * 1000L
+
+  /** A changelog batch: one upsert per (conv, turn) with the given ts. */
+  private def batch(rows: Seq[(String, Int, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("conv_id", "turn_idx", "tstr", "_lsn")
+      .withColumn("op", lit("U"))
+      .withColumn("role", lit("user"))
+      .withColumn("text", concat(lit("t-"), col("_lsn")))
+      .withColumn("tool", lit(null).cast("string"))
+      .withColumn("ts", to_timestamp(col("tstr")))
+      .drop("tstr")
+      .withColumn("_src_part", (col("_lsn") % 4).cast("int"))
+      .withColumn("_src_off", col("_lsn"))
+  }
+
+  private def collectState(df: DataFrame): Set[(String, Int, Long)] =
+    df.select("conv_id", "turn_idx", "_lsn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+  /** 48 convs inserted in window W1, then ONE conv updated in window W2 —
+    * the CDC-natural zone-map shape: most buckets' files keep old ts
+    * bounds, only the touched bucket's files reach into W2. */
+  private def seedLake(name: String, mor: Boolean): (LakeTable, String, Int) = {
+    val lake = new LakeTable(spark, TestSpark.tmpDir(name))
+    val w1 = (0 until 48).flatMap { c =>
+      (0 until 4).map(t =>
+        (f"conv$c%02d", t, tsLit(s"2024-01-0${1 + c % 5}T00:00:00"),
+         (c * 4 + t).toLong))
+    }
+    CdcApply.apply(lake, batch(w1), epoch = 1, nBuckets = 16, mor = mor)
+    val hot = "conv07"
+    val w2 = (0 until 4).map(t =>
+      (hot, t, tsLit("2024-02-01T12:00:00"), 1000L + t))
+    CdcApply.apply(lake, batch(w2), epoch = 2, nBuckets = 16, mor = mor)
+    (lake, hot, LakeTable.bucketOfValues(Seq(hot), 16))
+  }
+
+  private def rangeEquals(lake: LakeTable, col0: String, lo: Long, hi: Long)
+      : Unit = {
+    val viaScan = collectState(lake.scanRange(col0, lo, hi))
+    val residual = lake.read().schema(col0).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        expr(s"unix_micros(`$col0`)").between(lit(lo), lit(hi))
+      case _ => col(col0).between(lit(lo), lit(hi))
+    }
+    val viaFull = collectState(lake.read().filter(residual))
+    assert(viaScan == viaFull,
+      s"pruned scan diverged from full-scan filter on $col0 [$lo,$hi]")
+  }
+
+  test("CoW: recent-window scan prunes every untouched bucket's files") {
+    val (lake, hot, hotBucket) = seedLake("zone-cow", mor = false)
+    val (lo, hi) = (micros("2024-02-01T00:00:00"), micros("2024-02-02T00:00:00"))
+    val (kept, total) = lake.scanRangeFiles("ts", lo, hi)
+    assert(total > 1, "test lake should hold several files")
+    assert(kept.nonEmpty && kept.forall(_.bucket == hotBucket),
+      s"only the updated bucket may survive pruning: ${kept.map(_.bucket)}")
+    assert(kept.size < total, s"no pruning happened ($total files)")
+    rangeEquals(lake, "ts", lo, hi)
+    val got = collectState(lake.scanRange("ts", lo, hi))
+    assert(got.map(_._1) == Set(hot))
+  }
+
+  test("CoW: disjoint range opens zero files; full range opens all") {
+    val (lake, _, _) = seedLake("zone-cow-edge", mor = false)
+    val (none, total) =
+      lake.scanRangeFiles("ts", micros("2030-01-01T00:00:00"), Long.MaxValue)
+    assert(none.isEmpty && total > 0)
+    assert(lake.scanRange("ts", micros("2030-01-01T00:00:00"),
+      Long.MaxValue).isEmpty)
+    val (all, t2) = lake.scanRangeFiles("ts", 0L, Long.MaxValue)
+    assert(all.size == t2)
+    rangeEquals(lake, "ts", 0L, Long.MaxValue)
+  }
+
+  test("MoR: bucket-granular pruning keeps the hot bucket's WHOLE chain") {
+    val (lake, _, hotBucket) = seedLake("zone-mor", mor = true)
+    val (lo, hi) = (micros("2024-02-01T00:00:00"), micros("2024-02-02T00:00:00"))
+    val (kept, total) = lake.scanRangeFiles("ts", lo, hi)
+    assert(kept.map(_.bucket).toSet == Set(hotBucket))
+    // the chain: batch-1 delta (W1 ts, would be file-pruned) must be kept
+    assert(kept.size >= 2,
+      s"hot bucket's whole delta chain must be read, got ${kept.size} file(s)")
+    assert(kept.size < total)
+    rangeEquals(lake, "ts", lo, hi)
+  }
+
+  test("MoR stale-winner trap: old version in range, winner outside") {
+    // conv's INSERT ts is inside the queried window; its UPDATE (the LWW
+    // winner) is outside. File-level pruning would wrongly resurrect the
+    // old version — bucket-level reads the chain and excludes the key.
+    val lake = new LakeTable(spark, TestSpark.tmpDir("zone-trap"))
+    CdcApply.apply(lake,
+      batch(Seq(("trap", 0, tsLit("2024-01-05T00:00:00"), 1L))),
+      epoch = 1, nBuckets = 4, mor = true)
+    CdcApply.apply(lake,
+      batch(Seq(("trap", 0, tsLit("2024-03-01T00:00:00"), 2L))),
+      epoch = 2, nBuckets = 4, mor = true)
+    val got = lake.scanRange("ts",
+      micros("2024-01-01T00:00:00"), micros("2024-01-31T00:00:00"))
+    assert(got.isEmpty,
+      "stale version leaked: winner's ts is outside the window")
+    rangeEquals(lake, "ts",
+      micros("2024-01-01T00:00:00"), micros("2024-01-31T00:00:00"))
+  }
+
+  test("zones survive compaction and keep pruning") {
+    val (lake, _, hotBucket) = seedLake("zone-compact", mor = false)
+    Compaction.compact(lake)
+    val (lo, hi) = (micros("2024-02-01T00:00:00"), micros("2024-02-02T00:00:00"))
+    val (kept, total) = lake.scanRangeFiles("ts", lo, hi)
+    assert(kept.nonEmpty && kept.forall(_.bucket == hotBucket))
+    assert(kept.size < total)
+    rangeEquals(lake, "ts", lo, hi)
+  }
+
+  test("_lsn and turn_idx zones: change-cursor and INT32 domains") {
+    val (lake, hot, _) = seedLake("zone-lsn", mor = false)
+    // change-cursor read: only the second batch's lsn range
+    val viaLsn = collectState(lake.scanRange("_lsn", 1000L, 2000L))
+    assert(viaLsn.map(_._1) == Set(hot))
+    rangeEquals(lake, "_lsn", 1000L, 2000L)
+    val (kept, total) = lake.scanRangeFiles("_lsn", 1000L, 2000L)
+    assert(kept.size < total, "lsn zones should prune cold files")
+    rangeEquals(lake, "turn_idx", 1, 2)
+  }
+
+  test("unsupported or unknown columns fail loudly") {
+    val (lake, _, _) = seedLake("zone-bad", mor = false)
+    intercept[IllegalArgumentException] { lake.scanRange("role", 0L, 1L) }
+    intercept[IllegalArgumentException] { lake.scanRange("nope", 0L, 1L) }
+  }
+
+  test("pre-zone manifests (null zone arrays) are kept, never pruned") {
+    val meta = DataFileMeta("p", 0, 1L, "", "", null, null, null)
+    assert(meta.zone("ts").isEmpty)
+    assert(meta.mayOverlap("ts", 0L, 1L))
+  }
+}
