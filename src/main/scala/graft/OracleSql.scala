@@ -640,6 +640,35 @@ object OracleSql {
          |  event_type, value FROM (
          |  SELECT user_id, event_id, event_type, value,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
-         |  FROM events) WHERE rn = 1 AND event_type = 'click'""".stripMargin
+         |  FROM events) WHERE rn = 1 AND event_type = 'click'""".stripMargin,
+
+    // q54: the engine drains the change feed after each of two replay
+    // halves; the second delta batch must equal the per-key difference of
+    // the two LWW elections (full outer join, carried rows dropped).
+    "q54_follow_delta" ->
+      s"""WITH mid AS (SELECT CAST(FLOOR(max(event_id) / 2.0) AS BIGINT) AS m FROM events),
+         |pre AS (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_id AS lsn FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_id <= (SELECT m FROM mid))
+         |  WHERE rn = 1 AND event_type <> 'error'),
+         |post AS (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_id AS lsn FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND event_type <> 'error')
+         |SELECT coalesce(pre.conv_id, post.conv_id) AS conv_id,
+         |  coalesce(pre.turn_idx, post.turn_idx) AS turn_idx,
+         |  CASE WHEN pre.lsn IS NULL THEN 'inserted'
+         |       WHEN post.lsn IS NULL THEN 'deleted'
+         |       ELSE 'updated' END AS action,
+         |  pre.lsn AS pre_lsn, post.lsn AS post_lsn
+         |FROM pre FULL OUTER JOIN post
+         |  ON pre.conv_id = post.conv_id AND pre.turn_idx = post.turn_idx
+         |WHERE pre.lsn IS NULL OR post.lsn IS NULL OR pre.lsn <> post.lsn""".stripMargin
   )
 }

@@ -952,6 +952,36 @@ object Queries {
       col("event_type"), col("value"))
   }
 
+  /** Exactly-once change-feed drain through the engine: the events LWW feed
+    * replays in two halves (split at max lsn / 2); a downstream consumer
+    * drains after each, so the SECOND delta batch is exactly the per-key
+    * difference between the two LWW elections — inserted / updated /
+    * deleted with pre/post lsn. The oracle is the same split as a FULL
+    * OUTER JOIN of two window elections in plain SQL. Reference analogue:
+    * re-emitting each processed batch's deltas to downstream topics. */
+  def q54FollowDelta(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val tag = System.nanoTime()
+    val lake = new graft.lake.LakeTable(s, s"target/q54-lake-$tag")
+    val consumer = s"target/q54-consumer-$tag"
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") <= mid),
+      epoch = 1, nBuckets = 16)
+    graft.lake.ChangeFeedFollower.drain(s, lake, consumer)
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") > mid),
+      epoch = 2, nBuckets = 16)
+    val st = graft.lake.ChangeFeedFollower.drain(s, lake, consumer).get
+    s.read.parquet(st.out).select(col("conv_id"), col("turn_idx"),
+      col("action"), col("pre_lsn"), col("post_lsn"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1007,6 +1037,7 @@ object Queries {
     "q50_graph_reach" -> (q50GraphReach _),
     "q51_mor_roundtrip" -> (q51MorRoundtrip _),
     "q52_zone_scan" -> (q52ZoneScan _),
-    "q53_replica_mirror" -> (q53ReplicaMirror _)
+    "q53_replica_mirror" -> (q53ReplicaMirror _),
+    "q54_follow_delta" -> (q54FollowDelta _)
   )
 }

@@ -17,10 +17,18 @@ import graft.lake.LakeTable
  *   CdcMain stream  <changelogDir> <lakeDir> <ckptDir> [nBuckets]
  *                   [saltBuckets] [maxFilesPerTrigger] [liveIntervalMs]
  *   CdcMain state   <lakeDir>      — row count + order-independent checksum
- *   CdcMain compact <lakeDir> [tombstoneWatermark]
+ *   CdcMain compact <lakeDir> [tombstoneWatermark] [cluster=<col>]
+ *                   [filerows=<n>] — cluster= sorts each bucket's rewrite
+ *                   on <col> (files become range-disjoint in it, making
+ *                   zone-map `range` scans selective); filerows= splits
+ *                   bucket files at n rows
  *   CdcMain expire  <lakeDir> [keepLast]
  *   CdcMain gc      <lakeDir> [minAgeMs]      — age-fenced orphan cleanup
  *   CdcMain changes <lakeDir> <fromSnapId> [toSnapId]  — snapshot-diff feed
+ *   CdcMain follow  <lakeDir> <consumerDir> [imagecols=<a,b>] — exactly-once
+ *                   downstream drain: folds everything since the consumer's
+ *                   persisted cursor into one parquet delta batch, then
+ *                   advances the cursor; {"drained":false} when current
  *   CdcMain merge   <lakeDir> <fromConv> <toConv>      — migration (epoch-neutral)
  *   CdcMain index   <lakeDir> <indexDir> [nBuckets]    — search-index refresh
  *   CdcMain search  <indexDir> <term> [term...]        — AND term query, top 10
@@ -67,7 +75,8 @@ object CdcMain {
   private def flag(rest: List[String], name: String): Option[String] =
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
   private val flagNames =
-    Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols")
+    Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
+      "cluster", "filerows", "imagecols")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
@@ -268,12 +277,30 @@ object CdcMain {
       // Compaction.compact's own safe default — dropping them requires an
       // explicit watermark argument, because a tombstone GC'd too early lets
       // an at-least-once redelivery of an older event resurrect deleted keys.
-      val wm = rest.headOption.map(_.toLong).getOrElse(Long.MinValue)
-      val st = graft.lake.Compaction.compact(lake, wm)
+      val wm = positionals(rest).headOption.map(_.toLong)
+        .getOrElse(Long.MinValue)
+      // cluster=<col> + filerows=<n>: sort the rewrite on <col> within each
+      // bucket and split files, so zone maps become selective on cold data
+      val st = graft.lake.Compaction.compact(lake, wm,
+        targetFileRows = flag(rest, "filerows").map(_.toLong).getOrElse(0L),
+        clusterCol = flag(rest, "cluster"))
       println(s"""{"filesBefore":${st.filesBefore},"filesAfter":${st.filesAfter},""" +
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +
         s""""snapshotId":${st.snapshot.snapshotId}}""")
+      spark.stop()
+
+    case "follow" :: lakeDir :: consumerDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      graft.lake.ChangeFeedFollower.drain(spark, lake, consumerDir,
+        imageCols = flag(rest, "imagecols")
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)) match {
+        case None => println("""{"drained":false}""")
+        case Some(s) =>
+          println(s"""{"drained":true,"from":${s.from},"to":${s.to},""" +
+            s""""rows":${s.rows},"out":"${s.out}"}""")
+      }
       spark.stop()
 
     case "replica" :: lakeDir :: replicaDir :: rest =>
@@ -294,11 +321,16 @@ object CdcMain {
       }
       spark.stop()
 
-    case "range" :: lakeDir :: column :: lo :: hi :: Nil =>
+    case "range" :: lakeDir :: rest if rest.size >= 3 && rest.size % 3 == 0 =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)
-      val (kept, total) = lake.scanRangeFiles(column, lo.toLong, hi.toLong)
-      val n = lake.scanRange(column, lo.toLong, hi.toLong).count()
+      // any number of (column, lo, hi) triples — conjunction, pruned sets
+      // intersect (e.g. `range lake ts <w1> <w2> _lsn 0 500000`)
+      val ranges = rest.grouped(3).map {
+        case List(c, lo, hi) => (c, lo.toLong, hi.toLong)
+      }.toSeq
+      val (kept, total) = lake.scanRangesFiles(ranges)
+      val n = lake.scanRanges(ranges).count()
       println(s"""{"rows":$n,"filesScanned":${kept.size},""" +
         s""""filesTotal":$total}""")
       spark.stop()

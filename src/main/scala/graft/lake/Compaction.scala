@@ -33,20 +33,34 @@ object Compaction {
         * Compacted files are conv_id-sorted, so splitting yields
         * key-range-disjoint files — what makes LakeTable.lookup's
         * min/max pruning tight. */
-      targetFileRows: Long = 0L): CompactionStats =
-    rewrite(lake, tombstoneWatermark, newBuckets = None, targetFileRows)
+      targetFileRows: Long = 0L,
+      /** cluster the rewrite on this column instead of the key: rows sort
+        * `(bucket, clusterCol, key…)`, so with `targetFileRows` splitting
+        * each file covers a NARROW clusterCol range and the zone maps make
+        * `scanRange` prune almost everything outside the window — the
+        * Z-order/cluster-by maintenance real table formats run on cold
+        * data. Hash-bucketed writes spray every batch's time range across
+        * all buckets, so without this an aged table's ts zones all span
+        * the full history and nothing prunes. Trade-off (documented, safe):
+        * files stop being key-range-disjoint, so `lookup`'s string min/max
+        * pruning degrades to bucket-level — correctness is untouched
+        * (overlap checks only widen). */
+      clusterCol: Option[String] = None): CompactionStats =
+    rewrite(lake, tombstoneWatermark, newBuckets = None, targetFileRows,
+      clusterCol)
 
   /** Re-bucket the table (e.g. 64 -> 4096 as it grows): full rewrite into
     * `newBuckets` hash buckets as a maintenance commit. Subsequent CDC
     * applies adopt the new count from the snapshot automatically. */
   def rebucket(lake: LakeTable, newBuckets: Int): CompactionStats =
-    rewrite(lake, Long.MinValue, Some(newBuckets), 0L)
+    rewrite(lake, Long.MinValue, Some(newBuckets), 0L, None)
 
   private def rewrite(
       lake: LakeTable,
       tombstoneWatermark: Long,
       newBuckets: Option[Int],
-      targetFileRows: Long): CompactionStats = {
+      targetFileRows: Long,
+      clusterCol: Option[String]): CompactionStats = {
     val cur = lake.currentSnapshot.getOrElse(
       throw new IllegalStateException("nothing to compact: empty table"))
     val spark = lake.spark
@@ -70,11 +84,19 @@ object Compaction {
     val withB = kept.withColumn("b",
       CdcApply.bucketOfCols(ks.bucketCols.map(col), nB))
 
+    clusterCol.foreach { c =>
+      require(kept.columns.contains(c),
+        s"cluster column $c is not in the table schema")
+      require(!ks.keyCols.headOption.contains(c),
+        s"clustering on the leading key column $c is the default sort")
+    }
     val dataDir = lake.newDataDir(cur.snapshotId + 1)
     LakeIO.ensureMicrosTimestamps(spark)
+    val sortCols =
+      col("b") +: (clusterCol.map(col).toSeq ++ ks.keyCols.map(col))
     val writer = withB
       .repartition(nB, col("b"))
-      .sortWithinPartitions(col("b") +: ks.keyCols.map(col): _*)
+      .sortWithinPartitions(sortCols: _*)
       .write.partitionBy("b")
     (if (targetFileRows > 0)
        writer.option("maxRecordsPerFile", targetFileRows)

@@ -175,7 +175,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
                      byBucket: Map[Int, Seq[DataFileMeta]]): Seq[ManifestRef] = {
     val mdir = s"$metaDir/manifests"
     LakeIO.mkdirs(mdir)
-    byBucket.toSeq.sortBy(_._1).map { case (b, fs) =>
+    // independent per-bucket files — parallel metadata IO, like the footer
+    // stats reads (serial, this is ~0.5 s of driver time per 64-bucket
+    // batch; a fixed cost that eats scaling headroom as the distributed
+    // merge gets faster)
+    ParquetFooters.parMap(byBucket.toSeq.sortBy(_._1)) { case (b, fs) =>
       val path =
         s"$mdir/m-$snapshotId-b$b-${UUID.randomUUID().toString.take(8)}.json"
       LakeIO.writeBytes(path, mapper.writeValueAsBytes(fs.toArray))
@@ -315,6 +319,12 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * `_lsn` for change-cursor consumers) skips every bucket that no recent
     * batch touched — untouched buckets' files keep their old bounds. */
   def scanRangeFiles(column: String, lo: Long, hi: Long)
+      : (Seq[DataFileMeta], Int) = scanRangesFiles(Seq((column, lo, hi)))
+
+  /** Multi-predicate form: files that may hold a row satisfying EVERY
+    * range (conjunction). A file (CoW) / bucket (MoR) survives only if it
+    * overlaps all of them, so pruned sets intersect. */
+  def scanRangesFiles(ranges: Seq[(String, Long, Long)])
       : (Seq[DataFileMeta], Int) =
     currentSnapshot match {
       case None => (Seq.empty, 0)
@@ -324,10 +334,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         val byBucket = s.manifests.groupBy(_.bucket).view
           .mapValues(Manifests.loadAll).toSeq
         val total = byBucket.map(_._2.size).sum
+        def may(f: DataFileMeta): Boolean =
+          ranges.forall { case (c, lo, hi) => f.mayOverlap(c, lo, hi) }
         val kept =
-          if (!s.mor) byBucket.flatMap(_._2.filter(_.mayOverlap(column, lo, hi)))
+          if (!s.mor) byBucket.flatMap(_._2.filter(may))
           else byBucket.collect {
-            case (_, fs) if fs.exists(_.mayOverlap(column, lo, hi)) => fs
+            // conservative per MoR chain: the chain survives if each range
+            // is satisfiable by SOME file in it (a winner row assembles
+            // from one version, but bounding per-range over the chain is
+            // the safe file-level approximation)
+            case (_, fs) if ranges.forall { case (c, lo, hi) =>
+              fs.exists(_.mayOverlap(c, lo, hi)) } => fs
           }.flatten
         (kept, total)
     }
@@ -340,34 +357,43 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * Residual filtering runs after pruning, so the result equals
     * `read().filter(column between lo and hi)` exactly — pruning is an IO
     * optimization, never a semantic change. */
-  def scanRange(column: String, lo: Long, hi: Long): DataFrame = {
+  def scanRange(column: String, lo: Long, hi: Long): DataFrame =
+    scanRanges(Seq((column, lo, hi)))
+
+  /** Conjunction of ranges, pruned through [[scanRangesFiles]]; result
+    * equals `read().filter(r1 && r2 && …)` exactly. */
+  def scanRanges(ranges: Seq[(String, Long, Long)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, not}
     import org.apache.spark.sql.types._
+    require(ranges.nonEmpty, "scanRanges needs at least one range")
     val s = currentSnapshot.getOrElse(return spark.emptyDataFrame)
-    val field = s.schema.fields.find(_.name == column).getOrElse(
-      throw new IllegalArgumentException(
-        s"scanRange column $column is not in the table schema"))
-    val residual = field.dataType match {
-      case TimestampType =>
-        expr(s"unix_micros(`$column`)").between(lit(lo), lit(hi))
-      case TimestampNTZType =>
-        // NTZ literals compare in the column's own (local) domain — exactly
-        // the domain the parquet stats are in; no session-tz dependence
-        def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(us, 1000000L),
-          (Math.floorMod(us, 1000000L) * 1000L).toInt,
-          java.time.ZoneOffset.UTC)
-        col(column).between(lit(ntz(lo)), lit(ntz(hi)))
-      case DateType =>
-        expr(s"unix_date(`$column`)").between(lit(lo), lit(hi))
-      case ByteType | ShortType | IntegerType | LongType =>
-        col(column).between(lit(lo), lit(hi))
-      case dt =>
+    val residual = ranges.map { case (column, lo, hi) =>
+      val field = s.schema.fields.find(_.name == column).getOrElse(
         throw new IllegalArgumentException(
-          s"scanRange supports integral/timestamp/date columns; $column is $dt" +
-          " (string point/range lookups go through lookupKeyed)")
-    }
-    val (files, _) = scanRangeFiles(column, lo, hi)
+          s"scanRange column $column is not in the table schema"))
+      field.dataType match {
+        case TimestampType =>
+          expr(s"unix_micros(`$column`)").between(lit(lo), lit(hi))
+        case TimestampNTZType =>
+          // NTZ literals compare in the column's own (local) domain —
+          // exactly the domain the parquet stats are in; no session-tz
+          // dependence
+          def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+          col(column).between(lit(ntz(lo)), lit(ntz(hi)))
+        case DateType =>
+          expr(s"unix_date(`$column`)").between(lit(lo), lit(hi))
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(column).between(lit(lo), lit(hi))
+        case dt =>
+          throw new IllegalArgumentException(
+            s"scanRange supports integral/timestamp/date columns; $column" +
+            s" is $dt (string point/range lookups go through lookupKeyed)")
+      }
+    }.reduce(_ && _)
+    val (files, _) = scanRangesFiles(ranges)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)

@@ -137,6 +137,36 @@ class ZoneMapSpec extends AnyFunSuite {
     rangeEquals(lake, "ts", lo, hi)
   }
 
+  test("clustered compaction makes zones selective on an aged table") {
+    // Hash-bucketed writes spray each batch's time range across all
+    // buckets, so an aged table's per-bucket files all span the full ts
+    // history and a window scan prunes nothing. cluster=ts re-sorts each
+    // bucket's rewrite on ts and splits files, making them ts-disjoint.
+    val lake = new LakeTable(spark, TestSpark.tmpDir("zone-cluster"))
+    val rows = (0 until 64).flatMap { c =>
+      (0 until 8).map { t =>
+        val day = 1 + (c * 8 + t) % 28 // ts uncorrelated with bucket
+        (f"conv$c%02d", t, tsLit(f"2024-01-$day%02dT00:00:00"),
+         (c * 8 + t).toLong)
+      }
+    }
+    CdcApply.apply(lake, batch(rows), epoch = 1, nBuckets = 4)
+    val (lo, hi) = (micros("2024-01-01T00:00:00"), micros("2024-01-04T00:00:00"))
+    val (kept0, total0) = lake.scanRangeFiles("ts", lo, hi)
+    assert(kept0.size == total0, "pre-clustering, every file spans all ts")
+    Compaction.compact(lake, targetFileRows = 32L,
+      clusterCol = Some("ts"))
+    val (kept, total) = lake.scanRangeFiles("ts", lo, hi)
+    assert(total >= 8, s"file split produced only $total files")
+    assert(kept.size <= total / 2,
+      s"clustered zones should prune most files: ${kept.size}/$total")
+    // per bucket the kept files must be ts-disjoint from the pruned ones
+    rangeEquals(lake, "ts", lo, hi)
+    // key lookups still work (string min/max now loose, bucket pruning only)
+    val one = lake.lookup("conv07").collect()
+    assert(one.length == 8)
+  }
+
   test("_lsn and turn_idx zones: change-cursor and INT32 domains") {
     val (lake, hot, _) = seedLake("zone-lsn", mor = false)
     // change-cursor read: only the second batch's lsn range
@@ -146,6 +176,28 @@ class ZoneMapSpec extends AnyFunSuite {
     val (kept, total) = lake.scanRangeFiles("_lsn", 1000L, 2000L)
     assert(kept.size < total, "lsn zones should prune cold files")
     rangeEquals(lake, "turn_idx", 1, 2)
+  }
+
+  test("multi-range conjunction intersects pruning and residuals") {
+    val (lake, hot, hotBucket) = seedLake("zone-multi", mor = false)
+    val (lo, hi) = (micros("2024-02-01T00:00:00"), micros("2024-02-02T00:00:00"))
+    // ts window AND lsn cursor: only the hot bucket's recent file survives
+    val ranges = Seq(("ts", lo, hi), ("_lsn", 1000L, 2000L))
+    val (kept, total) = lake.scanRangesFiles(ranges)
+    assert(kept.nonEmpty && kept.forall(_.bucket == hotBucket))
+    assert(kept.size < total)
+    val got = collectState(lake.scanRanges(ranges))
+    assert(got.map(_._1) == Set(hot))
+    val viaFull = collectState(lake.read()
+      .filter(expr(s"unix_micros(ts)").between(lit(lo), lit(hi)) &&
+        col("_lsn").between(lit(1000L), lit(2000L))))
+    assert(got == viaFull)
+    // conjunction with a disjoint second range prunes everything
+    val (none, _) = lake.scanRangesFiles(
+      Seq(("ts", lo, hi), ("_lsn", 900000L, 900001L)))
+    assert(none.isEmpty)
+    assert(lake.scanRanges(
+      Seq(("ts", lo, hi), ("_lsn", 900000L, 900001L))).isEmpty)
   }
 
   test("unsupported or unknown columns fail loudly") {
