@@ -669,6 +669,21 @@ object OracleSql {
          |  pre.lsn AS pre_lsn, post.lsn AS post_lsn
          |FROM pre FULL OUTER JOIN post
          |  ON pre.conv_id = post.conv_id AND pre.turn_idx = post.turn_idx
-         |WHERE pre.lsn IS NULL OR post.lsn IS NULL OR pre.lsn <> post.lsn""".stripMargin
+         |WHERE pre.lsn IS NULL OR post.lsn IS NULL OR pre.lsn <> post.lsn""".stripMargin,
+
+    // q55: the engine answers through the SQL-pushdown surface
+    // (graft.sql.GraftSql zone/bucket file pruning); the oracle is the
+    // same LWW election + WHERE in plain SQL — pruning must be invisible.
+    "q55_sql_pushdown" ->
+      s"""WITH mid AS (SELECT CAST(FLOOR(max(event_id) / 2.0) AS BIGINT) AS m FROM events),
+         |live AS (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_type, event_id AS lsn FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND event_type <> 'error')
+         |SELECT conv_id, turn_idx, event_type, lsn FROM live
+         |WHERE lsn >= (SELECT m FROM mid) AND event_type <> 'purchase'""".stripMargin
   )
 }

@@ -982,6 +982,33 @@ object Queries {
       col("action"), col("pre_lsn"), col("post_lsn"))
   }
 
+  /** SQL surface with transparent pushdown: the events LWW feed ingests
+    * into a lake, then a PURE SQL query over `GraftSql.table`'s temp view
+    * (WHERE on the `_lsn` zone column + a residual type predicate) must
+    * equal the plain-SQL election with the same WHERE — the pruning rule
+    * (graft.sql.GraftPushdown) is semantically invisible by construction,
+    * and this row pins that through the driver's oracle. */
+  def q55SqlPushdown(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val tag = System.nanoTime()
+    val lake = new graft.lake.LakeTable(s, s"target/q55-lake-$tag")
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.sql.GraftSql.table(s, lake.root)
+      .createOrReplaceTempView(s"q55_lake_$tag")
+    s.sql(
+      s"""SELECT conv_id, turn_idx, event_type, _lsn AS lsn
+         |FROM q55_lake_$tag
+         |WHERE _lsn >= $mid AND event_type <> 'purchase'""".stripMargin)
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1038,6 +1065,7 @@ object Queries {
     "q51_mor_roundtrip" -> (q51MorRoundtrip _),
     "q52_zone_scan" -> (q52ZoneScan _),
     "q53_replica_mirror" -> (q53ReplicaMirror _),
-    "q54_follow_delta" -> (q54FollowDelta _)
+    "q54_follow_delta" -> (q54FollowDelta _),
+    "q55_sql_pushdown" -> (q55SqlPushdown _)
   )
 }

@@ -41,6 +41,10 @@ import graft.lake.LakeTable
  *   CdcMain replica <lakeDir> <replicaDir> [rwhere=<sql>] [rcols=<a,b,c>]
  *                   [nBuckets] — manual filtered-replica refresh (catch-up;
  *                   where/cols seed a NEW replica, persisted thereafter)
+ *   CdcMain sql     <lakeDir> <query> — run SQL against the lake as temp
+ *                   view `lake` through graft.sql.GraftSql: WHERE clauses
+ *                   on zone-mapped/key columns file-prune transparently;
+ *                   prints rows + filesScanned/filesTotal
  *
  * `replay` and `stream` accept `mor` (merge-on-read ingest: batches APPEND
  * per-bucket delta files instead of rewriting touched buckets — O(batch)
@@ -319,6 +323,22 @@ object CdcMain {
             s""""toSnapshot":${s.toSnapshot},"rowsApplied":${s.rowsApplied},""" +
             s""""replicaRows":${rep.read().count()}}""")
       }
+      spark.stop()
+
+    case "sql" :: lakeDir :: query :: Nil =>
+      val spark = session()
+      graft.sql.GraftSql.table(spark, lakeDir).createOrReplaceTempView("lake")
+      val df = spark.sql(query)
+      val rows = df.count()
+      // file-level pruning observability: the parquet scans the optimizer
+      // actually planned vs the snapshot's total (same counters as `range`)
+      val scanned = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+      val total = new LakeTable(spark, lakeDir)
+        .currentSnapshot.map(_.totalFiles).getOrElse(0)
+      println(s"""{"rows":$rows,"filesScanned":$scanned,"filesTotal":$total}""")
       spark.stop()
 
     case "range" :: lakeDir :: rest if rest.size >= 3 && rest.size % 3 == 0 =>

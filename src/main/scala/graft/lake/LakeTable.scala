@@ -226,15 +226,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   def lookupFilesKeyed(bucketValues: Seq[Any]): Seq[DataFileMeta] =
     currentSnapshot match {
       case None => Seq.empty
-      case Some(s) =>
-        val b = LakeTable.bucketOfValues(bucketValues, s.nBuckets)
-        val ranged = bucketValues.head match {
-          case v: String => Some(v)
-          case _ => None // range stats are string-keyed only
-        }
-        s.manifests.filter(_.bucket == b).flatMap(Manifests.load)
-          .filter(f => f.maxKey == null || f.maxKey.isEmpty ||
-            ranged.forall(v => f.minKey <= v && v <= f.maxKey))
+      case Some(s) => LakeTable.pruneByKey(s, bucketValues)
     }
 
   /** Key-range-pruned point lookup of one conversation's live rows. */
@@ -328,25 +320,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       : (Seq[DataFileMeta], Int) =
     currentSnapshot match {
       case None => (Seq.empty, 0)
-      case Some(s) =>
-        // a MoR bucket's chain spans SEVERAL manifest refs (one per delta
-        // segment) — group before deciding, the whole chain lives or dies
-        val byBucket = s.manifests.groupBy(_.bucket).view
-          .mapValues(Manifests.loadAll).toSeq
-        val total = byBucket.map(_._2.size).sum
-        def may(f: DataFileMeta): Boolean =
-          ranges.forall { case (c, lo, hi) => f.mayOverlap(c, lo, hi) }
-        val kept =
-          if (!s.mor) byBucket.flatMap(_._2.filter(may))
-          else byBucket.collect {
-            // conservative per MoR chain: the chain survives if each range
-            // is satisfiable by SOME file in it (a winner row assembles
-            // from one version, but bounding per-range over the chain is
-            // the safe file-level approximation)
-            case (_, fs) if ranges.forall { case (c, lo, hi) =>
-              fs.exists(_.mayOverlap(c, lo, hi)) } => fs
-          }.flatten
-        (kept, total)
+      case Some(s) => LakeTable.pruneByRanges(s, ranges)
     }
 
   /** Zone-map-pruned range scan: live rows with `column` in [lo, hi]
@@ -539,5 +513,47 @@ object LakeTable {
       values.map(v => org.apache.spark.sql.catalyst.expressions.Literal(v)),
       42L).eval(null).asInstanceOf[Long]
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
+  /** Zone-map pruning against an EXPLICIT snapshot (instance methods use the
+    * current one; the SQL relation pins the snapshot it was created on for
+    * snapshot isolation). Granularity follows the storage mode — file-level
+    * on copy-on-write, whole-delta-chain on merge-on-read (pruning single
+    * chain files could elect a stale version whose value IS in range; a
+    * bucket none of whose files overlaps every range cannot produce a
+    * winner that satisfies the conjunction). Returns (kept files, total). */
+  def pruneByRanges(s: Snapshot, ranges: Seq[(String, Long, Long)])
+      : (Seq[DataFileMeta], Int) = {
+    // a MoR bucket's chain spans SEVERAL manifest refs (one per delta
+    // segment) — group before deciding, the whole chain lives or dies
+    val byBucket = s.manifests.groupBy(_.bucket).view
+      .mapValues(Manifests.loadAll).toSeq
+    val total = byBucket.map(_._2.size).sum
+    def may(f: DataFileMeta): Boolean =
+      ranges.forall { case (c, lo, hi) => f.mayOverlap(c, lo, hi) }
+    val kept =
+      if (!s.mor) byBucket.flatMap(_._2.filter(may))
+      else byBucket.collect {
+        case (_, fs) if ranges.forall { case (c, lo, hi) =>
+          fs.exists(_.mayOverlap(c, lo, hi)) } => fs
+      }.flatten
+    (kept, total)
+  }
+
+  /** Bucket + key-range pruning against an explicit snapshot: the files a
+    * point lookup of the entity with `bucketValues` must open. Files whose
+    * footer stats were not collected (non-string bucket key: maxKey empty)
+    * are kept — bucket pruning still applies, range pruning needs string
+    * stats. Safe under MoR: every file that may CONTAIN the key survives,
+    * so the LWW election sees the key's full chain. */
+  def pruneByKey(s: Snapshot, bucketValues: Seq[Any]): Seq[DataFileMeta] = {
+    val b = bucketOfValues(bucketValues, s.nBuckets)
+    val ranged = bucketValues.head match {
+      case v: String => Some(v)
+      case _ => None // range stats are string-keyed only
+    }
+    s.manifests.filter(_.bucket == b).flatMap(Manifests.load)
+      .filter(f => f.maxKey == null || f.maxKey.isEmpty ||
+        ranged.forall(v => f.minKey <= v && v <= f.maxKey))
   }
 }
