@@ -200,15 +200,27 @@ object Bench {
 
     // Full-core headline runs: same discipline as the scaling pair —
     // interleaved cf/nocf, median of N (a single 32-vCPU run on this host
-    // has swung 10x across steal bursts within one day).
+    // has swung 10x across steal bursts within one day). The WITHIN-pair
+    // order alternates per iteration: in one long-lived JVM the later run
+    // of a pair rides warmer JIT/page cache, and a fixed cf-first order
+    // once inflated the apparent change-feed cost to 2.2x when a direct
+    // alternating A/B measures 6-9%.
     val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     warmup(spark) // query session has run no merge yet — warm the CDC path
     val fullRuns = (1 to benchRuns).map { i =>
-      (replayThroughput(spark, s"full-r$i"),
-        replayThroughput(spark, s"full-nocf-r$i", changeFeed = false))
+      if (i % 2 == 1) {
+        val cf = replayThroughput(spark, s"full-r$i")
+        val no = replayThroughput(spark, s"full-nocf-r$i", changeFeed = false)
+        (cf, no)
+      } else {
+        val no = replayThroughput(spark, s"full-nocf-r$i", changeFeed = false)
+        val cf = replayThroughput(spark, s"full-r$i")
+        (cf, no)
+      }
     }
     val thrFull = median(fullRuns.map(_._1))
     val thrFullNoCf = median(fullRuns.map(_._2))
+    val fullSpread = spread(fullRuns.map(_._1))
 
     // ---- MoR vs CoW on the workload MoR exists for: many small update
     // batches trickling into a table they keep touching everywhere. Each
@@ -332,6 +344,7 @@ object Bench {
       f""""scaling_efficiency":$efficiency%.3f,""" +
       f""""runs":$benchRuns,"pinned":$pinned,""" +
       f""""steal_pct":{"n":${stealN.max}%.1f,"four_n":${steal4n.max}%.1f},""" +
-      f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f}$morJson$soakJson}}""")
+      f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f,""" +
+      f""""full":$fullSpread%.3f}$morJson$soakJson}}""")
   }
 }
