@@ -684,6 +684,17 @@ object OracleSql {
          |    FROM events)
          |  WHERE rn = 1 AND event_type <> 'error')
          |SELECT conv_id, turn_idx, event_type, lsn FROM live
-         |WHERE lsn >= (SELECT m FROM mid) AND event_type <> 'purchase'""".stripMargin
+         |WHERE lsn >= (SELECT m FROM mid) AND event_type <> 'purchase'""".stripMargin,
+
+    // q56: the q51 LWW winners with event_type aliased — the engine side
+    // renamed the column MID-REPLAY (metadata-only, field-id resolution of
+    // pre-rename files), so equality proves the rename is invisible to the
+    // data.
+    "q56_rename_evolve" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, event_type AS etype FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

@@ -1009,6 +1009,34 @@ object Queries {
          |WHERE _lsn >= $mid AND event_type <> 'purchase'""".stripMargin)
   }
 
+  /** Rename evolution through the engine: batch 1 of the events feed lands
+    * with `event_type`, the column is RENAMED to `etype` (metadata-only —
+    * old data files resolve it by stable field id, zero rewrite,
+    * LakeTable.renameColumn), batch 2 merges under the NEW name, and the
+    * final read must equal plain SQL LWW over ALL events with the column
+    * simply aliased — both file generations serve one logical column. */
+  def q56RenameEvolve(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q56-ren-${System.nanoTime()}")
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") < mid),
+      epoch = 1, nBuckets = 16)
+    lake.renameColumn("event_type", "etype")
+    graft.cdc.CdcApply.apply(lake,
+      ev.filter(col("_lsn") >= mid).withColumnRenamed("event_type", "etype"),
+      epoch = 2, nBuckets = 16)
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("etype"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1066,6 +1094,7 @@ object Queries {
     "q52_zone_scan" -> (q52ZoneScan _),
     "q53_replica_mirror" -> (q53ReplicaMirror _),
     "q54_follow_delta" -> (q54FollowDelta _),
-    "q55_sql_pushdown" -> (q55SqlPushdown _)
+    "q55_sql_pushdown" -> (q55SqlPushdown _),
+    "q56_rename_evolve" -> (q56RenameEvolve _)
   )
 }

@@ -16,7 +16,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // dumps are comparison artifacts, not tables: drop any field-id
+      // metadata a lake-backed query's projection may carry (duplicate ids
+      // from multi-aliasing one source column would break the read-back)
+      try graft.model.Schemas.stripFieldIds(fn(spark, sfDir))
+        .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -284,7 +284,9 @@ object CdcApply {
       org.apache.spark.sql.types.StructField("_tombstone",
         org.apache.spark.sql.types.BooleanType, nullable = false)
     val targetSchema = cur match {
-      case None => StructType(batchDataFields)
+      // fresh table: stable field ids 1..n (column identity for
+      // rename/drop evolution — Schemas.FieldIdKey)
+      case None => graft.model.Schemas.assignFieldIds(StructType(batchDataFields))
       case Some(s) =>
         val known = s.schema.fieldNames.toSet
         val batchByName = batchDataFields.map(f => f.name -> f).toMap
@@ -309,7 +311,17 @@ object CdcApply {
             case _ => f
           }
         }
-        StructType(widened ++ batchDataFields.filterNot(f => known(f.name)))
+        // additive columns get the next never-reused field ids (a re-added
+        // name after an explicit dropColumn is a NEW column: old files'
+        // same-named data stays dead, matched by id)
+        val fresh = batchDataFields.filterNot(f => known(f.name))
+        val stamped =
+          if (!graft.model.Schemas.hasFieldIds(s.schema)) fresh // legacy table
+          else fresh.zipWithIndex.map { case (f, i) =>
+            graft.model.Schemas.withFieldId(
+              f, graft.model.Schemas.nextFieldId(s.schema) + i)
+          }
+        StructType(widened ++ stamped)
     }
     val schemaVersion = cur match {
       case None => 1
@@ -562,7 +574,20 @@ object CdcApply {
     // Write-side: copy-on-write rewrite of touched buckets only.
     val dataDir = lake.newDataDir(snapshotId)
     graft.lake.LakeIO.ensureMicrosTimestamps(spark)
-    phase("merge+write") { observed.write.partitionBy("b").parquet(dataDir) }
+    // Bloom filters only on MoR tables (delta appends AND folds — a folded
+    // base file keeps serving future chains): multi-file bucket chains are
+    // where membership pruning pays (LakeIO.bloomWriteOptions). A CoW
+    // rewrite leaves ~one live file per bucket, so the lookup benefit is
+    // nil there while the filter costs 3-8% of the merge write (measured,
+    // BASELINE.md round-3); compaction output gets blooms either way.
+    val writeOpts =
+      if (tableMor) graft.lake.LakeIO.bloomWriteOptions(ks.bucketCols.head)
+      else Map.empty[String, String]
+    phase("merge+write") {
+      graft.model.Schemas.stampFieldIds(observed, targetSchema).write
+        .options(writeOpts)
+        .partitionBy("b").parquet(dataDir)
+    }
     val actionCounts: Map[String, Long] =
       if (!cfOn) Map.empty
       else obs.get.map { case (k, v) =>

@@ -17,6 +17,10 @@ import graft.lake.LakeTable
  *   CdcMain stream  <changelogDir> <lakeDir> <ckptDir> [nBuckets]
  *                   [saltBuckets] [maxFilesPerTrigger] [liveIntervalMs]
  *   CdcMain state   <lakeDir>      — row count + order-independent checksum
+ *   CdcMain lookup  <lakeDir> <value> [value...] — point lookup of one
+ *                   entity (keySpec.bucketCols order); prints the rows and
+ *                   the file counts after each pruning stage (bucket ->
+ *                   key min/max -> bloom/dictionary membership)
  *   CdcMain compact <lakeDir> [tombstoneWatermark] [cluster=<col>]
  *                   [filerows=<n>] — cluster= sorts each bucket's rewrite
  *                   on <col> (files become range-disjoint in it, making
@@ -353,6 +357,34 @@ object CdcMain {
       val n = lake.scanRanges(ranges).count()
       println(s"""{"rows":$n,"filesScanned":${kept.size},""" +
         s""""filesTotal":$total}""")
+      spark.stop()
+
+    // Point lookup of one entity (values in keySpec.bucketCols order,
+    // typed from the table schema). Prints the live rows plus the file
+    // counts at each pruning stage: bucket manifest -> key min/max ->
+    // bloom/dictionary membership.
+    case "lookup" :: lakeDir :: values if values.nonEmpty =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      lake.currentSnapshot match {
+        case None => println("""{"rows":0}""")
+        case Some(snap) =>
+          val types = snap.keySpec.bucketCols.map(c =>
+            snap.schema.fields.find(_.name == c).map(_.dataType))
+          val typed: Seq[Any] = values.zip(types).map {
+            case (v, Some(org.apache.spark.sql.types.IntegerType)) => v.toInt
+            case (v, Some(org.apache.spark.sql.types.LongType)) => v.toLong
+            case (v, _) => v
+          }
+          val bucketFiles = snap.files.count(_.bucket ==
+            LakeTable.bucketOfValues(typed, snap.nBuckets))
+          val ranged = lake.lookupFilesKeyed(typed, bloom = false).size
+          val opened = lake.lookupFilesKeyed(typed).size
+          val rows = lake.lookupKeyed(typed).collect()
+          rows.foreach(println)
+          println(s"""{"rows":${rows.length},"bucketFiles":$bucketFiles,""" +
+            s""""afterKeyRange":$ranged,"afterMembership":$opened}""")
+      }
       spark.stop()
 
     case "state" :: lakeDir :: Nil =>

@@ -116,5 +116,9 @@ object ChangeFeedReader {
         col("pre_lsn"), col("post_lsn")) ++
         imageCols.flatMap(c => Seq(col(s"pre_$c"), col(s"post_$c"))): _*)
       .filter(col("action") =!= "carried")
+      // the delta is a NEW schema, not the table: pre_x/post_x aliases
+      // inherit one source column's field id, and writing that pair to
+      // parquet would produce duplicate ids (unreadable under id-matching)
+      .transform(graft.model.Schemas.stripFieldIds)
   }
 }

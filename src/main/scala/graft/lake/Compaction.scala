@@ -94,10 +94,11 @@ object Compaction {
     LakeIO.ensureMicrosTimestamps(spark)
     val sortCols =
       col("b") +: (clusterCol.map(col).toSeq ++ ks.keyCols.map(col))
-    val writer = withB
+    val writer = graft.model.Schemas.stampFieldIds(withB, cur.schema)
       .repartition(nB, col("b"))
       .sortWithinPartitions(sortCols: _*)
-      .write.partitionBy("b")
+      .write.options(LakeIO.bloomWriteOptions(ks.bucketCols.head))
+      .partitionBy("b")
     (if (targetFileRows > 0)
        writer.option("maxRecordsPerFile", targetFileRows)
      else writer).parquet(dataDir)

@@ -129,6 +129,13 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
  * readers only ever see manifest-listed files (tested in LakeTableSpec).
  */
 final class LakeTable(val spark: SparkSession, val root: String) {
+  // Column identity by parquet field id (rename/drop evolution): the writer
+  // stamps ids from the table schema, the reader matches by id whenever the
+  // READ schema carries ids — pre-field-id tables have id-less schemas and
+  // keep plain name matching, so these session flags are safe globally.
+  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private val metaDir = s"$root/meta"
   private val mapper = new ObjectMapper()
     .registerModule(DefaultScalaModule)
@@ -223,10 +230,26 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     * the table schema — String/Int/Long). Files whose footer stats were not
     * collected (non-string bucket key: maxKey empty) are kept — bucket
     * pruning still applies, range pruning needs string stats. */
-  def lookupFilesKeyed(bucketValues: Seq[Any]): Seq[DataFileMeta] =
+  def lookupFilesKeyed(bucketValues: Seq[Any],
+                       bloom: Boolean = true): Seq[DataFileMeta] =
     currentSnapshot match {
       case None => Seq.empty
-      case Some(s) => LakeTable.pruneByKey(s, bucketValues)
+      case Some(s) =>
+        val cand = LakeTable.pruneByKey(s, bucketValues)
+        // Bloom/dictionary probe per candidate: within a bucket, fresh merge
+        // output is hash-ordered so [minKey, maxKey] spans the bucket and
+        // prunes nothing — the file-level membership evidence (parquet
+        // bloom, or the chunk dictionary when all pages are dict-encoded)
+        // is what skips MoR chain files / pre-compaction files that don't
+        // hold the key. O(candidates) small footer IOs on the driver;
+        // inconclusive probes keep the file (never a correctness risk).
+        if (!bloom || cand.isEmpty) cand
+        else {
+          val colName = s.keySpec.bucketCols.head
+          ParquetFooters.parMap(cand)(f =>
+            (f, ParquetFooters.mightContain(f.path, colName, bucketValues.head)))
+            .filter(_._2 != Some(false)).map(_._1)
+        }
     }
 
   /** Key-range-pruned point lookup of one conversation's live rows. */
@@ -294,6 +317,64 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
         .drop("_tombstone")
     else df
+  }
+
+  /** Metadata-only column RENAME (Iceberg `renameColumn` semantics): a new
+    * snapshot carries the renamed schema over the SAME manifests and data
+    * files — old files resolve the column by its stable field id, so their
+    * values appear under the new name with zero data rewritten. Time travel
+    * to an older snapshot still shows the old name. Refused for key/bucket
+    * columns (the key contract is by name: feeds, manifests and lookups all
+    * address them), internal `_` columns, and tables created before
+    * field-id support (their files would resolve by name and the renamed
+    * column would read as nulls). Derived consumers that reference the old
+    * name (replica predicates, agg/index refresh SQL, patch feeds) fail
+    * loudly on their next refresh — coordinate the rename with them. */
+  def renameColumn(from: String, to: String): Snapshot = {
+    val s = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in $root"))
+    val sch = s.schema
+    require(graft.model.Schemas.hasFieldIds(sch),
+      s"table $root was created before field-id support; rename needs " +
+      "column identity (recreate or full-rewrite the table first)")
+    require(sch.fieldNames.contains(from), s"no column $from in $root")
+    require(!sch.fieldNames.contains(to), s"column $to already exists")
+    require(!from.startsWith("_") && !to.startsWith("_"),
+      "internal columns cannot be renamed")
+    require(!s.keySpec.keyCols.contains(from),
+      s"key column $from cannot be renamed — the key contract is by name " +
+      "(stored KeySpec, manifests, lookups)")
+    val ns = org.apache.spark.sql.types.StructType(
+      sch.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    commit(s.copy(snapshotId = s.snapshotId + 1, parentId = s.snapshotId,
+      schemaJson = ns.json, schemaVersion = s.schemaVersion + 1),
+      maintenance = true)
+  }
+
+  /** Metadata-only column DROP: the field leaves the current schema; data
+    * files keep the bytes (reads never project them), historic snapshots
+    * still show the column via time travel. A later batch that re-introduces
+    * the name creates a NEW column under a fresh field id — the dropped
+    * values never resurrect (old files match by id, not name). Note the
+    * additive-evolution consequence: a feed that still emits the column
+    * will re-create it on its next batch, so retire it feed-side first.
+    * Same restrictions as rename. */
+  def dropColumn(name: String): Snapshot = {
+    val s = currentSnapshot.getOrElse(
+      throw new IllegalStateException(s"no snapshot in $root"))
+    val sch = s.schema
+    require(graft.model.Schemas.hasFieldIds(sch),
+      s"table $root was created before field-id support; drop needs " +
+      "column identity (a re-added name would resurrect old values)")
+    require(sch.fieldNames.contains(name), s"no column $name in $root")
+    require(!name.startsWith("_"), "internal columns cannot be dropped")
+    require(!s.keySpec.keyCols.contains(name),
+      s"key column $name cannot be dropped")
+    val ns = org.apache.spark.sql.types.StructType(
+      sch.fields.filterNot(_.name == name))
+    commit(s.copy(snapshotId = s.snapshotId + 1, parentId = s.snapshotId,
+      schemaJson = ns.json, schemaVersion = s.schemaVersion + 1),
+      maintenance = true)
   }
 
   /** The data files a zone-pruned range scan must open, with the total file

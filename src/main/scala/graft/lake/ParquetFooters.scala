@@ -209,6 +209,91 @@ object ParquetFooters {
         keep.map(zMin), keep.map(zMax))
     }
 
+  /** Exact-or-probabilistic membership probe for `value` in `column`,
+    * per row group, without touching data pages:
+    *
+    *  - a parquet BLOOM FILTER on the chunk answers "definitely absent /
+    *    might contain" (the writer enables blooms on the leading bucket-key
+    *    column — [[graft.lake.LakeIO.bloomWriteOptions]]);
+    *  - a chunk whose data pages are ALL dictionary-encoded answers
+    *    EXACTLY by dictionary membership (parquet-mr skips the bloom for
+    *    such chunks since the dictionary subsumes it — same rule as
+    *    parquet's own row-group DictionaryFilter, applied here at FILE
+    *    level from the manifest's candidate list).
+    *
+    * Some(false) = no row group can contain the value (safe to skip the
+    * file); Some(true) = some row group may; None = inconclusive (no bloom
+    * or dictionary evidence for some populated row group, unsupported
+    * type, or a read error) — callers MUST keep the file. */
+  def mightContain(path: String, column: String, value: Any): Option[Boolean] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.io.api.Binary
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(path), conf))
+      try {
+        val colDesc = reader.getFooter.getFileMetaData.getSchema
+          .getColumns.asScala.find(_.getPath.mkString(".") == column)
+        var might = false
+        var inconclusive = false
+        reader.getFooter.getBlocks.asScala
+          .filter(_.getRowCount > 0).foreach { block =>
+          if (!might) {
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column) match {
+              case None => inconclusive = true
+              case Some(c) =>
+                val bf = reader.getBloomFilterDataReader(block).readBloomFilter(c)
+                if (bf != null) {
+                  val h = value match {
+                    case s: String => Some(bf.hash(Binary.fromString(s)))
+                    case i: Int => Some(bf.hash(i))
+                    case l: Long => Some(bf.hash(l))
+                    case _ => None
+                  }
+                  h match {
+                    case Some(hash) => if (bf.findHash(hash)) might = true
+                    case None => inconclusive = true
+                  }
+                } else if (allPagesDictEncoded(c) && colDesc.isDefined) {
+                  // the concrete reader class is package-private; go through
+                  // the public DictionaryPageReadStore interface
+                  val store: org.apache.parquet.column.page.DictionaryPageReadStore =
+                    reader.getDictionaryReader(block)
+                  val dp = store.readDictionaryPage(colDesc.get)
+                  if (dp == null) inconclusive = true
+                  else {
+                    val dict = dp.getEncoding.initDictionary(colDesc.get, dp)
+                    val n = dict.getMaxId + 1
+                    val found = value match {
+                      case s: String =>
+                        val b = Binary.fromString(s)
+                        (0 until n).exists(dict.decodeToBinary(_) == b)
+                      case i: Int => (0 until n).exists(dict.decodeToInt(_) == i)
+                      case l: Long => (0 until n).exists(dict.decodeToLong(_) == l)
+                      case _ => inconclusive = true; true
+                    }
+                    if (found && !inconclusive) might = true
+                  }
+                } else inconclusive = true
+            }
+          }
+        }
+        if (might) Some(true)
+        else if (inconclusive) None
+        else Some(false)
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** parquet-mr DictionaryFilter's rule: the chunk's dictionary is
+    * authoritative only when no data page fell back to plain encoding. */
+  private def allPagesDictEncoded(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    val es = c.getEncodingStats
+    es != null && es.hasDictionaryPages && !es.hasNonDictionaryEncodedPages
+  }
+
   private def withFooter[A](path: String)(
       f: org.apache.parquet.hadoop.metadata.ParquetMetadata => A): A = {
     val reader = ParquetFileReader.open(

@@ -136,6 +136,74 @@ object Schemas {
     case _ => a == b
   }
 
+  /** Stable per-column field ids (Iceberg's column-identity mechanism,
+    * carried on the parquet metadata key Spark's writer/reader honor):
+    * assigned once at table creation and on each additive column, never
+    * reused. They make column RENAME a metadata-only operation (old files
+    * resolve by id, not name) and make a re-added name a NEW column whose
+    * old values never resurrect. Id matching activates only when the READ
+    * schema carries ids, so pre-field-id tables keep name matching. */
+  val FieldIdKey = "parquet.field.id"
+
+  def fieldId(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  def hasFieldIds(s: StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(f => fieldId(f).isDefined)
+
+  def withFieldId(f: StructField, id: Long): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(FieldIdKey, id).build())
+
+  /** Fresh-table assignment: ids 1..n in schema order. */
+  def assignFieldIds(s: StructType): StructType =
+    StructType(s.fields.zipWithIndex.map { case (f, i) =>
+      withFieldId(f, i + 1L)
+    })
+
+  def nextFieldId(s: StructType): Long =
+    s.fields.flatMap(fieldId).foldLeft(0L)(math.max) + 1L
+
+  /** Strip field-id metadata from a DataFrame that leaves the table
+    * boundary (change-feed deltas, verification dumps): aliases inherit
+    * their source column's id, so a derived frame carrying `pre_x`/`post_x`
+    * from one source column would write a parquet file with DUPLICATE ids —
+    * unreadable under id-matching. Table ids are table-internal identity;
+    * derived outputs are new schemas and carry none. */
+  def stripFieldIds(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!df.schema.fields.exists(f => f.metadata.contains(FieldIdKey))) df
+    else df.select(df.schema.fields.toIndexedSeq.map { f =>
+      if (!f.metadata.contains(FieldIdKey)) col(f.name)
+      else {
+        val m = new MetadataBuilder().withMetadata(f.metadata)
+          .remove(FieldIdKey).build()
+        col(f.name).as(f.name, m)
+      }
+    }: _*)
+  }
+
+  /** Re-stamp field-id metadata onto a DataFrame immediately before a
+    * data-file write: plan transformations (aliases, coalesce projections,
+    * aggregates) drop column metadata, and a data file written WITHOUT its
+    * ids would read as all-nulls under the table's id-carrying schema.
+    * One extra codegen'd projection; columns not in `schema` (e.g. the
+    * partition column) pass through untouched. */
+  def stampFieldIds(df: org.apache.spark.sql.DataFrame,
+                    schema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    df.select(df.columns.toIndexedSeq.map { c =>
+      byName.get(c) match {
+        case Some(f) if f.metadata.contains(FieldIdKey) =>
+          col(c).as(c, f.metadata)
+        case _ => col(c)
+      }
+    }: _*)
+  }
+
   private val intChain: Map[DataType, Int] =
     Map(ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
   def widen(a: DataType, b: DataType): Option[DataType] = (a, b) match {

@@ -203,7 +203,14 @@ object GraftPushdown extends Rule[LogicalPlan] with PredicateHelper {
     val kept: Seq[DataFileMeta] = keyEquality(rel, conjuncts) match {
       case Some(vs) =>
         val keyFiles = LakeTable.pruneByKey(s, vs).map(_.path).toSet
-        zoneKept.filter(f => keyFiles.contains(f.path))
+        val ranged = zoneKept.filter(f => keyFiles.contains(f.path))
+        // per-file membership evidence (parquet bloom / chunk dictionary):
+        // planning-time O(candidates) footer IO, same as the point-lookup
+        // path — inconclusive probes keep the file
+        val keyCol = s.keySpec.bucketCols.head
+        graft.lake.ParquetFooters.parMap(ranged)(f =>
+            (f, graft.lake.ParquetFooters.mightContain(f.path, keyCol, vs.head)))
+          .filter(_._2 != Some(false)).map(_._1)
       case None => zoneKept
     }
     val base =
