@@ -21,11 +21,17 @@ import graft.lake.LakeTable
  *                   entity (keySpec.bucketCols order); prints the rows and
  *                   the file counts after each pruning stage (bucket ->
  *                   key min/max -> bloom/dictionary membership)
+ *   CdcMain rename  <lakeDir> <from> <to> — metadata-only column rename
+ *                   (old files resolve by field id; key/internal cols refused)
+ *   CdcMain dropcol <lakeDir> <col>     — metadata-only column drop
+ *                   (re-added name = new column; old values never resurrect)
  *   CdcMain compact <lakeDir> [tombstoneWatermark] [cluster=<col>]
- *                   [filerows=<n>] — cluster= sorts each bucket's rewrite
- *                   on <col> (files become range-disjoint in it, making
- *                   zone-map `range` scans selective); filerows= splits
- *                   bucket files at n rows
+ *                   [filerows=<n>] [buckets=<a,b,c>] — cluster= sorts each
+ *                   bucket's rewrite on <col> (files become range-disjoint
+ *                   in it, making zone-map `range` scans selective);
+ *                   filerows= splits bucket files at n rows; buckets=
+ *                   compacts only those buckets (incremental; the commit
+ *                   rebases over disjoint concurrent ingest)
  *   CdcMain expire  <lakeDir> [keepLast]
  *   CdcMain gc      <lakeDir> [minAgeMs]      — age-fenced orphan cleanup
  *   CdcMain changes <lakeDir> <fromSnapId> [toSnapId]  — snapshot-diff feed
@@ -84,7 +90,7 @@ object CdcMain {
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
   private val flagNames =
     Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
-      "cluster", "filerows", "imagecols")
+      "cluster", "filerows", "imagecols", "buckets")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
@@ -289,9 +295,13 @@ object CdcMain {
         .getOrElse(Long.MinValue)
       // cluster=<col> + filerows=<n>: sort the rewrite on <col> within each
       // bucket and split files, so zone maps become selective on cold data
+      // buckets=0,3,9: incremental compaction of only those buckets (rest
+      // carried by path; commit rebases over disjoint concurrent ingest)
       val st = graft.lake.Compaction.compact(lake, wm,
         targetFileRows = flag(rest, "filerows").map(_.toLong).getOrElse(0L),
-        clusterCol = flag(rest, "cluster"))
+        clusterCol = flag(rest, "cluster"),
+        buckets = flag(rest, "buckets")
+          .map(_.split(",").filter(_.nonEmpty).map(_.toInt).toSet))
       println(s"""{"filesBefore":${st.filesBefore},"filesAfter":${st.filesAfter},""" +
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +
@@ -357,6 +367,25 @@ object CdcMain {
       val n = lake.scanRanges(ranges).count()
       println(s"""{"rows":$n,"filesScanned":${kept.size},""" +
         s""""filesTotal":$total}""")
+      spark.stop()
+
+    // Metadata-only schema evolution: rename resolves old files by field
+    // id (zero rewrite); drop removes the column from the current schema
+    // (a re-added name is a new column — old values never resurrect).
+    case "rename" :: lakeDir :: from :: to :: Nil =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val s = lake.renameColumn(from, to)
+      println(s"""{"renamed":"$from","to":"$to","snapshotId":${s.snapshotId},""" +
+        s""""schemaVersion":${s.schemaVersion}}""")
+      spark.stop()
+
+    case "dropcol" :: lakeDir :: name :: Nil =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val s = lake.dropColumn(name)
+      println(s"""{"dropped":"$name","snapshotId":${s.snapshotId},""" +
+        s""""schemaVersion":${s.schemaVersion}}""")
       spark.stop()
 
     // Point lookup of one entity (values in keySpec.bucketCols order,

@@ -45,29 +45,46 @@ object Compaction {
         * files stop being key-range-disjoint, so `lookup`'s string min/max
         * pruning degrades to bucket-level — correctness is untouched
         * (overlap checks only widen). */
-      clusterCol: Option[String] = None): CompactionStats =
+      clusterCol: Option[String] = None,
+      /** compact only these buckets, carrying the rest by path — the
+        * incremental / cold-bucket maintenance a live table runs next to
+        * ingest. The commit REBASES on a lost race when the concurrent
+        * winner touched only other buckets (LakeTable.commitRebasing), so
+        * cold-bucket compaction never stalls hot-bucket ingest and never
+        * recomputes for it. */
+      buckets: Option[Set[Int]] = None): CompactionStats =
     rewrite(lake, tombstoneWatermark, newBuckets = None, targetFileRows,
-      clusterCol)
+      clusterCol, buckets)
 
   /** Re-bucket the table (e.g. 64 -> 4096 as it grows): full rewrite into
     * `newBuckets` hash buckets as a maintenance commit. Subsequent CDC
     * applies adopt the new count from the snapshot automatically. */
   def rebucket(lake: LakeTable, newBuckets: Int): CompactionStats =
-    rewrite(lake, Long.MinValue, Some(newBuckets), 0L, None)
+    rewrite(lake, Long.MinValue, Some(newBuckets), 0L, None, None)
+
+  /** Test seam: runs `beforeCommit` between the rewrite and its commit to
+    * make commit races deterministic in specs. */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
 
   private def rewrite(
       lake: LakeTable,
       tombstoneWatermark: Long,
       newBuckets: Option[Int],
       targetFileRows: Long,
-      clusterCol: Option[String]): CompactionStats = {
+      clusterCol: Option[String],
+      bucketSubset: Option[Set[Int]]): CompactionStats = {
     val cur = lake.currentSnapshot.getOrElse(
       throw new IllegalStateException("nothing to compact: empty table"))
     val spark = lake.spark
     val nB = newBuckets.getOrElse(cur.nBuckets)
+    require(newBuckets.isEmpty || bucketSubset.isEmpty,
+      "rebucketing must rewrite the whole table")
+    bucketSubset.foreach(bs => require(
+      bs.nonEmpty && bs.forall(b => b >= 0 && b < cur.nBuckets),
+      s"bucket subset $bs out of range [0, ${cur.nBuckets})"))
 
     val ks = cur.keySpec
-    val raw0 = lake.readBuckets(None)
+    val raw0 = lake.readBuckets(bucketSubset)
     // A MoR table's buckets hold multi-version chains: resolve LWW FIRST,
     // then apply the tombstone watermark — filtering unresolved chains would
     // drop a winning tombstone while keeping the older live version it
@@ -122,17 +139,36 @@ object Compaction {
       }
     }
 
-    val rowsBefore = cur.totalRows
+    // rowsBefore counts only what this rewrite READ (the subset's rows on
+    // an incremental run) so tombstonesDropped stays meaningful
+    val rowsBefore = bucketSubset match {
+      case None => cur.totalRows
+      case Some(bs) => cur.manifests.filter(r => bs(r.bucket)).map(_.rows).sum
+    }
     val rowsAfter = newFiles.map(_.rows).sum
     val newRefs = lake.writeManifests(cur.snapshotId + 1,
       newFiles.groupBy(_.bucket))
-    val snap = Snapshot(cur.snapshotId + 1, cur.snapshotId, cur.epoch,
-      cur.schemaJson, cur.schemaVersion, nB, newRefs, cur.lineage,
-      Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
-        "rowsAfter" -> rowsAfter.toDouble),
-      bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor)
-    val committed = lake.commit(snap, maintenance = true)
-    CompactionStats(committed, cur.totalFiles, newFiles.size,
+    beforeCommitHook()
+    val committed = bucketSubset match {
+      case Some(bs) =>
+        // incremental run: rebase onto a concurrent winner that left the
+        // compacted buckets untouched, conflict loudly otherwise
+        lake.commitRebasing(cur, bs, newRefs,
+          Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
+            "rowsAfter" -> rowsAfter.toDouble))
+      case None =>
+        val snap = Snapshot(cur.snapshotId + 1, cur.snapshotId, cur.epoch,
+          cur.schemaJson, cur.schemaVersion, nB, newRefs, cur.lineage,
+          Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
+            "rowsAfter" -> rowsAfter.toDouble),
+          bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor)
+        lake.commit(snap, maintenance = true)
+    }
+    val filesBefore = bucketSubset match {
+      case None => cur.totalFiles
+      case Some(bs) => cur.manifests.filter(r => bs(r.bucket)).map(_.nFiles).sum
+    }
+    CompactionStats(committed, filesBefore, newFiles.size,
       rowsBefore, rowsAfter, rowsBefore - rowsAfter)
   }
 }

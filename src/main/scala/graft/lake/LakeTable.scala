@@ -498,6 +498,54 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     snap
   }
 
+  /** Maintenance commit with BUCKET-DISJOINT REBASE on a lost race: the
+    * optimistic-concurrency rule every production table format runs so
+    * background maintenance never stalls ingest (Iceberg's commit retry
+    * re-validates only the files a rewrite touched). The caller prepared
+    * `newRefs` for `rewrittenBuckets` against `basedOn`; if a concurrent
+    * commit wins the version race but left every rewritten bucket's
+    * manifest set UNCHANGED, the result is rebased onto the winner — the
+    * winner's manifests everywhere else, ours for the rewritten buckets,
+    * the winner's epoch/lineage/schema adopted — and retried. Rewritten
+    * files were written under `basedOn`'s schema; schema-first reads with
+    * field-id matching upcast/null-fill them exactly like the pre-rewrite
+    * files they replaced, so adopting a concurrently-evolved schema is
+    * sound. A winner that touched a rewritten bucket, or re-bucketed the
+    * table, is a REAL conflict: recompute (CommitConflictException). */
+  def commitRebasing(basedOn: Snapshot, rewrittenBuckets: Set[Int],
+                     newRefs: Seq[ManifestRef], metrics: Map[String, Double],
+                     attempts: Int = 5): Snapshot = {
+    var base = basedOn
+    var left = attempts
+    while (true) {
+      val snap = Snapshot(base.snapshotId + 1, base.snapshotId, base.epoch,
+        base.schemaJson, base.schemaVersion, base.nBuckets,
+        base.manifests.filterNot(r => rewrittenBuckets(r.bucket)) ++ newRefs,
+        base.lineage, metrics,
+        bucketCols = base.bucketCols, keyCols = base.keyCols, mor = base.mor)
+      try return commit(snap, maintenance = true)
+      catch {
+        case e: CommitConflictException =>
+          left -= 1
+          if (left <= 0) throw e
+          val cur = currentSnapshot.get
+          if (cur.nBuckets != basedOn.nBuckets)
+            throw new CommitConflictException(
+              s"table re-bucketed ${basedOn.nBuckets} -> ${cur.nBuckets} " +
+              "under the rewrite — recompute")
+          def refsOf(s: Snapshot) = s.manifests
+            .filter(r => rewrittenBuckets(r.bucket)).map(_.path).toSet
+          if (refsOf(cur) != refsOf(basedOn))
+            throw new CommitConflictException(
+              s"concurrent commit touched rewritten buckets " +
+              s"${rewrittenBuckets.toSeq.sorted.take(8).mkString(",")}… — " +
+              "recompute against the current state")
+          base = cur // disjoint winner: rebase and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Expire all but the newest `keepLast` snapshots: their metadata files
     * are removed and any data file or manifest referenced ONLY by expired
     * snapshots is deleted (manifests are shared across snapshots by

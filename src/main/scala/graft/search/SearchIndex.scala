@@ -142,7 +142,11 @@ object SearchIndex {
     withB
       .repartition(math.max(nB, 1), col("b"))
       .sortWithinPartitions("b", "term", "conv_id", "turn_idx")
-      .write.partitionBy("b").parquet(dataDir)
+      // term blooms: `search` point-looks-up each query term over the
+      // bucket's delta chain — same membership pruning as the main lake's
+      // MoR chains (LakeTable.lookupFilesKeyed probes them)
+      .write.options(graft.lake.LakeIO.bloomWriteOptions("term"))
+      .partitionBy("b").parquet(dataDir)
     val files = graft.lake.LakeIO.list(dataDir)
       .filter { case (name, _, isDir) => isDir && name.startsWith("b=") }
       .flatMap { case (name, path, _) =>
@@ -163,14 +167,23 @@ object SearchIndex {
     }
     val rowsOut = metas.map(_.rows).sum
     val durationSec = (System.nanoTime() - t0) / 1e9
-    val snap = Snapshot(snapshotId, cur.map(_.snapshotId).getOrElse(-1L),
-      epoch, withB.drop("b").schema.json,
-      cur.map(_.schemaVersion).getOrElse(1), nB,
-      carried ++ newRefs, Seq.empty,
-      Map("rowsIn" -> rowsOut.toDouble, "rowsOut" -> rowsOut.toDouble,
-        "durationSec" -> durationSec),
-      bucketCols = postingKeys.bucketCols, keyCols = postingKeys.keyCols)
-    (index.commit(snap, maintenance = maintenance), rowsOut)
+    val metrics = Map("rowsIn" -> rowsOut.toDouble,
+      "rowsOut" -> rowsOut.toDouble, "durationSec" -> durationSec)
+    replaceBuckets match {
+      // per-bucket compaction: rebase over a concurrent refresh that
+      // touched only OTHER buckets (LakeTable.commitRebasing) — the fold
+      // lands instead of skipping its cycle; a refresh that extended a
+      // compacted bucket's chain still conflicts for the caller to skip
+      case Some(bs) if maintenance && cur.isDefined =>
+        (index.commitRebasing(cur.get, bs, newRefs, metrics), rowsOut)
+      case _ =>
+        val snap = Snapshot(snapshotId, cur.map(_.snapshotId).getOrElse(-1L),
+          epoch, withB.drop("b").schema.json,
+          cur.map(_.schemaVersion).getOrElse(1), nB,
+          carried ++ newRefs, Seq.empty, metrics,
+          bucketCols = postingKeys.bucketCols, keyCols = postingKeys.keyCols)
+        (index.commit(snap, maintenance = maintenance), rowsOut)
+    }
   }
 
   /** Bring the index up to date with `source`'s current snapshot. A fresh
