@@ -264,6 +264,37 @@ object Bench {
       f""""throughput_cow":$cow%.1f,"throughput_mor":$mor%.1f,""" +
       f""""speedup":${mor / cow}%.2f}"""
     }.getOrElse("")
+
+    // ---- point-lookup latency + membership pruning on the MoR lake the
+    // trickle block just built (multi-file bucket chains — the shape the
+    // per-file bloom/dictionary evidence exists for). Positive lookups
+    // time the whole driver path (prune + one small Spark job); negative
+    // lookups must prune to ZERO files and run no job at all.
+    val lookupJson = morBlock.map { _ =>
+      val lakeDir = new java.io.File(base,
+        s"lake-trickle-mor-r${math.min(benchRuns, 2)}").getPath
+      val lake = new LakeTable(spark, lakeDir)
+      val snap = lake.currentSnapshot.get
+      val convs = lake.read().select("conv_id").distinct()
+        .orderBy("conv_id").limit(16).collect().map(_.getString(0))
+      lake.lookup(convs.head).count() // warm the lookup path once
+      def ms(f: => Unit): Double = { val t = System.nanoTime(); f
+        (System.nanoTime() - t) / 1e6 }
+      val pos = convs.map(c => ms { lake.lookup(c).count() }).sorted
+      val ghosts = convs.map(_ + "-x0")
+      var ghostFiles = 0
+      val neg = ghosts.map(g => ms {
+        ghostFiles += lake.lookupFilesKeyed(Seq(g)).size }).sorted
+      val chainAvg = snap.totalFiles.toDouble / snap.nBuckets
+      val posFilesPruned = convs.map(c =>
+        lake.lookupFilesKeyed(Seq(c), bloom = false).size -
+          lake.lookupFilesKeyed(Seq(c)).size).sum
+      f""","lookup":{"chain_avg":$chainAvg%.1f,""" +
+      f""""pos_ms_p50":${pos(pos.length / 2)}%.1f,""" +
+      f""""neg_ms_p50":${neg(neg.length / 2)}%.1f,""" +
+      f""""neg_files_opened":$ghostFiles,""" +
+      f""""pos_files_pruned":$posFilesPruned}"""
+    }.getOrElse("")
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -345,6 +376,6 @@ object Bench {
       f""""runs":$benchRuns,"pinned":$pinned,""" +
       f""""steal_pct":{"n":${stealN.max}%.1f,"four_n":${steal4n.max}%.1f},""" +
       f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f,""" +
-      f""""full":$fullSpread%.3f}$morJson$soakJson}}""")
+      f""""full":$fullSpread%.3f}$morJson$lookupJson$soakJson}}""")
   }
 }
