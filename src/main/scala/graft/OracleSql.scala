@@ -695,6 +695,16 @@ object OracleSql {
          |  event_id AS winner_lsn, event_type AS etype FROM (
          |  SELECT user_id, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q57: identical election to q51 — the engine side ingested the events
+    // as Debezium-style JSON envelope strings (before/after images), so
+    // equality proves the JSON source path end-to-end.
+    "q57_json_envelope" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, event_type AS winner_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
          |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

@@ -1037,6 +1037,35 @@ object Queries {
       col("_lsn").as("winner_lsn"), col("etype"))
   }
 
+  /** JSON-envelope source through the engine: the events feed rendered as
+    * Debezium-style envelope STRINGS (op c/u/d, before/after images,
+    * source.lsn), parsed by `JsonChangelog.parseLines` and replayed through
+    * the same epoch-fenced merge — final state must equal plain SQL LWW.
+    * The reference's native input shape (JSON event envelopes,
+    * jobs-core Event.scala:7-93) covered by the oracle gate end-to-end. */
+  def q57JsonEnvelope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val row = struct(col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"))
+    val lines = t(s, dir, "events").select(to_json(struct(
+      when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"),
+      when(col("event_type") === "error", row).otherwise(lit(null)).as("before"),
+      when(col("event_type") =!= "error", row).otherwise(lit(null)).as("after"),
+      struct(col("event_id").as("lsn"),
+        pmod(col("event_id"), lit(8)).cast("int").as("part"),
+        col("event_id").as("off")).as("source"))).as("value"))
+    val rowSchema = StructType(Seq( // events.user_id is int64 — generic keys
+      StructField("conv_id", LongType), StructField("turn_idx", IntegerType),
+      StructField("event_type", StringType)))
+    val batch = graft.changelog.JsonChangelog.parseLines(lines, rowSchema)
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q57-json-${System.nanoTime()}")
+    graft.cdc.CdcApply.apply(lake, batch, epoch = 1, nBuckets = 16)
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1095,6 +1124,7 @@ object Queries {
     "q53_replica_mirror" -> (q53ReplicaMirror _),
     "q54_follow_delta" -> (q54FollowDelta _),
     "q55_sql_pushdown" -> (q55SqlPushdown _),
-    "q56_rename_evolve" -> (q56RenameEvolve _)
+    "q56_rename_evolve" -> (q56RenameEvolve _),
+    "q57_json_envelope" -> (q57JsonEnvelope _)
   )
 }

@@ -95,7 +95,13 @@ final class CdcDriver(
       * contract persists with the replica; where/cols seed a NEW one. */
     replica: Option[LakeTable] = None,
     replicaWhere: String = "",
-    replicaCols: Seq[String] = Nil) {
+    replicaCols: Seq[String] = Nil,
+    /** changelog segment format: "parquet" (default — footer-derived
+      * probe/schema/lineage, the performance path) or "json"
+      * (Debezium-style envelopes, graft.changelog.JsonChangelog — pays a
+      * parse per event and the merge's fallback probe scan; corrupt lines
+      * quarantine). */
+    format: String = "parquet") {
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -119,13 +125,17 @@ final class CdcDriver(
     val out = scala.collection.mutable.ArrayBuffer[CdcApply.ApplyStats]()
     pending.grouped(segmentsPerBatch).take(maxBatches).foreach { group =>
       val paths = group.map(s => s"$changelogDir/seg=$s")
-      val probe = CdcApply.phase("driver-footer-probe") { probeFromFooters(paths) }
+      val probe =
+        if (format == "json") None // no footers; merge runs its probe scan
+        else CdcApply.phase("driver-footer-probe") { probeFromFooters(paths) }
       // The footer probe already read every file's footer — its embedded
       // Spark schema JSONs give the batch's (additively merged) schema for
       // free, so the usual distributed mergeSchema inference job (a serial
       // per-batch cost that Amdahl-limits scaling) only runs as a fallback.
       val batch0 = CdcApply.phase("driver-read-schema") {
-        probe.flatMap(p => FooterProbe.mergedSchema(p.schemaJsons)) match {
+        if (format == "json")
+          graft.changelog.JsonChangelog.readSegments(spark, paths, changelogDir)
+        else probe.flatMap(p => FooterProbe.mergedSchema(p.schemaJsons)) match {
           case Some(sc) => spark.read.schema(sc)
             .option("basePath", changelogDir).parquet(paths: _*)
           case None => spark.read

@@ -13,9 +13,12 @@ import graft.lake.LakeTable
  * Usage:
  *   CdcMain gen     <changelogDir> <nEvents> [nConvs] [skew] [evolveAt] [segSize]
  *   CdcMain replay  <changelogDir> <lakeDir> [segmentsPerBatch] [nBuckets]
- *                   [saltBuckets] [aggDir|-] [patch] [nocf]
+ *                   [saltBuckets] [aggDir|-] [patch] [nocf] [format=json]
+ *   CdcMain tojson  <parquetChangelogDir> <jsonDir> — convert a changelog
+ *                   to Debezium-style JSON envelopes (replay format=json)
  *   CdcMain stream  <changelogDir> <lakeDir> <ckptDir> [nBuckets]
  *                   [saltBuckets] [maxFilesPerTrigger] [liveIntervalMs]
+ *                   [format=json]
  *   CdcMain state   <lakeDir>      — row count + order-independent checksum
  *   CdcMain lookup  <lakeDir> <value> [value...] — point lookup of one
  *                   entity (keySpec.bucketCols order); prints the rows and
@@ -90,7 +93,7 @@ object CdcMain {
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
   private val flagNames =
     Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
-      "cluster", "filerows", "imagecols", "buckets")
+      "cluster", "filerows", "imagecols", "buckets", "format")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
@@ -152,7 +155,9 @@ object CdcMain {
         replica = flag(rest, "rep").map(d => new LakeTable(spark, d)),
         replicaWhere = flag(rest, "rwhere").getOrElse(""),
         replicaCols = flag(rest, "rcols")
-          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        // format=json: Debezium-style envelope segments (JsonChangelog)
+        format = flag(rest, "format").getOrElse("parquet"))
       val t0 = System.nanoTime()
       val stats = driver.run()
       val sec = (System.nanoTime() - t0) / 1e9
@@ -167,11 +172,14 @@ object CdcMain {
       // evolved) changelog schema from the segment footers, so additive
       // columns are picked up at stream (re)start — the standard Structured
       // Streaming schema-evolution pattern.
-      val inferred = org.apache.spark.sql.types.StructType(
-        spark.read.option("mergeSchema", "true")
-          .option("recursiveFileLookup", "true")
-          .parquet(changelogDir).schema
-          .fields.filterNot(f => f.name == "p" || f.name == "seg"))
+      val fmt = flag(rest, "format").getOrElse("parquet")
+      val inferred =
+        if (fmt == "json") new org.apache.spark.sql.types.StructType() // sidecar-typed
+        else org.apache.spark.sql.types.StructType(
+          spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(changelogDir).schema
+            .fields.filterNot(f => f.name == "p" || f.name == "seg"))
       val pos = positionals(rest)
       // optional 4th arg: live processing interval in ms (0/absent = drain
       // the backlog with AvailableNow and exit; >0 = always-on tailer)
@@ -196,7 +204,8 @@ object CdcMain {
         replica = flag(rest, "rep").map(d => new LakeTable(spark, d)),
         replicaWhere = flag(rest, "rwhere").getOrElse(""),
         replicaCols = flag(rest, "rcols")
-          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil))
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        format = fmt)
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))
       spark.stop()
@@ -369,6 +378,15 @@ object CdcMain {
         s""""filesTotal":$total}""")
       spark.stop()
 
+    // Convert a parquet changelog into the Debezium-style JSON-envelope
+    // flavor (same seg=N/p=P layout + a _schema.json type sidecar), then
+    // replay with `replay <jsonDir> <lake> ... format=json`.
+    case "tojson" :: parquetCl :: jsonDir :: Nil =>
+      val spark = session()
+      graft.changelog.JsonChangelog.fromParquet(spark, parquetCl, jsonDir)
+      println(s"""{"converted":"$parquetCl","to":"$jsonDir"}""")
+      spark.stop()
+
     // Metadata-only schema evolution: rename resolves old files by field
     // id (zero rewrite); drop removes the column from the current schema
     // (a re-added name is a new column — old values never resurrect).
@@ -424,8 +442,12 @@ object CdcMain {
         case Some(snap) =>
           val t = lake.read()
           // map columns are not hashable (order-ambiguous) — canonicalize
-          // them as sorted-entry JSON before the row hash
-          val hashCols = t.schema.fields.toIndexedSeq.map { f =>
+          // them as sorted-entry JSON before the row hash. Columns hash in
+          // NAME order, so two logically-equal tables whose physical column
+          // order differs (e.g. a mid-stream additive column lands at the
+          // end on the parquet path but mid-schema via a JSON-envelope
+          // replay's sidecar) produce the same checksum.
+          val hashCols = t.schema.fields.toIndexedSeq.sortBy(_.name).map { f =>
             f.dataType match {
               case _: org.apache.spark.sql.types.MapType =>
                 to_json(sort_array(map_entries(col(f.name))))

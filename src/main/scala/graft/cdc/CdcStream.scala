@@ -75,7 +75,11 @@ object CdcStream {
       replicaCols: Seq[String] = Nil,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
-      onBatch: Long => Unit = _ => ()): StreamingQuery = {
+      onBatch: Long => Unit = _ => (),
+      /** changelog segment format: "parquet" (footer fast paths) or
+        * "json" (Debezium-style envelopes via JsonChangelog — `schema` is
+        * ignored; the sidecar types the rows; no footer probe). */
+      format: String = "parquet"): StreamingQuery = {
     bindOrRefuse(lake, checkpointDir)
     // Derived-table reconciliation: if a crash landed between the main
     // commit and the agg maintain, the replayed batch will fence and the
@@ -83,13 +87,23 @@ object CdcStream {
     // commit log before tailing (and again whenever a fenced batch shows
     // the agg table lagging).
     aggLake.foreach(al => AggMaintenance.catchUp(spark, lake, al))
-    val src = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      // recursive lookup: tails both flat `seg=N/` and sharded `seg=N/p=P/`
-      // archive layouts without partition-column inference
-      .option("recursiveFileLookup", "true")
-      .parquet(changelogDir)
+    val src =
+      if (format == "json") {
+        val rs = graft.changelog.JsonChangelog.rowSchema(changelogDir)
+        graft.changelog.JsonChangelog.project(
+          spark.readStream
+            .schema(graft.changelog.JsonChangelog.envelopeSchema(rs))
+            .option("mode", "PERMISSIVE") // corrupt lines → quarantine
+            .option("maxFilesPerTrigger", maxFilesPerTrigger)
+            .option("recursiveFileLookup", "true")
+            .json(changelogDir), rs)
+      } else spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        // recursive lookup: tails both flat `seg=N/` and sharded
+        // `seg=N/p=P/` archive layouts without partition-column inference
+        .option("recursiveFileLookup", "true")
+        .parquet(changelogDir)
     src.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -104,8 +118,10 @@ object CdcStream {
         // matters until the first commit seeds it).
         val ks = lake.currentSnapshot.map(_.keySpec)
           .getOrElse(graft.model.Schemas.KeySpec.transcripts)
-        val probe = FooterProbe.fromInputFiles(batch.inputFiles.toSeq,
-          ks.keyCols.toSet + "_lsn", bucketKeys = ks.bucketCols)
+        val probe =
+          if (format == "json") None // text shards carry no footers
+          else FooterProbe.fromInputFiles(batch.inputFiles.toSeq,
+            ks.keyCols.toSet + "_lsn", bucketKeys = ks.bucketCols)
         val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
           nBuckets, saltBuckets, probeInfo = probe,
           patchEnabled = patchEnabled, changeFeed = changeFeed, mor = mor)
@@ -156,12 +172,13 @@ object CdcStream {
       morCompactChain: Int = 16,
       replica: Option[LakeTable] = None,
       replicaWhere: String = "",
-      replicaCols: Seq[String] = Nil): Unit =
+      replicaCols: Seq[String] = Nil,
+      format: String = "parquet"): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
       changeFeed, searchIndex, indexCompactChain,
       keepSnapshots, mor, morCompactChain, replica, replicaWhere,
-      replicaCols).awaitTermination()
+      replicaCols, format = format).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
     * (one transient FS hiccup would otherwise end the deployment) restarts
@@ -197,7 +214,8 @@ object CdcStream {
       replica: Option[LakeTable] = None,
       replicaWhere: String = "",
       replicaCols: Seq[String] = Nil,
-      onBatch: Long => Unit = _ => ()): Unit = {
+      onBatch: Long => Unit = _ => (),
+      format: String = "parquet"): Unit = {
     var attempt = 0
     var running = true
     while (running) {
@@ -206,7 +224,7 @@ object CdcStream {
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
         patchEnabled, changeFeed, searchIndex, indexCompactChain,
         keepSnapshots, mor, morCompactChain, replica, replicaWhere,
-        replicaCols, onBatch)
+        replicaCols, onBatch, format)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)
