@@ -317,12 +317,22 @@ object CdcApply {
         val fresh = batchDataFields.filterNot(f => known(f.name))
         val stamped =
           if (!graft.model.Schemas.hasFieldIds(s.schema)) fresh // legacy table
-          else fresh.zipWithIndex.map { case (f, i) =>
-            graft.model.Schemas.withFieldId(
-              f, graft.model.Schemas.nextFieldId(s.schema) + i)
+          else {
+            // allocate past the table's all-time high-water mark, not just
+            // the current schema's max: a dropped column's id must never be
+            // recycled (it would resurrect the dropped values by id-match)
+            val base = math.max(
+              graft.model.Schemas.nextFieldId(s.schema), s.lastFieldId + 1)
+            fresh.zipWithIndex.map { case (f, i) =>
+              graft.model.Schemas.withFieldId(f, base + i)
+            }
           }
         StructType(widened ++ stamped)
     }
+    // High-water mark for the committed snapshot (carried through drops)
+    val lastFieldId = math.max(
+      cur.map(_.lastFieldId).getOrElse(0L),
+      graft.model.Schemas.maxFieldId(targetSchema))
     val schemaVersion = cur match {
       case None => 1
       case Some(s) =>
@@ -406,7 +416,8 @@ object CdcApply {
         schemaVersion, nB, cur.map(_.manifests).getOrElse(Seq.empty),
         lineage, Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> 0.0,
           "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble),
-        bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor)
+        bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor,
+        lastFieldId = lastFieldId)
       val committed =
         try lake.commit(snap, maintenance = maintenance)
         catch {
@@ -641,7 +652,8 @@ object CdcApply {
         "eventsPerSec" -> (if (durationSec > 0) rowsIn / durationSec else 0.0),
         "failedEvents" -> nInvalid.toDouble) ++
         actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble },
-      bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor)
+      bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor,
+      lastFieldId = lastFieldId)
     val committed =
       try phase("commit") { lake.commit(snap, maintenance = maintenance) }
       catch {

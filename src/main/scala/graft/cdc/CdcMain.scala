@@ -416,7 +416,12 @@ object CdcMain {
       lake.currentSnapshot match {
         case None => println("""{"rows":0}""")
         case Some(snap) =>
-          val types = snap.keySpec.bucketCols.map(c =>
+          val bc = snap.keySpec.bucketCols
+          require(values.size == bc.size,
+            s"lookup takes exactly ${bc.size} value(s) for bucket columns " +
+            s"${bc.mkString("(", ", ", ")")}, got ${values.size} -- a " +
+            "truncated zip would hash the wrong bucket and report rows:0")
+          val types = bc.map(c =>
             snap.schema.fields.find(_.name == c).map(_.dataType))
           val typed: Seq[Any] = values.zip(types).map {
             case (v, Some(org.apache.spark.sql.types.IntegerType)) => v.toInt

@@ -161,7 +161,8 @@ object Compaction {
           cur.schemaJson, cur.schemaVersion, nB, newRefs, cur.lineage,
           Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
             "rowsAfter" -> rowsAfter.toDouble),
-          bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor)
+          bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor,
+          lastFieldId = cur.lastFieldId)
         lake.commit(snap, maintenance = true)
     }
     val filesBefore = bucketSubset match {

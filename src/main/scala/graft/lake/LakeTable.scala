@@ -90,7 +90,15 @@ final case class Snapshot(
       * (CdcApply.foldBuckets) bound the chain. Set at table creation by
       * the first commit, authoritative thereafter (like nBuckets /
       * keySpec). Missing in pre-MoR metadata -> false (copy-on-write). */
-    mor: Boolean = false) {
+    mor: Boolean = false,
+    /** High-water mark of every field id EVER assigned to this table --
+      * including ids of DROPPED columns, which the current schema no
+      * longer shows. Additive evolution allocates from
+      * `max(lastFieldId, max(schema ids)) + 1`, so a dropped id is never
+      * recycled (recycling would resurrect the dropped column's stored
+      * values under the new name). 0 in pre-field-id metadata -> callers
+      * fall back to the schema-derived max. */
+    lastFieldId: Long = 0L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   @com.fasterxml.jackson.annotation.JsonIgnore
@@ -244,12 +252,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         // hold the key. O(candidates) small footer IOs on the driver;
         // inconclusive probes keep the file (never a correctness risk).
         if (!bloom || cand.isEmpty) cand
-        else {
-          val colName = s.keySpec.bucketCols.head
-          ParquetFooters.parMap(cand)(f =>
-            (f, ParquetFooters.mightContain(f.path, colName, bucketValues.head)))
-            .filter(_._2 != Some(false)).map(_._1)
-        }
+        else LakeTable.filterByMembership(
+          cand, s.keySpec.bucketCols.head, bucketValues.head)
     }
 
   /** Key-range-pruned point lookup of one conversation's live rows. */
@@ -269,9 +273,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val df = resolveIfMor(
       spark.read.schema(s.schema).parquet(files.map(_.path): _*).filter(pred),
       s, nPart = 2)
-    if (df.columns.contains("_tombstone"))
-      df.filter(not(col("_tombstone"))).drop("_tombstone")
-    else df
+    graft.model.Schemas.stripFieldIds(
+      if (df.columns.contains("_tombstone"))
+        df.filter(not(col("_tombstone"))).drop("_tombstone")
+      else df)
   }
 
   /** MoR read resolution: collapse the bucket chains' multi-version rows to
@@ -293,10 +298,15 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       case Some(s) => resolveIfMor(readBuckets(None), s)
       case None => readBuckets(None)
     }
-    if (df.columns.contains("_tombstone"))
-      df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
-        .drop("_tombstone")
-    else df
+    val live =
+      if (df.columns.contains("_tombstone"))
+        df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
+          .drop("_tombstone")
+      else df
+    // field ids are TABLE-INTERNAL column identity: strip them from public
+    // reads so a user frame derived from this one never writes a parquet
+    // file with (possibly duplicate, via multi-aliasing) ids
+    graft.model.Schemas.stripFieldIds(live)
   }
 
   /** Time travel: the table's live rows as of `snapshotId` (snapshot must
@@ -313,10 +323,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
       else spark.read.schema(s.schema).parquet(files.map(_.path): _*),
       s)
-    if (df.columns.contains("_tombstone"))
-      df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
-        .drop("_tombstone")
-    else df
+    graft.model.Schemas.stripFieldIds(
+      if (df.columns.contains("_tombstone"))
+        df.filter(!org.apache.spark.sql.functions.col("_tombstone"))
+          .drop("_tombstone")
+      else df)
   }
 
   /** Metadata-only column RENAME (Iceberg `renameColumn` semantics): a new
@@ -347,7 +358,9 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     val ns = org.apache.spark.sql.types.StructType(
       sch.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     commit(s.copy(snapshotId = s.snapshotId + 1, parentId = s.snapshotId,
-      schemaJson = ns.json, schemaVersion = s.schemaVersion + 1),
+      schemaJson = ns.json, schemaVersion = s.schemaVersion + 1,
+      lastFieldId = math.max(s.lastFieldId,
+        graft.model.Schemas.maxFieldId(sch))),
       maintenance = true)
   }
 
@@ -372,8 +385,11 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       s"key column $name cannot be dropped")
     val ns = org.apache.spark.sql.types.StructType(
       sch.fields.filterNot(_.name == name))
+    // record the PRE-drop max id: the dropped id must stay reserved
     commit(s.copy(snapshotId = s.snapshotId + 1, parentId = s.snapshotId,
-      schemaJson = ns.json, schemaVersion = s.schemaVersion + 1),
+      schemaJson = ns.json, schemaVersion = s.schemaVersion + 1,
+      lastFieldId = math.max(s.lastFieldId,
+        graft.model.Schemas.maxFieldId(sch))),
       maintenance = true)
   }
 
@@ -459,7 +475,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       if (df.columns.contains("_tombstone"))
         df.filter(not(col("_tombstone"))).drop("_tombstone")
       else df
-    live.filter(residual)
+    graft.model.Schemas.stripFieldIds(live.filter(residual))
   }
 
   /** Atomically publish `snap` as the next version. Epoch fencing: if an
@@ -522,7 +538,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         base.schemaJson, base.schemaVersion, base.nBuckets,
         base.manifests.filterNot(r => rewrittenBuckets(r.bucket)) ++ newRefs,
         base.lineage, metrics,
-        bucketCols = base.bucketCols, keyCols = base.keyCols, mor = base.mor)
+        bucketCols = base.bucketCols, keyCols = base.keyCols, mor = base.mor,
+        lastFieldId = base.lastFieldId)
       try return commit(snap, maintenance = true)
       catch {
         case e: CommitConflictException =>
@@ -675,6 +692,17 @@ object LakeTable {
     * are kept — bucket pruning still applies, range pruning needs string
     * stats. Safe under MoR: every file that may CONTAIN the key survives,
     * so the LWW election sees the key's full chain. */
+  /** Drop candidate files whose bloom filter / full dictionary PROVES the
+    * value absent (ParquetFooters.mightContain); inconclusive evidence
+    * keeps the file. O(candidates) parallel driver footer IOs. Shared by
+    * the point-lookup path and GraftSql's key-equality pushdown so probe
+    * semantics can never diverge between them. */
+  def filterByMembership(files: Seq[DataFileMeta], column: String,
+                         value: Any): Seq[DataFileMeta] =
+    ParquetFooters.parMap(files)(f =>
+        (f, ParquetFooters.mightContain(f.path, column, value)))
+      .filter(_._2 != Some(false)).map(_._1)
+
   def pruneByKey(s: Snapshot, bucketValues: Seq[Any]): Seq[DataFileMeta] = {
     val b = bucketOfValues(bucketValues, s.nBuckets)
     val ranged = bucketValues.head match {

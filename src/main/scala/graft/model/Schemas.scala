@@ -162,8 +162,14 @@ object Schemas {
       withFieldId(f, i + 1L)
     })
 
-  def nextFieldId(s: StructType): Long =
-    s.fields.flatMap(fieldId).foldLeft(0L)(math.max) + 1L
+  def maxFieldId(s: StructType): Long =
+    s.fields.flatMap(fieldId).foldLeft(0L)(math.max)
+
+  /** Next id from the CURRENT schema alone — callers allocating new ids
+    * must take `math.max(nextFieldId(schema), snapshot.lastFieldId + 1)`:
+    * after a dropColumn the schema no longer shows the dropped id, and
+    * recycling it would resurrect the dropped column's stored values. */
+  def nextFieldId(s: StructType): Long = maxFieldId(s) + 1L
 
   /** Strip field-id metadata from a DataFrame that leaves the table
     * boundary (change-feed deltas, verification dumps): aliases inherit

@@ -181,7 +181,8 @@ object SearchIndex {
           epoch, withB.drop("b").schema.json,
           cur.map(_.schemaVersion).getOrElse(1), nB,
           carried ++ newRefs, Seq.empty, metrics,
-          bucketCols = postingKeys.bucketCols, keyCols = postingKeys.keyCols)
+          bucketCols = postingKeys.bucketCols, keyCols = postingKeys.keyCols,
+          lastFieldId = cur.map(_.lastFieldId).getOrElse(0L))
         (index.commit(snap, maintenance = maintenance), rowsOut)
     }
   }

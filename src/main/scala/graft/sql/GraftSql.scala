@@ -205,12 +205,9 @@ object GraftPushdown extends Rule[LogicalPlan] with PredicateHelper {
         val keyFiles = LakeTable.pruneByKey(s, vs).map(_.path).toSet
         val ranged = zoneKept.filter(f => keyFiles.contains(f.path))
         // per-file membership evidence (parquet bloom / chunk dictionary):
-        // planning-time O(candidates) footer IO, same as the point-lookup
-        // path — inconclusive probes keep the file
-        val keyCol = s.keySpec.bucketCols.head
-        graft.lake.ParquetFooters.parMap(ranged)(f =>
-            (f, graft.lake.ParquetFooters.mightContain(f.path, keyCol, vs.head)))
-          .filter(_._2 != Some(false)).map(_._1)
+        // planning-time O(candidates) footer IO, same code path as the
+        // point lookup (LakeTable.filterByMembership)
+        LakeTable.filterByMembership(ranged, s.keySpec.bucketCols.head, vs.head)
       case None => zoneKept
     }
     val base =
@@ -234,7 +231,10 @@ object GraftPushdown extends Rule[LogicalPlan] with PredicateHelper {
       val n = analyzed.output.find(_.name == o.name).getOrElse(
         throw new IllegalStateException(
           s"rewrite lost column ${o.name} of $rel"))
-      Alias(n, o.name)(exprId = o.exprId)
+      // pin the relation's (metadata-free) attribute metadata: the parquet
+      // attrs underneath carry table-internal field ids that must not leak
+      // into the query's public output schema
+      Alias(n, o.name)(exprId = o.exprId, explicitMetadata = Some(o.metadata))
     }
     Project(aliases, analyzed)
   }

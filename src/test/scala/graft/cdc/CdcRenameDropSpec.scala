@@ -137,6 +137,51 @@ class CdcRenameDropSpec extends AnyFunSuite {
     assert(viaLookup == viaScan && viaLookup.nonEmpty)
   }
 
+  test("a dropped column's field id is never recycled") {
+    val lake = build()
+    val n = lake.currentSnapshot.get.nBuckets
+    val convs = lake.read().select("conv_id").distinct()
+      .collect().map(_.getString(0))
+    // conv1 and conv2 in DIFFERENT buckets, so conv1's bucket file (which
+    // physically stores the dropped column's bytes under its id) stays
+    // live after conv2's batch rewrites only conv2's bucket
+    val conv1 = convs.head
+    val conv2 = convs.find(c =>
+      LakeTable.bucketOfValue(c, n) != LakeTable.bucketOfValue(conv1, n)).get
+    val e0 = lake.currentSnapshot.get.epoch
+
+    CdcApply.apply(lake, batchRow(conv1, 80000000L,
+      Map("extra" -> "keepme")), e0 + 1, nBuckets = n)
+    val idExtra = Schemas.fieldId(
+      lake.currentSnapshot.get.schema("extra")).get
+    lake.dropColumn("extra")
+    CdcApply.apply(lake, batchRow(conv2, 80000001L,
+      Map("extra2" -> "fresh")), e0 + 2, nBuckets = n)
+
+    val sch = lake.currentSnapshot.get.schema
+    assert(Schemas.fieldId(sch("extra2")).get > idExtra,
+      "a dropped id must never be recycled (lastFieldId high-water mark)")
+    // the dropped column's stored bytes must not surface under extra2
+    val withVal = lake.read().filter(col("extra2").isNotNull).collect()
+    assert(withVal.length == 1 &&
+      withVal.head.getAs[String]("conv_id") == conv2 &&
+      withVal.head.getAs[String]("extra2") == "fresh",
+      s"dropped values resurrected: ${withVal.mkString(";")}")
+  }
+
+  test("public reads carry no field-id metadata (derived writes are safe)") {
+    val lake = build()
+    assert(!lake.read().schema.fields.exists(
+      _.metadata.contains(Schemas.FieldIdKey)))
+    // the classic leak: multi-aliasing one column and writing parquet —
+    // with leaked ids this writes a duplicate-id file unreadable under
+    // id-matching
+    val out = graft.TestSpark.tmpDir("fid-leak")
+    lake.read().select(col("text").as("a"), col("text").as("b"))
+      .write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).count() == lake.read().count())
+  }
+
   test("refusals: key columns, internal columns, collisions") {
     val lake = build()
     intercept[IllegalArgumentException](lake.renameColumn("conv_id", "cid"))
