@@ -705,6 +705,48 @@ object OracleSql {
          |  event_id AS winner_lsn, event_type AS winner_type FROM (
          |  SELECT user_id, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
-         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q58: the q51 LWW winners with the engine's two DML statements applied
+    // relationally — the predicate DELETE drops its matches, the predicate
+    // UPDATE doubles `value` on its matches (× 2 is exact in binary
+    // floating point, so the hash comparison is safe).
+    "q58_dml_mutation" ->
+      s"""SELECT conv_id, turn_idx, event_type,
+         |  CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value
+         |FROM (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_type, value,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> 'error'
+         |  AND NOT (event_type = 'view' AND turn_idx < 5)""".stripMargin,
+
+    // q59: the engine tagged batch 1, took a corrupted batch 2, ROLLED BACK
+    // to the tag (epoch rewound) and replayed the corrected batch 2 (clicks
+    // only) at the undone epoch — so the final state is the election over
+    // (first half ∪ second-half clicks), with the corrupt rows leaving no
+    // trace.
+    "q59_rollback" ->
+      s"""WITH mid AS (SELECT CAST(FLOOR(max(event_id) / 2.0) AS BIGINT) AS m FROM events),
+         |feed AS (
+         |  SELECT * FROM events
+         |  WHERE event_id <= (SELECT m FROM mid) OR event_type = 'click')
+         |SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, event_type AS winner_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM feed) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q60: the q51 election restricted to events CONFORMING to the table's
+    // CHECK constraint (turn_idx < 18) — the engine dead-letters violating
+    // events in the merge's validation pass, so they must leave no trace.
+    "q60_check_constraint" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, event_type AS winner_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events WHERE event_id % 20 < 18)
+         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

@@ -1066,6 +1066,95 @@ object Queries {
       col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
   }
 
+  /** SQL DML through the engine: the events LWW feed ingests into a lake,
+    * then a predicate DELETE tombstones part of the table and a predicate
+    * UPDATE rewrites another part (`GraftDml.sql` — parsed statements
+    * compiled into ONE synthesized maintenance batch each, through the same
+    * epoch-fenced merge as source batches; matched reads file-prune via
+    * GraftSql, writes touch only matched buckets). Oracle: the plain-SQL
+    * election with the same predicates applied relationally. Reference
+    * analogue: admin-triggered state rewrites
+    * (merge-user-courses MergeOperations.scala:49-99). */
+  def q58DmlMutation(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("value"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q58-dml-${System.nanoTime()}")
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    graft.sql.GraftDml.sql(lake,
+      "DELETE FROM lake WHERE event_type = 'view' AND turn_idx < 5")
+    graft.sql.GraftDml.sql(lake,
+      "UPDATE lake SET value = value * 2 WHERE event_type = 'click'")
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("event_type"), col("value"))
+  }
+
+  /** Snapshot rollback through the engine: batch 1 lands and is TAGGED, a
+    * bad batch 2 lands on top, the table ROLLS BACK to the tag (a new
+    * snapshot carrying the tagged state, epoch rewound), and the corrected
+    * batch 2 replays at the very epoch the bad one consumed. Oracle: the
+    * election over (first half ∪ corrected second half) in plain SQL —
+    * the bad rows must leave no trace in the final state. */
+  def q59Rollback(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q59-rb-${System.nanoTime()}")
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") <= mid),
+      epoch = 1, nBuckets = 16)
+    lake.tag("pre-batch2")
+    // the "bad" second half: every event's type corrupted
+    graft.cdc.CdcApply.apply(lake,
+      ev.filter(col("_lsn") > mid).withColumn("event_type", lit("CORRUPT")),
+      epoch = 2, nBuckets = 16)
+    lake.rollbackTo(lake.tags("pre-batch2"))
+    // corrected second half (clicks only) replays at the undone epoch
+    graft.cdc.CdcApply.apply(lake,
+      ev.filter(col("_lsn") > mid && col("event_type") === "click"),
+      epoch = 2, nBuckets = 16)
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
+  }
+
+  /** Table-level CHECK constraint through the engine: a constraint is
+    * installed BEFORE the replay, and every event violating it is
+    * dead-lettered by the merge's validation pass (reason `check:<name>`)
+    * instead of merging — so the final state is the election over
+    * conforming events only. Oracle: the same election with the constraint
+    * as a relational predicate on the feed. Reference analogue: per-event
+    * isValidEvent guards ahead of state writes
+    * (EnrolmentReconciliationFn.scala:67). */
+  def q60CheckConstraint(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q60-chk-${System.nanoTime()}")
+    lake.addCheck("turn_lt18", "turn_idx < 18")
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1125,6 +1214,9 @@ object Queries {
     "q54_follow_delta" -> (q54FollowDelta _),
     "q55_sql_pushdown" -> (q55SqlPushdown _),
     "q56_rename_evolve" -> (q56RenameEvolve _),
-    "q57_json_envelope" -> (q57JsonEnvelope _)
+    "q57_json_envelope" -> (q57JsonEnvelope _),
+    "q58_dml_mutation" -> (q58DmlMutation _),
+    "q59_rollback" -> (q59Rollback _),
+    "q60_check_constraint" -> (q60CheckConstraint _)
   )
 }

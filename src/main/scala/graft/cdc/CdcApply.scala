@@ -89,6 +89,30 @@ object CdcApply {
   def invalidReason(allowedOps: Seq[String]): Column =
     invalidReason(allowedOps, graft.model.Schemas.KeySpec.transcripts)
 
+  /** Parse a CHECK constraint against THIS batch's columns: references to
+    * table columns the batch doesn't carry (yet — additive evolution) read
+    * as NULL, which is exactly what the merge would store for them. A check
+    * like `value >= 0` then passes (SQL CHECK passes on NULL) while
+    * `value IS NOT NULL` rejects — both the semantics the stored row will
+    * actually have. Resolution is case-insensitive like Spark's. */
+  private[cdc] def checkColumn(spark: org.apache.spark.sql.SparkSession,
+                               exprSql: String,
+                               batchCols: Seq[String]): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bridge = org.apache.spark.sql.graft.GraftBridge
+    val lower = batchCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // parse EAGERLY (functions.expr is lazy in the unified-Column API —
+    // its SqlExpression node only parses at analysis, too late to rewrite)
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    val fixed = parsed.transform {
+      case u: UnresolvedAttribute
+        if !lower.contains(u.name.toLowerCase(java.util.Locale.ROOT)) =>
+        Literal(null)
+    }
+    bridge.column(fixed)
+  }
+
   /** Select `schema`'s columns from df in order, null-filling absentees —
     * the additive-schema-evolution alignment (unionByName semantics made
     * explicit so both sides get identical column order). */
@@ -239,13 +263,27 @@ object CdcApply {
       Seq(graft.model.Schemas.OpInsert, graft.model.Schemas.OpUpdate,
         graft.model.Schemas.OpDelete) ++
         (if (patchEnabled) Seq(graft.model.Schemas.OpPatch) else Nil)
-    val reason = invalidReason(allowedOps, ks)
+    // Table-level CHECK constraints compose onto the engine's structural
+    // validation: a row is rejected only when a constraint is definitively
+    // FALSE (NULL passes — standard SQL CHECK, and what keeps partial patch
+    // events from spurious rejection). Violations quarantine with reason
+    // `check:<name>` like any invalid event. Cheap metadata read; empty on
+    // tables without constraints.
+    val checks = if (validate) lake.checks else Map.empty[String, String]
+    val reason = checks.toSeq.sortBy(_._1)
+      .foldLeft(invalidReason(allowedOps, ks)) { case (r, (n, e)) =>
+        r.when(checkColumn(spark, e, batch.columns.toSeq) <=> lit(false),
+          s"check:$n")
+      }
     // Fast-path predicate: when footer null-counts prove the key columns
     // null-free (ProbeInfo.keysNullFree), the clean-feed check scans ONLY
     // the op column; op validity can never come from footers (unknown op
-    // codes sort inside the [min,max] of the valid ones).
+    // codes sort inside the [min,max] of the valid ones). Constraints
+    // reference business columns footers cannot prove — they disable the
+    // narrow-scan shortcut (the full reason rides the merge's observe
+    // either way, so a clean feed still pays zero extra passes).
     val checkPred =
-      if (probeInfo.exists(_.keysNullFree))
+      if (probeInfo.exists(_.keysNullFree) && checks.isEmpty)
         (col("op").isNull || !col("op").isin(allowedOps: _*))
       else reason.isNotNull
     // vObs is filled by whichever Spark job FIRST scans the batch (the

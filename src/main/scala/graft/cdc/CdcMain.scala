@@ -20,6 +20,10 @@ import graft.lake.LakeTable
  *                   [saltBuckets] [maxFilesPerTrigger] [liveIntervalMs]
  *                   [format=json]
  *   CdcMain state   <lakeDir>      — row count + order-independent checksum
+ *   CdcMain history <lakeDir> [n]  — the newest n snapshots (default 20),
+ *                   one JSON line each: id/parent/epoch/schemaVersion/
+ *                   rows/files + the commit's recorded metrics (rowsIn,
+ *                   eventsPerSec, change-feed counts, rollbackOf, …)
  *   CdcMain lookup  <lakeDir> <value> [value...] — point lookup of one
  *                   entity (keySpec.bucketCols order); prints the rows and
  *                   the file counts after each pruning stage (bucket ->
@@ -58,6 +62,31 @@ import graft.lake.LakeTable
  *                   view `lake` through graft.sql.GraftSql: WHERE clauses
  *                   on zone-mapped/key columns file-prune transparently;
  *                   prints rows + filesScanned/filesTotal
+ *   CdcMain dml     <lakeDir> <statement> — DELETE FROM t WHERE … |
+ *                   UPDATE t SET c = expr, … WHERE … through the same
+ *                   epoch-fenced maintenance merge (graft.sql.GraftDml);
+ *                   matched reads file-prune, writes touch only matched
+ *                   buckets, the epoch is kept (source feeds never fenced)
+ *   CdcMain check   <lakeDir> add <name> <expr> [novalidate] — table-level
+ *                   CHECK constraint enforced in the merge's validation
+ *                   (violations quarantine with reason check:<name>; NULL
+ *                   passes, SQL semantics); existing rows are validated
+ *                   unless novalidate. `check <lakeDir> drop <name>` |
+ *                   `check <lakeDir> list`
+ *   CdcMain tag     <lakeDir> <name> [snapshotId] — retention-proof named
+ *                   snapshot pin (default: current head); immutable
+ *   CdcMain untag   <lakeDir> <name>
+ *   CdcMain tags    <lakeDir>           — list tags
+ *   CdcMain clone   <srcLake> <dstLake> [snapshotId|tagName] — deep,
+ *                   independent copy at a snapshot (default current):
+ *                   file bytes + stats + chains preserved, epoch/lineage
+ *                   carried (the clone resumes the same feed), CHECK
+ *                   constraints inherited; source expiry can't break it
+ *   CdcMain rollback <lakeDir> <snapshotId|tagName> [agg=<aggDir>] — revert
+ *                   the table to a prior snapshot as a NEW commit (epoch
+ *                   rewinds so corrected batches can replay; snapshot-diff
+ *                   followers self-heal); agg= rolls an epoch-cursored
+ *                   derived table back in tandem
  *
  * `replay` and `stream` accept `mor` (merge-on-read ingest: batches APPEND
  * per-bucket delta files instead of rewriting touched buckets — O(batch)
@@ -93,7 +122,7 @@ object CdcMain {
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
   private val flagNames =
     Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
-      "cluster", "filerows", "imagecols", "buckets", "format")
+      "cluster", "filerows", "imagecols", "buckets", "format", "agg")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
@@ -362,6 +391,113 @@ object CdcMain {
       val total = new LakeTable(spark, lakeDir)
         .currentSnapshot.map(_.totalFiles).getOrElse(0)
       println(s"""{"rows":$rows,"filesScanned":$scanned,"filesTotal":$total}""")
+      spark.stop()
+
+    case "history" :: lakeDir :: rest =>
+      val spark = session()
+      val n = rest.headOption.map(_.toInt).getOrElse(20)
+      val lake = new LakeTable(spark, lakeDir)
+      lake.snapshots.takeRight(n).foreach { s =>
+        val ms = s.metrics.toSeq.sortBy(_._1)
+          .map { case (k, v) =>
+            val vs = if (v == v.floor && math.abs(v) < 1e15)
+              v.toLong.toString else v.toString
+            s""""$k":$vs"""
+          }.mkString(",")
+        println(s"""{"snapshotId":${s.snapshotId},"parentId":${s.parentId},""" +
+          s""""epoch":${s.epoch},"schemaVersion":${s.schemaVersion},""" +
+          s""""rows":${s.totalRows},"files":${s.totalFiles},""" +
+          s""""metrics":{$ms}}""")
+      }
+      spark.stop()
+
+    case "check" :: lakeDir :: "add" :: name :: exprSql :: rest =>
+      val spark = session()
+      new LakeTable(spark, lakeDir).addCheck(name, exprSql,
+        validateExisting = !rest.contains("novalidate"))
+      println(s"""{"check":"$name","added":true}""")
+      spark.stop()
+
+    case "check" :: lakeDir :: "drop" :: name :: Nil =>
+      val spark = session()
+      val removed = new LakeTable(spark, lakeDir).dropCheck(name)
+      println(s"""{"check":"$name","removed":$removed}""")
+      spark.stop()
+
+    case "check" :: lakeDir :: "list" :: Nil =>
+      val spark = session()
+      val cs = new LakeTable(spark, lakeDir).checks.toSeq.sortBy(_._1)
+        .map { case (n, e) => s""""$n":"${e.replace("\"", "\\\"")}"""" }
+        .mkString(",")
+      println(s"""{"checks":{$cs}}""")
+      spark.stop()
+
+    case "tag" :: lakeDir :: name :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val id = lake.tag(name, rest.headOption.map(_.toLong).getOrElse(-1L))
+      println(s"""{"tag":"$name","snapshotId":$id}""")
+      spark.stop()
+
+    case "untag" :: lakeDir :: name :: Nil =>
+      val spark = session()
+      val removed = new LakeTable(spark, lakeDir).untag(name)
+      println(s"""{"tag":"$name","removed":$removed}""")
+      spark.stop()
+
+    case "tags" :: lakeDir :: Nil =>
+      val spark = session()
+      val ts = new LakeTable(spark, lakeDir).tags.toSeq.sortBy(_._1)
+        .map { case (n, id) => s""""$n":$id""" }.mkString(",")
+      println(s"""{"tags":{$ts}}""")
+      spark.stop()
+
+    case "clone" :: srcDir :: dstDir :: rest =>
+      val spark = session()
+      val src = new LakeTable(spark, srcDir)
+      val asOf = rest.headOption.map(t => t.toLongOption.getOrElse(
+        src.tags.getOrElse(t, throw new NoSuchElementException(
+          s"no tag $t in $srcDir")))).getOrElse(-1L)
+      val snap = graft.lake.Clone.deepClone(src, dstDir, asOf)
+      println(s"""{"cloned":"$srcDir","to":"$dstDir",""" +
+        s""""fromSnapshot":${snap.metrics("clonedFromSnapshot").toLong},""" +
+        s""""rows":${snap.totalRows},"files":${snap.totalFiles},""" +
+        s""""epoch":${snap.epoch}}""")
+      spark.stop()
+
+    case "rollback" :: lakeDir :: target :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val targetId = target.toLongOption.getOrElse(
+        lake.tags.getOrElse(target, throw new NoSuchElementException(
+          s"no tag $target in $lakeDir")))
+      val snap = lake.rollbackTo(targetId)
+      // coupled rollback of an epoch-cursored derived table: without it the
+      // agg sits AHEAD of the rewound main epoch and stops catching up
+      val aggOut = flag(rest, "agg").map { aggDir =>
+        val agg = new LakeTable(spark, aggDir)
+        agg.rollbackEpochs(snap.epoch) match {
+          case Some(aid) if agg.currentSnapshot.exists(_.epoch > snap.epoch) =>
+            val as = agg.rollbackTo(aid)
+            s""","agg":{"snapshotId":${as.snapshotId},"epoch":${as.epoch}}"""
+          case _ => s""","agg":{"unchanged":true}"""
+        }
+      }.getOrElse("")
+      println(s"""{"rolledBackTo":$targetId,""" +
+        s""""snapshotId":${snap.snapshotId},"epoch":${snap.epoch},""" +
+        s""""rows":${lake.read().count()}$aggOut}""")
+      spark.stop()
+
+    case "dml" :: lakeDir :: statement :: Nil =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val st = graft.sql.GraftDml.sql(lake, statement)
+      val actions = st.actions.map { case (k, v) => s""""$k":$v""" }
+        .mkString(",")
+      println(s"""{"matched":${st.rowsIn},"skipped":${st.skipped},""" +
+        s""""touchedBuckets":${st.touchedBuckets},""" +
+        s""""snapshotId":${st.snapshot.snapshotId},""" +
+        s""""epoch":${st.snapshot.epoch},"actions":{$actions}}""")
       spark.stop()
 
     case "range" :: lakeDir :: rest if rest.size >= 3 && rest.size % 3 == 0 =>

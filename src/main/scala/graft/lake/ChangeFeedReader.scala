@@ -111,7 +111,10 @@ object ChangeFeedReader {
       .select(keyCols.map(col) ++ Seq(
         when(col("pre_lsn").isNull, "inserted")
           .when(col("post_lsn").isNull, "deleted")
-          .when(col("post_lsn") > col("pre_lsn"), "updated")
+          // ANY lsn movement is an update — including DOWNWARD, which is
+          // how a rollback shows up in the feed (the winner reverted to an
+          // older image). Carried = the identical winner on both sides.
+          .when(col("post_lsn") =!= col("pre_lsn"), "updated")
           .otherwise(lit("carried")).as("action"),
         col("pre_lsn"), col("post_lsn")) ++
         imageCols.flatMap(c => Seq(col(s"pre_$c"), col(s"post_$c"))): _*)

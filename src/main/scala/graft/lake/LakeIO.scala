@@ -133,6 +133,16 @@ object LakeIO {
 
   def delete(p: String): Unit = { fs(p).delete(new Path(p), true); () }
 
+  /** Stream-copy one file (any scheme to any scheme); parent dirs created.
+    * The deep-clone unit of work — embarrassingly parallel per file. */
+  def copy(src: String, dst: String): Unit = {
+    val sf = fs(src); val df = fs(dst)
+    org.apache.hadoop.fs.FileUtil.copy(
+      sf, new Path(src), df, new Path(dst),
+      /* deleteSource = */ false, /* overwrite = */ true, conf)
+    ()
+  }
+
   def mtime(p: String): Long =
     fs(p).getFileStatus(new Path(p)).getModificationTime
 

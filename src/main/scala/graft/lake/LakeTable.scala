@@ -563,6 +563,178 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Roll the table back to `targetId`: a NEW snapshot (next id, parent =
+    * the current head) carrying the target's manifests, schema, lineage AND
+    * epoch verbatim — the undo of bad batches every production table format
+    * ships (Iceberg `rollback_to_snapshot`), expressed as one more commit so
+    * snapshot ids stay monotone and every snapshot-diff consumer
+    * (ChangeFeedReader / ChangeFeedFollower / Replica / SearchIndex.refresh)
+    * sees the revert as ordinary inverse changes and self-heals.
+    *
+    * EPOCH REWIND is deliberate: the fence returns to the target's epoch, so
+    * corrected source batches can re-apply at the undone epochs (the CDC
+    * use: roll back, fix the feed, replay from the target's changelog
+    * position). Two consumers need care, both documented:
+    *  - epoch-cursored derived tables (AggMaintenance) sit AHEAD of a
+    *    rewound main table; roll them back in tandem ([[rollbackEpochs]]
+    *    finds the right target) — the CLI `rollback agg=` flag does both.
+    *  - a live streaming tailer's checkpoint does NOT rewind: rolled-back
+    *    batches are not re-delivered on resume (stop the stream first; use
+    *    rollback on streamed lakes to undo admin/DML state, not feed data).
+    *
+    * Concurrency: the exclusive version-file publish is the arbiter, same
+    * as every commit; a lost race retries against the new head (the target
+    * state is id-addressed, so retrying is always sound). */
+  def rollbackTo(targetId: Long, attempts: Int = 5): Snapshot = {
+    var left = attempts
+    while (true) {
+      val cur = currentSnapshot.getOrElse(
+        throw new IllegalStateException(s"no snapshot in $root"))
+      if (!versionIds.contains(targetId))
+        throw new NoSuchElementException(
+          s"no snapshot $targetId in $root (expired or never committed) — " +
+          "tag snapshots you may need to return to (tags are retention-proof)")
+      require(targetId < cur.snapshotId,
+        s"rollback target $targetId is not before the head ${cur.snapshotId}")
+      val target = loadSnapshot(targetId)
+      val snap = target.copy(
+        snapshotId = cur.snapshotId + 1, parentId = cur.snapshotId,
+        metrics = Map("rollbackOf" -> targetId.toDouble,
+          "rolledBackFrom" -> cur.snapshotId.toDouble),
+        // the high-water mark only grows: field ids assigned by the undone
+        // commits stay reserved even though their columns vanished with the
+        // rollback (re-adding the name later must mint a FRESH id)
+        lastFieldId = math.max(target.lastFieldId, cur.lastFieldId))
+      LakeIO.mkdirs(metaDir)
+      val bytes =
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(snap)
+      if (LakeIO.publishExclusive(versionPath(snap.snapshotId), bytes))
+        return snap
+      left -= 1
+      if (left <= 0) throw new CommitConflictException(
+        s"rollback to $targetId lost $attempts commit races")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The newest snapshot whose epoch is <= `epoch` — the coupled-rollback
+    * target for an epoch-cursored derived table whose main table was rolled
+    * back (AggMaintenance fences on epoch, so a derived table left AHEAD of
+    * a rewound main would silently stop catching up). */
+  def rollbackEpochs(epoch: Long): Option[Long] =
+    snapshots.reverse.find(_.epoch <= epoch).map(_.snapshotId)
+
+  // ------------------------------------------------------------------ tags
+
+  /** Named snapshot refs (Iceberg tags): retention-proof pins for audit
+    * states and rollback targets. One immutable file per tag under
+    * meta/tags/ — atomic create-no-overwrite, like version files. */
+  private def tagsDir: String = s"$metaDir/tags"
+  private def tagPath(name: String): String = s"$tagsDir/$name.json"
+  private def validTagName(name: String): Boolean =
+    name.nonEmpty && name.forall(c =>
+      Character.isLetterOrDigit(c) || c == '-' || c == '_' || c == '.')
+
+  /** Pin `snapshotId` (default: the current head) under `name`. Tags are
+    * immutable — re-pointing is untag + tag, so a concurrent reader never
+    * sees a tag silently move. */
+  def tag(name: String, snapshotId: Long = -1L): Long = {
+    require(validTagName(name), s"invalid tag name: $name")
+    val id =
+      if (snapshotId >= 0) snapshotId
+      else currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalStateException(s"no snapshot in $root"))
+    require(versionIds.contains(id), s"no snapshot $id in $root")
+    LakeIO.mkdirs(tagsDir)
+    val bytes = mapper.writeValueAsBytes(Map("snapshotId" -> id))
+    if (!LakeIO.publishExclusive(tagPath(name), bytes))
+      throw new CommitConflictException(
+        s"tag $name already exists (tags are immutable: untag first)")
+    id
+  }
+
+  def untag(name: String): Boolean = {
+    if (!LakeIO.exists(tagPath(name))) return false
+    LakeIO.delete(tagPath(name)); true
+  }
+
+  /** All tags, name -> snapshot id. */
+  def tags: Map[String, Long] = {
+    if (!LakeIO.exists(tagsDir)) return Map.empty
+    LakeIO.list(tagsDir)
+      .filter { case (n, _, isDir) => !isDir && n.endsWith(".json") }
+      .map { case (n, p, _) =>
+        // Jackson + Scala Map erasure yields Integer for small values
+        val m = mapper.readValue(LakeIO.readBytes(p),
+          classOf[Map[String, Any]])
+        n.stripSuffix(".json") -> m("snapshotId").toString.toLong
+      }.toMap
+  }
+
+  /** Live rows as of the tagged snapshot. */
+  def readTag(name: String): DataFrame = readAt(
+    tags.getOrElse(name, throw new NoSuchElementException(
+      s"no tag $name in $root")))
+
+  // ----------------------------------------------------------- CHECK rules
+
+  /** Table-level CHECK constraints (Delta-style `ADD CONSTRAINT`): named
+    * SQL boolean expressions every ingested event must satisfy — enforced
+    * inside the merge's validation pass, violations dead-lettered to the
+    * quarantine with reason `check:<name>` (CdcApply). SQL semantics: a
+    * constraint rejects only when the expression is definitively FALSE
+    * (NULL passes, as in standard SQL CHECK) — so partial patch events
+    * whose untouched columns read null are not spuriously rejected; a
+    * patch's constraint coverage is its own columns (document feed-side).
+    *
+    * Stored as one immutable file per constraint under meta/checks/ (the
+    * tag pattern — atomic create-no-overwrite, no snapshot threading), so
+    * constraints survive replays and kill/resume by construction and are
+    * table-level, not snapshot-versioned. */
+  private def checksDir: String = s"$metaDir/checks"
+  private def checkPath(name: String): String = s"$checksDir/$name.json"
+
+  /** Install a constraint. `validateExisting` scans the current live rows
+    * first and refuses if any violates (the Delta discipline — a constraint
+    * must hold for the whole table, not just future writes). */
+  def addCheck(name: String, exprSql: String,
+               validateExisting: Boolean = true): Unit = {
+    require(validTagName(name), s"invalid constraint name: $name")
+    // parse now: a typo must fail here, not inside the next merge
+    // (functions.expr is LAZY in the unified-Column API — use the parser)
+    spark.sessionState.sqlParser.parseExpression(exprSql)
+    if (validateExisting && currentSnapshot.isDefined) {
+      val bad = read().filter(org.apache.spark.sql.functions.expr(exprSql) <=>
+        org.apache.spark.sql.functions.lit(false))
+      if (!bad.isEmpty)
+        throw new IllegalArgumentException(
+          s"constraint $name ($exprSql) is violated by existing rows — " +
+          "clean the table first (DML DELETE/UPDATE) or fix the expression")
+    }
+    LakeIO.mkdirs(checksDir)
+    val bytes = mapper.writeValueAsBytes(Map("expr" -> exprSql))
+    if (!LakeIO.publishExclusive(checkPath(name), bytes))
+      throw new CommitConflictException(
+        s"constraint $name already exists (drop it first to change)")
+  }
+
+  def dropCheck(name: String): Boolean = {
+    if (!LakeIO.exists(checkPath(name))) return false
+    LakeIO.delete(checkPath(name)); true
+  }
+
+  /** All constraints, name -> SQL expression. */
+  def checks: Map[String, String] = {
+    if (!LakeIO.exists(checksDir)) return Map.empty
+    LakeIO.list(checksDir)
+      .filter { case (n, _, isDir) => !isDir && n.endsWith(".json") }
+      .map { case (n, p, _) =>
+        val m = mapper.readValue(LakeIO.readBytes(p),
+          classOf[Map[String, String]])
+        n.stripSuffix(".json") -> m("expr")
+      }.toMap
+  }
+
   /** Expire all but the newest `keepLast` snapshots: their metadata files
     * are removed and any data file or manifest referenced ONLY by expired
     * snapshots is deleted (manifests are shared across snapshots by
@@ -579,7 +751,13 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots
     if (all.size <= keepLast) return (0, 0)
-    val (expired, retained) = all.splitAt(all.size - keepLast)
+    // tagged snapshots are retention-proof: audit pins and rollback targets
+    // survive any keepLast policy until explicitly untagged
+    val tagged = tags.values.toSet
+    val (old, recent) = all.splitAt(all.size - keepLast)
+    val (kept, expired) = old.partition(s => tagged.contains(s.snapshotId))
+    if (expired.isEmpty) return (0, 0)
+    val retained = kept ++ recent
     val liveManifests = retained.flatMap(_.manifests.map(_.path)).toSet
     val deadRefs = expired.flatMap(_.manifests).distinctBy(_.path)
       .filterNot(r => liveManifests.contains(r.path))

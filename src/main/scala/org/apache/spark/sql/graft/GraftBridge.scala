@@ -25,4 +25,12 @@ object GraftBridge {
       .queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
+
+  /** Catalyst Expression -> public Column, for operators that rewrite a
+    * parsed expression tree before use — e.g. CHECK constraints
+    * substituting NULL for table columns a batch doesn't carry yet
+    * (CdcApply.checkColumn). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
