@@ -77,6 +77,11 @@ import graft.lake.LakeTable
  *                   snapshot pin (default: current head); immutable
  *   CdcMain untag   <lakeDir> <name>
  *   CdcMain tags    <lakeDir>           — list tags
+ *   CdcMain requeue <lakeDir> <epoch> — dead-letter replay: re-validate
+ *                   quarantine/epoch=N against the table's CURRENT rules
+ *                   (constraint fixed/dropped), merge clean rows at their
+ *                   ORIGINAL lsns (LWW decides; no resurrection), return
+ *                   still-bad rows to the same dir; idempotent
  *   CdcMain clone   <srcLake> <dstLake> [snapshotId|tagName] — deep,
  *                   independent copy at a snapshot (default current):
  *                   file bytes + stats + chains preserved, epoch/lineage
@@ -450,6 +455,14 @@ object CdcMain {
       val ts = new LakeTable(spark, lakeDir).tags.toSeq.sortBy(_._1)
         .map { case (n, id) => s""""$n":$id""" }.mkString(",")
       println(s"""{"tags":{$ts}}""")
+      spark.stop()
+
+    case "requeue" :: lakeDir :: epoch :: Nil =>
+      val spark = session()
+      val st = Requeue.requeue(new LakeTable(spark, lakeDir), epoch.toLong)
+      println(s"""{"found":${st.found},"applied":${st.applied},""" +
+        s""""stillFailed":${st.stillFailed},""" +
+        s""""archivedTo":"${st.archivedTo}"}""")
       spark.stop()
 
     case "clone" :: srcDir :: dstDir :: rest =>
