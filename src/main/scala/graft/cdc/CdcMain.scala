@@ -39,6 +39,12 @@ import graft.lake.LakeTable
  *                   filerows= splits bucket files at n rows; buckets=
  *                   compacts only those buckets (incremental; the commit
  *                   rebases over disjoint concurrent ingest)
+ *   CdcMain rebucket <lakeDir> <newBuckets> [filerows=<n>] — partition
+ *                   evolution as the table grows (e.g. 32 → 128): shuffle-
+ *                   free per-bucket split/merge when one count divides the
+ *                   other (rows never cross old-bucket boundaries under
+ *                   pmod hashing), full repartition otherwise; maintenance
+ *                   commit (same epoch), appliers adopt the new count
  *   CdcMain expire  <lakeDir> [keepLast]
  *   CdcMain gc      <lakeDir> [minAgeMs]      — age-fenced orphan cleanup
  *   CdcMain changes <lakeDir> <fromSnapId> [toSnapId]  — snapshot-diff feed
@@ -348,6 +354,20 @@ object CdcMain {
       println(s"""{"filesBefore":${st.filesBefore},"filesAfter":${st.filesAfter},""" +
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +
+        s""""snapshotId":${st.snapshot.snapshotId}}""")
+      spark.stop()
+
+    case "rebucket" :: lakeDir :: n :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      // shuffle-free when old/new counts are aligned (one divides the
+      // other); shuffleFree in the output reports which plan ran
+      val st = graft.lake.Compaction.rebucket(lake, n.toInt,
+        targetFileRows = flag(rest, "filerows").map(_.toLong).getOrElse(0L))
+      println(s"""{"nBuckets":${st.snapshot.nBuckets},""" +
+        s""""shuffleFree":${st.snapshot.metrics.getOrElse("rebucketShuffleFree", 0.0) == 1.0},""" +
+        s""""filesBefore":${st.filesBefore},"filesAfter":${st.filesAfter},""" +
+        s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""snapshotId":${st.snapshot.snapshotId}}""")
       spark.stop()
 

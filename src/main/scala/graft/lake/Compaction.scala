@@ -56,11 +56,25 @@ object Compaction {
     rewrite(lake, tombstoneWatermark, newBuckets = None, targetFileRows,
       clusterCol, buckets)
 
-  /** Re-bucket the table (e.g. 64 -> 4096 as it grows): full rewrite into
+  /** Re-bucket the table (e.g. 64 -> 4096 as it grows): rewrite into
     * `newBuckets` hash buckets as a maintenance commit. Subsequent CDC
-    * applies adopt the new count from the snapshot automatically. */
-  def rebucket(lake: LakeTable, newBuckets: Int): CompactionStats =
-    rewrite(lake, Long.MinValue, Some(newBuckets), 0L, None, None)
+    * applies adopt the new count from the snapshot automatically.
+    *
+    * SHUFFLE-FREE when the counts are aligned (one divides the other):
+    * buckets are `pmod(xxhash64(key), n)`, and `pmod(h, M) ==
+    * pmod(pmod(h, N), M)` whenever M divides N — so in a k-way split
+    * (N -> kN) every row of old bucket b lands in {b, b+N, …, b+(k-1)N},
+    * and in a k-way merge (kN -> N) all of old bucket b lands in `b mod N`.
+    * Rows never cross old-bucket boundaries, so the rewrite is per-bucket
+    * local IO: read old bucket files, write new bucket dirs, NO exchange.
+    * At 100 TB that is the difference between streaming the table once and
+    * a full-table shuffle. Non-aligned counts (8 -> 12) fall back to the
+    * explicit repartition. Output files stay key-sorted per task; file
+    * counts carry over from the old layout (a split does not compact —
+    * run incremental `compact(buckets=…)` afterwards to consolidate). */
+  def rebucket(lake: LakeTable, newBuckets: Int,
+               targetFileRows: Long = 0L): CompactionStats =
+    rewrite(lake, Long.MinValue, Some(newBuckets), targetFileRows, None, None)
 
   /** Test seam: runs `beforeCommit` between the rewrite and its commit to
     * make commit races deterministic in specs. */
@@ -111,8 +125,16 @@ object Compaction {
     LakeIO.ensureMicrosTimestamps(spark)
     val sortCols =
       col("b") +: (clusterCol.map(col).toSeq ++ ks.keyCols.map(col))
-    val writer = graft.model.Schemas.stampFieldIds(withB, cur.schema)
-      .repartition(nB, col("b"))
+    // Aligned rebucket (one count divides the other) never moves a row
+    // across old-bucket boundaries (see rebucket doc), so the exchange is
+    // pure waste: keep the scan's partitioning (old bucket dirs) and let
+    // partitionBy route each task's rows to its few new dirs locally.
+    // MoR tables excluded: the LWW resolve above already re-partitioned.
+    val alignedRebucket = newBuckets.isDefined && nB != cur.nBuckets &&
+      !cur.mor && (nB % cur.nBuckets == 0 || cur.nBuckets % nB == 0)
+    val stamped = graft.model.Schemas.stampFieldIds(withB, cur.schema)
+    val writer = (if (alignedRebucket) stamped
+                  else stamped.repartition(nB, col("b")))
       .sortWithinPartitions(sortCols: _*)
       .write.options(LakeIO.bloomWriteOptions(ks.bucketCols.head))
       .partitionBy("b")
@@ -160,7 +182,9 @@ object Compaction {
         val snap = Snapshot(cur.snapshotId + 1, cur.snapshotId, cur.epoch,
           cur.schemaJson, cur.schemaVersion, nB, newRefs, cur.lineage,
           Map("compaction" -> 1.0, "rowsBefore" -> rowsBefore.toDouble,
-            "rowsAfter" -> rowsAfter.toDouble),
+            "rowsAfter" -> rowsAfter.toDouble) ++
+            newBuckets.map(_ => "rebucketShuffleFree" ->
+              (if (alignedRebucket) 1.0 else 0.0)),
           bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor,
           lastFieldId = cur.lastFieldId)
         lake.commit(snap, maintenance = true)

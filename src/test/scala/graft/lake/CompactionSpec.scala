@@ -76,6 +76,81 @@ class CompactionSpec extends AnyFunSuite {
       CdcOracle.fold(spark.read.parquet(dir)))
   }
 
+  /** Total shuffle-write bytes of every stage that completes while `body`
+    * runs — the evidence for the aligned-rebucket "no exchange" claim.
+    * The async listener bus is drained by running a marker job with a
+    * distinctive call site AFTER the body: the bus is FIFO, so once the
+    * marker's stage is observed, every stage of the body has been too. */
+  private def shuffleBytesDuring(body: => Unit): Long = {
+    val marker = s"graft-drain-marker-${System.nanoTime()}"
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.name.startsWith(marker)) done.set(true)
+        else bytes.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      spark.sparkContext.setCallSite(marker)
+      try spark.sparkContext.parallelize(1 to 1, 1).count()
+      finally spark.sparkContext.clearCallSite()
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!done.get() && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(done.get(), "listener bus did not drain")
+      bytes.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("aligned rebucket split (8 -> 32) is shuffle-free, preserves state," +
+      " and new-count lookups hit") {
+    val (_, lake) = build()
+    val before = CdcOracle.tableState(lake.read())
+    val rawBefore = lake.readBuckets(None).count() // incl. tombstones
+    val shuffled = shuffleBytesDuring {
+      val st = Compaction.rebucket(lake, 32)
+      assert(st.snapshot.metrics.get("rebucketShuffleFree").contains(1.0))
+    }
+    assert(shuffled == 0L, s"aligned split wrote $shuffled shuffle bytes")
+    val after = lake.currentSnapshot.get
+    assert(after.nBuckets == 32 && after.files.forall(_.bucket < 32))
+    assert(CdcOracle.tableState(lake.read()) == before)
+    assert(lake.readBuckets(None).count() == rawBefore) // tombstones kept
+    // a point lookup under the NEW count routes to the right bucket
+    val someKey = before.keys.head._1
+    import org.apache.spark.sql.functions.col
+    assert(lake.lookup(someKey).count() ==
+      lake.read().filter(col("conv_id") === someKey).count())
+  }
+
+  test("aligned rebucket merge (8 -> 4) is shuffle-free and preserves state") {
+    val (_, lake) = build()
+    val before = CdcOracle.tableState(lake.read())
+    val shuffled = shuffleBytesDuring {
+      val st = Compaction.rebucket(lake, 4)
+      assert(st.snapshot.metrics.get("rebucketShuffleFree").contains(1.0))
+    }
+    assert(shuffled == 0L, s"aligned merge wrote $shuffled shuffle bytes")
+    assert(lake.currentSnapshot.get.nBuckets == 4)
+    assert(lake.currentSnapshot.get.files.forall(_.bucket < 4))
+    assert(CdcOracle.tableState(lake.read()) == before)
+  }
+
+  test("non-aligned rebucket (8 -> 12) falls back to repartition") {
+    val (_, lake) = build()
+    val before = CdcOracle.tableState(lake.read())
+    val shuffled = shuffleBytesDuring {
+      val st = Compaction.rebucket(lake, 12)
+      assert(st.snapshot.metrics.get("rebucketShuffleFree").contains(0.0))
+    }
+    assert(shuffled > 0L)
+    assert(lake.currentSnapshot.get.nBuckets == 12)
+    assert(CdcOracle.tableState(lake.read()) == before)
+  }
+
   test("time travel: pre-compaction snapshots remain readable") {
     val (_, lake) = build()
     val oldSnap = lake.currentSnapshot.get
