@@ -64,10 +64,12 @@ import graft.lake.LakeTable
  *   CdcMain replica <lakeDir> <replicaDir> [rwhere=<sql>] [rcols=<a,b,c>]
  *                   [nBuckets] — manual filtered-replica refresh (catch-up;
  *                   where/cols seed a NEW replica, persisted thereafter)
- *   CdcMain sql     <lakeDir> <query> — run SQL against the lake as temp
- *                   view `lake` through graft.sql.GraftSql: WHERE clauses
- *                   on zone-mapped/key columns file-prune transparently;
- *                   prints rows + filesScanned/filesTotal
+ *   CdcMain sql     <lakeDir> <query> [asof=<snapshotId|tag>] — run SQL
+ *                   against the lake as temp view `lake` through
+ *                   graft.sql.GraftSql: WHERE clauses on zone-mapped/key
+ *                   columns file-prune transparently; asof= time-travels
+ *                   to a snapshot or tag; prints rows +
+ *                   filesScanned/filesTotal
  *   CdcMain dml     <lakeDir> <statement> — DELETE FROM t WHERE … |
  *                   UPDATE t SET c = expr, … WHERE … through the same
  *                   epoch-fenced maintenance merge (graft.sql.GraftDml);
@@ -402,9 +404,18 @@ object CdcMain {
       }
       spark.stop()
 
-    case "sql" :: lakeDir :: query :: Nil =>
+    case "sql" :: lakeDir :: query :: rest =>
       val spark = session()
-      graft.sql.GraftSql.table(spark, lakeDir).createOrReplaceTempView("lake")
+      // asof=<snapshotId|tagName>: run the query against that snapshot's
+      // rows (time travel) — tags resolve by name, else numeric id
+      val asOf = flag(rest, "asof").map { v =>
+        new LakeTable(spark, lakeDir).tags.getOrElse(v,
+          try v.toLong catch { case _: NumberFormatException =>
+            throw new NoSuchElementException(
+              s"asof=$v is neither a tag nor a snapshot id") })
+      }.getOrElse(-1L)
+      graft.sql.GraftSql.table(spark, lakeDir, asOf)
+        .createOrReplaceTempView("lake")
       val df = spark.sql(query)
       val rows = df.count()
       // file-level pruning observability: the parquet scans the optimizer
@@ -413,9 +424,12 @@ object CdcMain {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.inputFiles.length
       }.sum
-      val total = new LakeTable(spark, lakeDir)
-        .currentSnapshot.map(_.totalFiles).getOrElse(0)
-      println(s"""{"rows":$rows,"filesScanned":$scanned,"filesTotal":$total}""")
+      val lk = new LakeTable(spark, lakeDir)
+      val total = (if (asOf < 0) lk.currentSnapshot
+                   else lk.snapshots.find(_.snapshotId == asOf))
+        .map(_.totalFiles).getOrElse(0)
+      println(s"""{"rows":$rows,"filesScanned":$scanned,"filesTotal":$total,""" +
+        s""""snapshotId":${if (asOf < 0) lk.currentSnapshot.map(_.snapshotId).getOrElse(-1L) else asOf}}""")
       spark.stop()
 
     case "history" :: lakeDir :: rest =>
