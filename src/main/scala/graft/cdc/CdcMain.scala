@@ -39,6 +39,14 @@ import graft.lake.LakeTable
  *                   filerows= splits bucket files at n rows; buckets=
  *                   compacts only those buckets (incremental; the commit
  *                   rebases over disjoint concurrent ingest)
+ *   CdcMain doctor  <lakeDir> [apply] [chainmax=] [target=<rowsPerBucket>]
+ *                   [maxbuckets=] [skew=] [keep=] — metadata-only health
+ *                   report + maintenance advice (fold/compact worst
+ *                   buckets, aligned rebucket target, skew hotspots,
+ *                   snapshot retention); O(nBuckets) driver work, zero
+ *                   Spark jobs. `apply` executes the non-destructive
+ *                   advice (fold/compact, capped); rebucket/expire stay
+ *                   operator decisions
  *   CdcMain rebucket <lakeDir> <newBuckets> [filerows=<n>] — partition
  *                   evolution as the table grows (e.g. 32 → 128): shuffle-
  *                   free per-bucket split/merge when one count divides the
@@ -357,6 +365,37 @@ object CdcMain {
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +
         s""""snapshotId":${st.snapshot.snapshotId}}""")
+      spark.stop()
+
+    case "doctor" :: lakeDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val t = graft.lake.Doctor.Thresholds(
+        chainMax = flag(rest, "chainmax").map(_.toInt).getOrElse(16),
+        rowsPerBucketTarget =
+          flag(rest, "target").map(_.toLong).getOrElse(4_000_000L),
+        maxBuckets = flag(rest, "maxbuckets").map(_.toInt).getOrElse(4096),
+        skewFactor = flag(rest, "skew").map(_.toDouble).getOrElse(4.0),
+        keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(32))
+      graft.lake.Doctor.examine(lake, t) match {
+        case None => println("""{"healthy":true,"empty":true}""")
+        case Some(r) =>
+          val applied =
+            if (rest.contains("apply"))
+              graft.lake.Doctor.applySafe(lake, r, t)
+            else Nil
+          val adv = r.advice.map(a =>
+            s"""{"action":"${a.action}","args":"${a.args}",""" +
+            s""""reason":"${a.reason.replace("\"", "'")}"}""").mkString(",")
+          println(s"""{"healthy":${r.advice.isEmpty},""" +
+            s""""snapshotId":${r.snapshotId},"nBuckets":${r.nBuckets},""" +
+            s""""mor":${r.mor},"rows":${r.rows},"files":${r.files},""" +
+            s""""snapshotsRetained":${r.snapshotsRetained},""" +
+            s""""meanRowsPerBucket":${r.meanRowsPerBucket},""" +
+            s""""maxRowsPerBucket":${r.maxRowsPerBucket},""" +
+            s""""maxChain":${r.maxChain},"advice":[$adv],""" +
+            s""""applied":[${applied.map(a => s""""$a"""").mkString(",")}]}""")
+      }
       spark.stop()
 
     case "rebucket" :: lakeDir :: n :: rest =>

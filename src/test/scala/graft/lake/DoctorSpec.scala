@@ -1,0 +1,83 @@
+package graft.lake
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.cdc.{CdcDriver, CdcOracle}
+import graft.changelog.ChangelogGen
+
+/** Metadata-only maintenance advisor: health stats and advice derive from
+  * the snapshot's manifest refs alone, applySafe runs only the
+  * non-destructive actions, and the advice converges (a doctored table
+  * re-examines healthy). */
+class DoctorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def build(name: String, mor: Boolean): LakeTable = {
+    val dir = TestSpark.tmpDir(s"doc-cl-$name")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 4000, nConvs = 30, turnsPerConv = 6,
+      pUpdate = 0.4, pDelete = 0.1, pDup = 0.1, segSize = 500))
+    val lake = new LakeTable(spark, TestSpark.tmpDir(s"doc-lake-$name"))
+    new CdcDriver(spark, dir, lake, segmentsPerBatch = 1, nBuckets = 8,
+      quiet = true, mor = mor, morCompactChain = 0).run()
+    lake
+  }
+
+  test("healthy table yields no advice") {
+    val lake = build("healthy", mor = false)
+    val r = Doctor.examine(lake,
+      Doctor.Thresholds(keepSnapshots = 1000)).get
+    assert(r.advice.isEmpty && r.nBuckets == 8 && r.rows > 0)
+  }
+
+  test("MoR chains -> fold advice; applySafe folds; re-examine healthy") {
+    val lake = build("mor", mor = true)
+    val t = Doctor.Thresholds(chainMax = 1, keepSnapshots = 1000)
+    val before = CdcOracle.tableState(lake.read())
+    val r = Doctor.examine(lake, t).get
+    assert(r.maxChain > 1 && r.chainedBuckets.nonEmpty)
+    val fold = r.advice.find(_.action == "fold")
+    assert(fold.isDefined, s"expected fold advice, got ${r.advice}")
+
+    val ran = Doctor.applySafe(lake, r, t)
+    assert(ran.exists(_.startsWith("fold:")))
+    assert(CdcOracle.tableState(lake.read()) == before) // state untouched
+    val r2 = Doctor.examine(lake, t).get
+    assert(r2.advice.forall(_.action != "fold"), s"still advised: ${r2.advice}")
+    assert(r2.maxChain == 1)
+  }
+
+  test("bucket pressure -> aligned rebucket advice (never auto-run)") {
+    val lake = build("pressure", mor = false)
+    val t = Doctor.Thresholds(rowsPerBucketTarget = 10,
+      maxBuckets = 256, keepSnapshots = 1000)
+    val r = Doctor.examine(lake, t).get
+    val adv = r.advice.find(_.action == "rebucket")
+    assert(adv.isDefined, s"expected rebucket advice, got ${r.advice}")
+    val newN = adv.get.args.toInt
+    assert(newN % 8 == 0 && newN > 8 && newN <= 256,
+      s"suggested $newN is not an aligned growth of 8")
+    // advisory only: applySafe must not change the layout
+    Doctor.applySafe(lake, r, t)
+    assert(lake.currentSnapshot.get.nBuckets == 8)
+  }
+
+  test("retention pressure -> expire advice, skew -> salt advice") {
+    val lake = build("retain", mor = false)
+    val nSnaps = lake.snapshots.size
+    assert(nSnaps > 2)
+    val r = Doctor.examine(lake,
+      Doctor.Thresholds(keepSnapshots = 2, skewFactor = 0.5)).get
+    assert(r.advice.exists(_.action == "expire"))
+    assert(r.advice.exists(_.action == "salt") && r.hotBuckets.nonEmpty)
+    // both advisory: nothing is expired by applySafe
+    Doctor.applySafe(lake, r, Doctor.Thresholds(keepSnapshots = 2))
+    assert(lake.snapshots.size == nSnaps)
+  }
+
+  test("empty lake reports empty") {
+    val lake = new LakeTable(spark, TestSpark.tmpDir("doc-empty"))
+    assert(Doctor.examine(lake).isEmpty)
+  }
+}
