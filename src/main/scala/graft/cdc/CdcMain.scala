@@ -39,6 +39,15 @@ import graft.lake.LakeTable
  *                   filerows= splits bucket files at n rows; buckets=
  *                   compacts only those buckets (incremental; the commit
  *                   rebases over disjoint concurrent ingest)
+ *   CdcMain branch  <lakeDir> create|publish|discard <name> — writable
+ *                   branch (full write-audit-publish): create shallow-forks
+ *                   the table metadata (zero data copied; fork pinned on
+ *                   main by a retention-proof tag); ingest/DML/constraints
+ *                   run against <lakeDir>/branches/<name> with every
+ *                   engine surface; publish fast-forwards main to the
+ *                   branch head as ONE atomic commit (refuses if main
+ *                   moved); discard deletes only what the branch wrote
+ *   CdcMain branch  <lakeDir> list
  *   CdcMain doctor  <lakeDir> [apply] [chainmax=] [target=<rowsPerBucket>]
  *                   [maxbuckets=] [skew=] [keep=] — metadata-only health
  *                   report + maintenance advice (fold/compact worst
@@ -365,6 +374,33 @@ object CdcMain {
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +
         s""""snapshotId":${st.snapshot.snapshotId}}""")
+      spark.stop()
+
+    case "branch" :: lakeDir :: "create" :: name :: Nil =>
+      val spark = session()
+      val b = graft.lake.Branch.create(new LakeTable(spark, lakeDir), name)
+      println(s"""{"branch":"${b.name}","baseSnapshotId":${b.baseSnapshotId},""" +
+        s""""baseEpoch":${b.baseEpoch},"dir":"$lakeDir/branches/${b.name}"}""")
+      spark.stop()
+
+    case "branch" :: lakeDir :: "publish" :: name :: Nil =>
+      val spark = session()
+      val s = graft.lake.Branch.publish(new LakeTable(spark, lakeDir), name)
+      println(s"""{"published":"$name","snapshotId":${s.snapshotId},""" +
+        s""""epoch":${s.epoch},"rows":${s.totalRows}}""")
+      spark.stop()
+
+    case "branch" :: lakeDir :: "discard" :: name :: Nil =>
+      val spark = session()
+      val n = graft.lake.Branch.discard(new LakeTable(spark, lakeDir), name)
+      println(s"""{"discarded":"$name","filesDeleted":$n}""")
+      spark.stop()
+
+    case "branch" :: lakeDir :: "list" :: Nil =>
+      val spark = session()
+      val bs = graft.lake.Branch.list(new LakeTable(spark, lakeDir))
+        .map(b => s"""{"name":"${b.name}","baseSnapshotId":${b.baseSnapshotId},"baseEpoch":${b.baseEpoch}}""")
+      println(s"""{"branches":[${bs.mkString(",")}]}""")
       spark.stop()
 
     case "doctor" :: lakeDir :: rest =>

@@ -143,6 +143,11 @@ object LakeIO {
     ()
   }
 
+  /** Fully-qualified form of a (possibly relative) path — the stable key
+    * for prefix/identity comparisons across stored path strings. */
+  def qualify(p: String): String =
+    fs(p).makeQualified(new Path(p)).toString
+
   def mtime(p: String): Long =
     fs(p).getFileStatus(new Path(p)).getModificationTime
 
