@@ -747,6 +747,36 @@ object OracleSql {
          |  SELECT user_id, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
          |  FROM events WHERE event_id % 20 < 18)
-         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q61: the per-batch maintained materialized view must equal the same
+    // aggregates computed from scratch over the LWW election.
+    "q61_matview" ->
+      s"""WITH win AS (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_id AS lsn FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1 AND event_type <> 'error')
+         |SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn,
+         |  max(lsn) AS last_lsn FROM win GROUP BY conv_id""".stripMargin,
+
+    // q62: after the constraint is dropped and the dead letters requeued at
+    // their original lsns, the state equals the election over the FULL feed.
+    "q62_requeue" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, event_type AS winner_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q63: staging half the feed on a branch and fast-forward-publishing
+    // must be invisible in the final state — the plain full-feed election.
+    "q63_branch_wap" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, event_type AS winner_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

@@ -1155,6 +1155,91 @@ object Queries {
       col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
   }
 
+  /** Generalized materialized view through the engine: a two-batch replay
+    * maintains `v(conv_id, n_turns, max_turn, last_lsn)` per batch at
+    * O(touched buckets) (graft.cdc.MatView), and the final view must equal
+    * the same aggregates computed from scratch over the LWW election —
+    * the reference's per-job hand-written aggregates
+    * (ActivityAggregatesFunction.scala:55-119) as a declared contract. */
+  def q61MatView(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q61-mv-${System.nanoTime()}")
+    val view = new graft.lake.LakeTable(s,
+      s"target/q61-mvv-${System.nanoTime()}")
+    val cfg = Some(graft.cdc.MatView.Config(Seq(
+      graft.cdc.MatView.AggCol("n_turns", "count(*)"),
+      graft.cdc.MatView.AggCol("max_turn", "max(turn_idx)"),
+      graft.cdc.MatView.AggCol("last_lsn", "max(_lsn)"))))
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    val st1 = graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") <= mid),
+      epoch = 1, nBuckets = 16)
+    graft.cdc.MatView.maintain(s, lake, view, st1.touchedSet, 1, aggs = cfg)
+    val st2 = graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") > mid),
+      epoch = 2, nBuckets = 16)
+    graft.cdc.MatView.maintain(s, lake, view, st2.touchedSet, 2, aggs = cfg)
+    view.read().select("conv_id", "n_turns", "max_turn", "last_lsn")
+  }
+
+  /** Dead-letter replay through the engine: a CHECK constraint quarantines
+    * part of the feed, the constraint is dropped (the "fix"), and
+    * graft.cdc.Requeue merges the dead letters at their ORIGINAL lsns — so
+    * the final state equals the election over the FULL feed, as if the
+    * constraint had never existed (LWW makes the replay order-indifferent).
+    * Reference analogue: failed-event topics re-consumed after a fix. */
+  def q62Requeue(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q62-rq-${System.nanoTime()}")
+    lake.addCheck("turn_lt18", "turn_idx < 18")
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    lake.dropCheck("turn_lt18")
+    graft.cdc.Requeue.requeue(lake, 1L)
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
+  }
+
+  /** Write-audit-publish through a writable branch: half the feed lands on
+    * main, the rest is staged on a BRANCH (shallow metadata fork) and
+    * fast-forward-published — the final main state must equal the election
+    * over the whole feed, byte-for-byte as if no branch existed. */
+  def q63BranchWap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val main = new graft.lake.LakeTable(s,
+      s"target/q63-br-${System.nanoTime()}")
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(main, ev.filter(col("_lsn") <= mid),
+      epoch = 1, nBuckets = 16)
+    graft.lake.Branch.create(main, "stage")
+    val branch = graft.lake.Branch.table(main, "stage")
+    graft.cdc.CdcApply.apply(branch, ev.filter(col("_lsn") > mid),
+      epoch = 2, nBuckets = 16)
+    graft.lake.Branch.publish(main, "stage")
+    main.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1217,6 +1302,9 @@ object Queries {
     "q57_json_envelope" -> (q57JsonEnvelope _),
     "q58_dml_mutation" -> (q58DmlMutation _),
     "q59_rollback" -> (q59Rollback _),
-    "q60_check_constraint" -> (q60CheckConstraint _)
+    "q60_check_constraint" -> (q60CheckConstraint _),
+    "q61_matview" -> (q61MatView _),
+    "q62_requeue" -> (q62Requeue _),
+    "q63_branch_wap" -> (q63BranchWap _)
   )
 }

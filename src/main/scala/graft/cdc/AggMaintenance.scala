@@ -154,21 +154,7 @@ object AggMaintenance {
     val mainSnap = mainLake.currentSnapshot.getOrElse(return)
     val aggEpoch = aggLake.currentSnapshot.map(_.epoch).getOrElse(0L)
     if (aggEpoch >= mainSnap.epoch) return
-    val snaps = mainLake.snapshots
-    val missed = snaps.zip(None +: snaps.map(Some(_)))
-      .collect { case (s, parentOpt) if s.epoch > aggEpoch => (s, parentOpt) }
-    val rebucketed = missed.exists(_._1.nBuckets != mainSnap.nBuckets)
-    val missedBuckets =
-      if (rebucketed) (0 until mainSnap.nBuckets).toSet
-      else missed.flatMap { case (s, parentOpt) =>
-        // a bucket changed in snapshot s iff its manifest ref differs from
-        // the parent's — O(buckets) metadata compare, no manifest loads
-        val parentRefs = parentOpt
-          .map(_.manifests.map(r => r.bucket -> r.path).toMap)
-          .getOrElse(Map.empty[Int, String])
-        s.manifests.filter(r => !parentRefs.get(r.bucket).contains(r.path))
-          .map(_.bucket)
-      }.toSet
+    val missedBuckets = Derived.missedBuckets(mainLake, aggEpoch)
     if (missedBuckets.nonEmpty)
       maintain(spark, mainLake, aggLake, missedBuckets, mainSnap.epoch)
     ()

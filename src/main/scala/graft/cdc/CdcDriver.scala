@@ -34,11 +34,13 @@ object CdcDriver {
   /** Per-batch retention step shared by the batch driver and the tailer. */
   private[cdc] def expireRetained(lake: LakeTable, aggLake: Option[LakeTable],
                                   keep: Int,
-                                  replica: Option[LakeTable] = None): Unit =
+                                  replica: Option[LakeTable] = None,
+                                  matView: Option[LakeTable] = None): Unit =
     if (keep > 0) {
       lake.expireSnapshots(keep)
       aggLake.foreach(_.expireSnapshots(keep))
       replica.foreach(_.expireSnapshots(keep))
+      matView.foreach(_.expireSnapshots(keep))
       ()
     }
 }
@@ -96,12 +98,21 @@ final class CdcDriver(
     replica: Option[LakeTable] = None,
     replicaWhere: String = "",
     replicaCols: Seq[String] = Nil,
+    /** optional generalized materialized view (graft.cdc.MatView): SQL
+      * aggregates grouped by the bucket key, maintained after every batch
+      * at O(touched buckets). `matViewAggs` declares a NEW view's contract
+      * (name=aggExpr pairs); an existing view's persisted contract wins. */
+    matView: Option[LakeTable] = None,
+    matViewAggs: Seq[MatView.AggCol] = Nil,
     /** changelog segment format: "parquet" (default — footer-derived
       * probe/schema/lineage, the performance path) or "json"
       * (Debezium-style envelopes, graft.changelog.JsonChangelog — pays a
       * parse per event and the merge's fallback probe scan; corrupt lines
       * quarantine). */
     format: String = "parquet") {
+
+  private val matViewCfg: Option[MatView.Config] =
+    if (matViewAggs.nonEmpty) Some(MatView.Config(matViewAggs)) else None
 
   /** Apply up to `maxBatches` pending micro-batches; returns per-batch stats.
     * Safe to call again after a crash or mid-run stop. */
@@ -119,6 +130,9 @@ final class CdcDriver(
     // snapshot the replica last folded) — heals the same crash window.
     replica.foreach(r =>
       Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
+    // MatView.catchUp heals the same crash window AND backfills a view
+    // attached after the fact (new views need the declared agg list).
+    matView.foreach(v => MatView.catchUp(spark, lake, v, matViewCfg))
     val segs = ChangelogGen.listSegments(changelogDir)
     val applied = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
     val pending = segs.filter(_ >= applied)
@@ -160,8 +174,14 @@ final class CdcDriver(
         if (!stats.skipped && stats.touchedSet.nonEmpty)
           AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
       }
+      matView.foreach { v =>
+        if (!stats.skipped && stats.touchedSet.nonEmpty)
+          MatView.maintain(spark, lake, v, stats.touchedSet, epoch,
+            aggs = matViewCfg)
+      }
       val keep = CdcDriver.effectiveKeep(keepSnapshots,
-        aggLake.isDefined || searchIndex.isDefined || replica.isDefined)
+        aggLake.isDefined || searchIndex.isDefined || replica.isDefined ||
+          matView.isDefined)
       if (!stats.skipped) {
         searchIndex.foreach { si =>
           graft.search.SearchIndex.refresh(spark, lake, si)
@@ -170,7 +190,7 @@ final class CdcDriver(
         replica.foreach(r =>
           Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
       }
-      CdcDriver.expireRetained(lake, aggLake, keep, replica)
+      CdcDriver.expireRetained(lake, aggLake, keep, replica, matView)
       out += stats
       if (!quiet) {
         val s = stats

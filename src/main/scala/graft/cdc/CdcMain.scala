@@ -39,6 +39,11 @@ import graft.lake.LakeTable
  *                   filerows= splits bucket files at n rows; buckets=
  *                   compacts only those buckets (incremental; the commit
  *                   rebases over disjoint concurrent ingest)
+ *   CdcMain matview <lakeDir> <viewDir> [mvagg="n=count(*);s=sum(x)"] —
+ *                   catch up (or backfill/create, with mvagg=) a
+ *                   generalized materialized view: SQL aggregates grouped
+ *                   by the bucket key, maintained at O(touched buckets);
+ *                   also per-batch via replay flags mv=<dir> mvagg=…
  *   CdcMain branch  <lakeDir> create|publish|discard <name> — writable
  *                   branch (full write-audit-publish): create shallow-forks
  *                   the table metadata (zero data copied; fork pinned on
@@ -152,10 +157,20 @@ object CdcMain {
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
   private val flagNames =
     Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
-      "cluster", "filerows", "imagecols", "buckets", "format", "agg")
+      "cluster", "filerows", "imagecols", "buckets", "format", "agg",
+      "mv", "mvagg")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
+
+  /** "n=count(*);s=sum(score)" -> AggCol pairs (semicolons separate pairs
+    * because aggregate SQL freely contains commas). */
+  private def parseAggs(spec: Option[String]): Seq[MatView.AggCol] =
+    spec.map(_.split(";").toSeq.filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"mvagg entry '$p' is not name=aggExpr")
+      MatView.AggCol(p.take(i).trim, p.drop(i + 1).trim)
+    }).getOrElse(Nil)
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -215,6 +230,11 @@ object CdcMain {
         replicaWhere = flag(rest, "rwhere").getOrElse(""),
         replicaCols = flag(rest, "rcols")
           .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        // mv=<dir>: maintain a generalized materialized view per batch;
+        // mvagg="n=count(*);s=sum(score)" seeds a NEW view's contract
+        // (semicolon-separated name=aggExpr pairs)
+        matView = flag(rest, "mv").map(d => new LakeTable(spark, d)),
+        matViewAggs = parseAggs(flag(rest, "mvagg")),
         // format=json: Debezium-style envelope segments (JsonChangelog)
         format = flag(rest, "format").getOrElse("parquet"))
       val t0 = System.nanoTime()
@@ -374,6 +394,23 @@ object CdcMain {
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +
         s""""snapshotId":${st.snapshot.snapshotId}}""")
+      spark.stop()
+
+    case "matview" :: lakeDir :: viewDir :: rest =>
+      val spark = session()
+      val lake = new LakeTable(spark, lakeDir)
+      val view = new LakeTable(spark, viewDir)
+      val aggs = parseAggs(flag(rest, "mvagg"))
+      // refreshed by SNAPSHOT id: an epoch-neutral fold (DML on main)
+      // advances the view snapshot while keeping its epoch
+      val before = view.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+      MatView.catchUp(spark, lake, view,
+        if (aggs.nonEmpty) Some(MatView.Config(aggs)) else None)
+      val after = view.currentSnapshot.map(_.snapshotId).getOrElse(-1L)
+      println(s"""{"refreshed":${after != before},""" +
+        s""""epoch":${view.currentSnapshot.map(_.epoch).getOrElse(-1L)},""" +
+        s""""rows":${view.currentSnapshot.map(_.totalRows).getOrElse(0L)},""" +
+        s""""aggs":${MatView.config(view).map(_.aggs.size).getOrElse(0)}}""")
       spark.stop()
 
     case "branch" :: lakeDir :: "create" :: name :: Nil =>
