@@ -86,12 +86,15 @@ import graft.lake.LakeTable
  *   CdcMain replica <lakeDir> <replicaDir> [rwhere=<sql>] [rcols=<a,b,c>]
  *                   [nBuckets] — manual filtered-replica refresh (catch-up;
  *                   where/cols seed a NEW replica, persisted thereafter)
- *   CdcMain sql     <lakeDir> <query> [asof=<snapshotId|tag>] — run SQL
- *                   against the lake as temp view `lake` through
- *                   graft.sql.GraftSql: WHERE clauses on zone-mapped/key
- *                   columns file-prune transparently; asof= time-travels
- *                   to a snapshot or tag; prints rows +
- *                   filesScanned/filesTotal
+ *   CdcMain sql     <lakeDir> <query> [asof=<snapshotId|tag>]
+ *                   [join=name:dir,…] — run SQL against the lake as temp
+ *                   view `lake` through graft.sql.GraftSql: WHERE clauses
+ *                   on zone-mapped/key columns file-prune transparently;
+ *                   asof= time-travels to a snapshot or tag; join=
+ *                   registers other lakes for cross-lake joins; metadata
+ *                   views lake_files/lake_snapshots/lake_lineage/
+ *                   lake_tags/lake_branches are registered alongside;
+ *                   prints rows + filesScanned/filesTotal
  *   CdcMain dml     <lakeDir> <statement> — DELETE FROM t WHERE … |
  *                   UPDATE t SET c = expr, … WHERE … through the same
  *                   epoch-fenced maintenance merge (graft.sql.GraftDml);
@@ -528,6 +531,19 @@ object CdcMain {
       }.getOrElse(-1L)
       graft.sql.GraftSql.table(spark, lakeDir, asOf)
         .createOrReplaceTempView("lake")
+      // metadata tables: lake_files / lake_snapshots / lake_lineage /
+      // lake_tags / lake_branches (Iceberg metadata-table analogue)
+      graft.sql.GraftSql.metadataTables(spark, lakeDir).foreach {
+        case (n, df) => df.createOrReplaceTempView(s"lake_$n")
+      }
+      // join=name:dir,name2:dir2 — register other lakes (same pushdown)
+      // for cross-lake joins in the same query
+      flag(rest, "join").foreach(_.split(",").filter(_.nonEmpty).foreach { p =>
+        val i = p.indexOf(':')
+        require(i > 0, s"join entry '$p' is not name:dir")
+        graft.sql.GraftSql.table(spark, p.drop(i + 1))
+          .createOrReplaceTempView(p.take(i))
+      })
       val df = spark.sql(query)
       val rows = df.count()
       // file-level pruning observability: the parquet scans the optimizer

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{col, not}
 import org.apache.spark.sql.types._
 
-import graft.lake.{DataFileMeta, LakeTable, Snapshot}
+import graft.lake.{Branch, DataFileMeta, LakeTable, Snapshot}
 
 /**
  * SQL/DataFrame surface over a graft lake with TRANSPARENT pushdown: a
@@ -82,6 +82,38 @@ object GraftSql {
       AttributeReference(f.name, f.dataType, f.nullable)())
     org.apache.spark.sql.graft.GraftBridge.ofRows(
       spark, GraftLakeRelation(root, s, out)(spark))
+  }
+
+  /** Metadata TABLES (Iceberg `table.files` / `.snapshots` / `.history`
+    * analogue): the lake's own bookkeeping as small driver-built
+    * DataFrames, so operational questions — which files hold a key range,
+    * what did each commit do, where is the feed — are plain SQL joins
+    * against the data instead of bespoke CLI parsing. Keys: "files",
+    * "snapshots", "lineage", "tags", "branches". All O(metadata); the
+    * files table loads manifests (O(table files), driver-side JSON). */
+  def metadataTables(spark: SparkSession,
+                     root: String): Map[String, DataFrame] = {
+    import spark.implicits._
+    val lake = new LakeTable(spark, root)
+    val files = lake.currentSnapshot.toSeq.flatMap(_.files).map(f =>
+      (f.path, f.bucket, f.rows, f.minKey, f.maxKey))
+      .toDF("path", "bucket", "rows", "min_key", "max_key")
+    val snaps = lake.snapshots.map { s =>
+      (s.snapshotId, s.parentId, s.epoch, s.schemaVersion, s.nBuckets,
+       s.mor, s.totalRows, s.totalFiles,
+       s.metrics.toSeq.sortBy(_._1)
+         .map { case (k, v) => s"$k=$v" }.mkString(","))
+    }.toDF("snapshot_id", "parent_id", "epoch", "schema_version",
+      "n_buckets", "mor", "rows", "files", "metrics")
+    val lineage = lake.currentSnapshot.toSeq.flatMap(_.lineage)
+      .map(l => (l.srcPart, l.minOff, l.maxOff))
+      .toDF("src_part", "min_off", "max_off")
+    val tags = lake.tags.toSeq.sorted.toDF("name", "snapshot_id")
+    val branches = Branch.list(lake)
+      .map(b => (b.name, b.baseSnapshotId, b.baseEpoch))
+      .toDF("name", "base_snapshot_id", "base_epoch")
+    Map("files" -> files, "snapshots" -> snaps, "lineage" -> lineage,
+      "tags" -> tags, "branches" -> branches)
   }
 
   /** Idempotently install [[GraftPushdown]] on a live session. `table`

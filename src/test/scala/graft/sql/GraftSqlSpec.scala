@@ -149,4 +149,43 @@ class GraftSqlSpec extends AnyFunSuite {
         col("_lsn") >= 1002)
     assert(direct.count() == 2)
   }
+
+  test("metadata tables mirror the snapshot's bookkeeping and join with" +
+      " the data") {
+    val lake = seedLake("sql-meta", mor = false)
+    lake.tag("pin")
+    val meta = GraftSql.metadataTables(spark, lake.root)
+    val snap = lake.currentSnapshot.get
+    assert(meta("files").count() == snap.totalFiles)
+    assert(meta("files").agg(org.apache.spark.sql.functions.sum("rows"))
+      .head().getLong(0) == snap.totalRows)
+    assert(meta("snapshots").count() == lake.snapshots.size)
+    assert(meta("snapshots").filter(col("snapshot_id") === snap.snapshotId)
+      .select("epoch").head().getLong(0) == snap.epoch)
+    assert(meta("lineage").count() == snap.lineage.size)
+    assert(meta("tags").filter(col("name") === "pin").count() == 1)
+    assert(meta("branches").isEmpty)
+    // operational join: per-bucket live rows vs manifest-declared rows
+    GraftSql.table(spark, lake.root).createOrReplaceTempView("mlake")
+    meta("files").createOrReplaceTempView("mfiles")
+    val joined = spark.sql(
+      """SELECT f.bucket, f.declared, count(l.conv_id) AS live
+        |FROM (SELECT bucket, sum(rows) AS declared FROM mfiles GROUP BY bucket) f
+        |LEFT JOIN mlake l ON pmod(xxhash64(l.conv_id), 8) = f.bucket
+        |GROUP BY f.bucket, f.declared""".stripMargin)
+    // declared >= live everywhere (declared counts tombstones too)
+    assert(joined.collect().forall(r => r.getLong(1) >= r.getLong(2)))
+  }
+
+  test("cross-lake joins: two lakes registered in one query") {
+    val a = seedLake("sql-xa", mor = false)
+    val b = seedLake("sql-xb", mor = false)
+    GraftSql.table(spark, a.root).createOrReplaceTempView("xa")
+    GraftSql.table(spark, b.root).createOrReplaceTempView("xb")
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM xa JOIN xb
+        |ON xa.conv_id = xb.conv_id AND xa.turn_idx = xb.turn_idx""".stripMargin)
+      .head().getLong(0)
+    assert(n == a.read().count()) // same seed -> full match
+  }
 }
