@@ -287,6 +287,8 @@ object CdcMain {
         replicaWhere = flag(rest, "rwhere").getOrElse(""),
         replicaCols = flag(rest, "rcols")
           .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        matView = flag(rest, "mv").map(d => new LakeTable(spark, d)),
+        matViewAggs = parseAggs(flag(rest, "mvagg")),
         format = fmt)
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))

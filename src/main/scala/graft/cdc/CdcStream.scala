@@ -73,6 +73,10 @@ object CdcStream {
       replica: Option[LakeTable] = None,
       replicaWhere: String = "",
       replicaCols: Seq[String] = Nil,
+      /** optional generalized materialized view (graft.cdc.MatView),
+        * maintained per micro-batch; aggs seed a NEW view's contract */
+      matView: Option[LakeTable] = None,
+      matViewAggs: Seq[MatView.AggCol] = Nil,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
       onBatch: Long => Unit = _ => (),
@@ -87,6 +91,9 @@ object CdcStream {
     // commit log before tailing (and again whenever a fenced batch shows
     // the agg table lagging).
     aggLake.foreach(al => AggMaintenance.catchUp(spark, lake, al))
+    val mvCfg =
+      if (matViewAggs.nonEmpty) Some(MatView.Config(matViewAggs)) else None
+    matView.foreach(v => MatView.catchUp(spark, lake, v, mvCfg))
     val src =
       if (format == "json") {
         val rs = graft.changelog.JsonChangelog.rowSchema(changelogDir)
@@ -135,8 +142,16 @@ object CdcStream {
           else if (stats.skipped)
             AggMaintenance.catchUp(spark, lake, al)
         }
+        matView.foreach { v =>
+          if (!stats.skipped && stats.touchedSet.nonEmpty)
+            MatView.maintain(spark, lake, v, stats.touchedSet,
+              epoch = batchId + 1, aggs = mvCfg)
+          else if (stats.skipped)
+            MatView.catchUp(spark, lake, v, mvCfg)
+        }
         val keep = CdcDriver.effectiveKeep(keepSnapshots,
-          aggLake.isDefined || searchIndex.isDefined || replica.isDefined)
+          aggLake.isDefined || searchIndex.isDefined || replica.isDefined ||
+            matView.isDefined)
         searchIndex.foreach { si =>
           graft.search.SearchIndex.refresh(spark, lake, si)
           // LSM merge policy: a live tailer refreshes the index per
@@ -145,7 +160,7 @@ object CdcStream {
         }
         replica.foreach(r =>
           Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
-        CdcDriver.expireRetained(lake, aggLake, keep, replica)
+        CdcDriver.expireRetained(lake, aggLake, keep, replica, matView)
         ()
       }
       .start()
@@ -173,12 +188,15 @@ object CdcStream {
       replica: Option[LakeTable] = None,
       replicaWhere: String = "",
       replicaCols: Seq[String] = Nil,
+      matView: Option[LakeTable] = None,
+      matViewAggs: Seq[MatView.AggCol] = Nil,
       format: String = "parquet"): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
       changeFeed, searchIndex, indexCompactChain,
       keepSnapshots, mor, morCompactChain, replica, replicaWhere,
-      replicaCols, format = format).awaitTermination()
+      replicaCols, matView = matView, matViewAggs = matViewAggs,
+      format = format).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
     * (one transient FS hiccup would otherwise end the deployment) restarts
@@ -214,6 +232,8 @@ object CdcStream {
       replica: Option[LakeTable] = None,
       replicaWhere: String = "",
       replicaCols: Seq[String] = Nil,
+      matView: Option[LakeTable] = None,
+      matViewAggs: Seq[MatView.AggCol] = Nil,
       onBatch: Long => Unit = _ => (),
       format: String = "parquet"): Unit = {
     var attempt = 0
@@ -224,7 +244,7 @@ object CdcStream {
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
         patchEnabled, changeFeed, searchIndex, indexCompactChain,
         keepSnapshots, mor, morCompactChain, replica, replicaWhere,
-        replicaCols, onBatch, format)
+        replicaCols, matView, matViewAggs, onBatch, format)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)
