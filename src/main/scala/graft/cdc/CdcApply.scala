@@ -209,10 +209,25 @@ object CdcApply {
         * a MoR table even though the table is append-mode — the per-bucket
         * chain fold (compaction) that bounds read amplification. Callers
         * use [[foldBuckets]], not this flag. */
-      fold: Boolean = false): ApplyStats = {
+      fold: Boolean = false,
+      /** MULTI-FEED ingest: a named source fences on its OWN high-water
+        * epoch (snapshot.sourceEpochs) instead of the table's scalar
+        * epoch, so independent feeds — binlog shard groups, a backfill
+        * next to the live tail — interleave into one table, each
+        * exactly-once, without fencing each other out. The committed
+        * scalar epoch then just advances by one (the global commit
+        * cursor derived tables and rollback key on). The caller owns
+        * lsn comparability across feeds (lsn is THE global version) and
+        * should namespace `_src_part` per source (CdcDriver partBase). */
+      source: Option[String] = None): ApplyStats = {
     val t0 = System.nanoTime()
     val cur = lake.currentSnapshot
+    require(source.isEmpty || !maintenance,
+      "maintenance applies are source-less (they consume no feed)")
     if (!maintenance) cur match {
+      case Some(s) if source.isDefined =>
+        if (s.sourceEpoch(source.get) >= epoch)
+          return ApplyStats(s, skipped = true, 0, 0, 0, 0.0) // fenced
       case Some(s) if s.epoch >= epoch =>
         return ApplyStats(s, skipped = true, 0, 0, 0, 0.0) // fenced
       case _ =>
@@ -430,6 +445,14 @@ object CdcApply {
       }
     val snapshotId = cur.map(_.snapshotId + 1).getOrElse(0L)
     val parentId = cur.map(_.snapshotId).getOrElse(-1L)
+    // multi-feed: the committed scalar epoch is just the next global
+    // commit cursor; the caller's per-source epoch lands in sourceEpochs
+    val commitEpoch = source match {
+      case Some(_) => cur.map(_.epoch).getOrElse(0L) + 1
+      case None => epoch
+    }
+    val srcEpochs = cur.map(_.sourceEpochsOrEmpty).getOrElse(Map.empty) ++
+      source.map(_ -> epoch)
 
     // Merge lineage: extend offset ranges seen so far.
     val prevLineage = cur.map(_.lineage).getOrElse(Seq.empty)
@@ -450,11 +473,12 @@ object CdcApply {
           phase("validate") { batchObserved.filter(checkPred).count() }
         else 0L
       quarantine(nInvalid)
-      val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
+      val snap = Snapshot(snapshotId, parentId, commitEpoch, targetSchema.json,
         schemaVersion, nB, cur.map(_.manifests).getOrElse(Seq.empty),
         lineage, Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> 0.0,
           "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble),
         bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor,
+        sourceEpochs = srcEpochs,
         lastFieldId = lastFieldId)
       val committed =
         try lake.commit(snap, maintenance = maintenance)
@@ -462,7 +486,7 @@ object CdcApply {
           case _: graft.lake.CommitConflictException =>
             return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
               validate, patchEnabled, changeFeed, maintenance, touchedHint,
-              keys, mor, fold)
+              keys, mor, fold, source)
         }
       return ApplyStats(committed, committed.snapshotId != snapshotId, rowsIn,
         0, 0, (System.nanoTime() - t0) / 1e9, Set.empty,
@@ -683,7 +707,7 @@ object CdcApply {
       .filterNot(r => !morMode && touched.contains(r.bucket))
 
     val durationSec = (System.nanoTime() - t0) / 1e9
-    val snap = Snapshot(snapshotId, parentId, epoch, targetSchema.json,
+    val snap = Snapshot(snapshotId, parentId, commitEpoch, targetSchema.json,
       schemaVersion, nB, carried ++ newRefs, lineage,
       Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> rowsOut.toDouble,
         "durationSec" -> durationSec,
@@ -691,6 +715,7 @@ object CdcApply {
         "failedEvents" -> nInvalid.toDouble) ++
         actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble },
       bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor,
+      sourceEpochs = srcEpochs,
       lastFieldId = lastFieldId)
     val committed =
       try phase("commit") { lake.commit(snap, maintenance = maintenance) }
@@ -708,7 +733,7 @@ object CdcApply {
         case _: graft.lake.CommitConflictException =>
           return apply(lake, batch, epoch, nBuckets, saltBuckets, probeInfo,
             validate, patchEnabled, changeFeed, maintenance, touchedHint,
-            keys, mor, fold)
+            keys, mor, fold, source)
       }
     val skipped = committed.snapshotId != snapshotId // lost a fencing race
     ApplyStats(committed, skipped, rowsIn, rowsOut, touchedOut.size,

@@ -104,6 +104,16 @@ final class CdcDriver(
       * (name=aggExpr pairs); an existing view's persisted contract wins. */
     matView: Option[LakeTable] = None,
     matViewAggs: Seq[MatView.AggCol] = Nil,
+    /** MULTI-FEED ingest: name this driver's feed and it fences on its own
+      * per-source epoch (snapshot.sourceEpochs) — several drivers tailing
+      * DIFFERENT changelogs interleave into one table, each exactly-once.
+      * Pair with a distinct `partBase` per feed so lineage stays
+      * per-(feed, partition). The feeds own lsn comparability: lsn is the
+      * global LWW version across all of them. */
+    source: Option[String] = None,
+    /** added to every `_src_part` (data column AND lineage) — the
+      * namespace that keeps two feeds' partition ids distinct. */
+    partBase: Int = 0,
     /** changelog segment format: "parquet" (default — footer-derived
       * probe/schema/lineage, the performance path) or "json"
       * (Debezium-style envelopes, graft.changelog.JsonChangelog — pays a
@@ -134,7 +144,11 @@ final class CdcDriver(
     // attached after the fact (new views need the declared agg list).
     matView.foreach(v => MatView.catchUp(spark, lake, v, matViewCfg))
     val segs = ChangelogGen.listSegments(changelogDir)
-    val applied = lake.currentSnapshot.map(_.epoch).getOrElse(0L)
+    val applied = lake.currentSnapshot.map(s =>
+      source match {
+        case Some(id) => s.sourceEpoch(id) // per-feed resume cursor
+        case None => s.epoch
+      }).getOrElse(0L)
     val pending = segs.filter(_ >= applied)
     val out = scala.collection.mutable.ArrayBuffer[CdcApply.ApplyStats]()
     pending.grouped(segmentsPerBatch).take(maxBatches).foreach { group =>
@@ -160,24 +174,38 @@ final class CdcDriver(
       }
       // `seg=`/`p=` path dirs (sharded binlog layout) surface as partition
       // columns duplicating the data; their real job is footer probing
-      val batch = batch0.drop("p", "seg")
+      val batch1 = batch0.drop("p", "seg")
+      // multi-feed: namespace this feed's partition ids (data + lineage)
+      val batch =
+        if (partBase == 0) batch1
+        else batch1.withColumn("_src_part",
+          org.apache.spark.sql.functions.col("_src_part") +
+            org.apache.spark.sql.functions.lit(partBase))
+      val shiftedProbe =
+        if (partBase == 0) probe
+        else probe.map(p => p.copy(lineage = p.lineage.map(l =>
+          l.copy(srcPart = l.srcPart + partBase))))
       // epoch = exclusive upper segment bound -> fencing token
       val epoch = group.max + 1
       val stats = CdcApply.apply(lake, batch, epoch, nBuckets, saltBuckets,
-        probeInfo = probe, patchEnabled = patchEnabled,
-        changeFeed = changeFeed, mor = mor)
+        probeInfo = shiftedProbe, patchEnabled = patchEnabled,
+        changeFeed = changeFeed, mor = mor, source = source)
       // LSM merge policy: bound the MoR delta chains before derived-table /
       // retention work (the fold is a maintenance commit at the same epoch)
       if (!stats.skipped && lake.currentSnapshot.exists(_.mor))
         CdcApply.maybeFold(lake, morCompactChain)
+      // derived tables key on the COMMITTED global epoch (== the driver's
+      // epoch for a single feed; distinct from the per-source epoch when
+      // several feeds interleave)
       aggLake.foreach { al =>
         if (!stats.skipped && stats.touchedSet.nonEmpty)
-          AggMaintenance.maintain(spark, lake, al, stats.touchedSet, epoch)
+          AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
+            stats.snapshot.epoch)
       }
       matView.foreach { v =>
         if (!stats.skipped && stats.touchedSet.nonEmpty)
-          MatView.maintain(spark, lake, v, stats.touchedSet, epoch,
-            aggs = matViewCfg)
+          MatView.maintain(spark, lake, v, stats.touchedSet,
+            stats.snapshot.epoch, aggs = matViewCfg)
       }
       val keep = CdcDriver.effectiveKeep(keepSnapshots,
         aggLake.isDefined || searchIndex.isDefined || replica.isDefined ||

@@ -14,6 +14,11 @@ import graft.lake.LakeTable
  *   CdcMain gen     <changelogDir> <nEvents> [nConvs] [skew] [evolveAt] [segSize]
  *   CdcMain replay  <changelogDir> <lakeDir> [segmentsPerBatch] [nBuckets]
  *                   [saltBuckets] [aggDir|-] [patch] [nocf] [format=json]
+ *                   [source=<id> partbase=<n>] — multi-feed: a named
+ *                   source fences on its own epoch and namespaces its
+ *                   partition ids, so several changelogs interleave into
+ *                   one table, each exactly-once (`state` then shows
+ *                   sourceEpochs); lsn stays the global LWW version
  *   CdcMain tojson  <parquetChangelogDir> <jsonDir> — convert a changelog
  *                   to Debezium-style JSON envelopes (replay format=json)
  *   CdcMain stream  <changelogDir> <lakeDir> <ckptDir> [nBuckets]
@@ -233,6 +238,11 @@ object CdcMain {
         replicaWhere = flag(rest, "rwhere").getOrElse(""),
         replicaCols = flag(rest, "rcols")
           .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+        // source=<id> + partbase=<n>: multi-feed ingest — this replay
+        // fences on its own per-source epoch and namespaces its partition
+        // ids, so several feeds interleave into one table exactly-once
+        source = flag(rest, "source"),
+        partBase = flag(rest, "partbase").map(_.toInt).getOrElse(0),
         // mv=<dir>: maintain a generalized materialized view per batch;
         // mvagg="n=count(*);s=sum(score)" seeds a NEW view's contract
         // (semicolon-separated name=aggExpr pairs)
@@ -783,9 +793,13 @@ object CdcMain {
               s""""mor":true,"maxChain":${
                 if (chains.isEmpty) 0 else chains.values.max},"""
             }
+          val srcInfo =
+            if (snap.sourceEpochsOrEmpty.isEmpty) ""
+            else s""""sourceEpochs":{${snap.sourceEpochsOrEmpty.toSeq.sorted
+              .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"""
           println(s"""{"rows":${row.getLong(0)},"checksum":${row.getDecimal(1)},""" +
             s""""snapshotId":${snap.snapshotId},"epoch":${snap.epoch},""" +
-            morInfo +
+            morInfo + srcInfo +
             s""""schemaVersion":${snap.schemaVersion},""" +
             s""""lineage":${snap.lineage.map(l =>
               s"""{"part":${l.srcPart},"lo":${l.minOff},"hi":${l.maxOff}}""")

@@ -70,6 +70,7 @@ object Clone {
       metrics = Map("clonedFromSnapshot" -> snap.snapshotId.toDouble,
         "rows" -> snap.totalRows.toDouble),
       bucketCols = snap.bucketCols, keyCols = snap.keyCols, mor = snap.mor,
+      sourceEpochs = snap.sourceEpochsOrEmpty,
       lastFieldId = snap.lastFieldId))
   }
 }

@@ -186,6 +186,7 @@ object Compaction {
             newBuckets.map(_ => "rebucketShuffleFree" ->
               (if (alignedRebucket) 1.0 else 0.0)),
           bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor,
+          sourceEpochs = cur.sourceEpochsOrEmpty,
           lastFieldId = cur.lastFieldId)
         lake.commit(snap, maintenance = true)
     }

@@ -91,6 +91,13 @@ final case class Snapshot(
       * the first commit, authoritative thereafter (like nBuckets /
       * keySpec). Missing in pre-MoR metadata -> false (copy-on-write). */
     mor: Boolean = false,
+    /** Per-source fencing tokens for MULTI-FEED ingest: each named source
+      * (e.g. a binlog shard group, a backfill feed) fences on its OWN
+      * high-water epoch while the scalar `epoch` stays the global
+      * monotone commit cursor (derived tables, rollback, maintenance all
+      * key on it). Empty for single-feed tables — the scalar epoch then
+      * fences exactly as before. Carried by every commit. */
+    sourceEpochs: Map[String, Long] = Map.empty,
     /** High-water mark of every field id EVER assigned to this table --
       * including ids of DROPPED columns, which the current schema no
       * longer shows. Additive evolution allocates from
@@ -100,6 +107,17 @@ final case class Snapshot(
       * fall back to the schema-derived max. */
     lastFieldId: Long = 0L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  /** Null-safe (pre-multi-source metadata deserializes the field as null)
+    * and boxing-safe (Jackson erases the Long values to Integer). */
+  @com.fasterxml.jackson.annotation.JsonIgnore
+  def sourceEpochsOrEmpty: Map[String, Long] =
+    if (sourceEpochs == null) Map.empty
+    else sourceEpochs.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+      k -> v.asInstanceOf[Number].longValue }
+  @com.fasterxml.jackson.annotation.JsonIgnore
+  def sourceEpoch(source: String): Long =
+    sourceEpochsOrEmpty.getOrElse(source, 0L)
 
   @com.fasterxml.jackson.annotation.JsonIgnore
   def keySpec: graft.model.Schemas.KeySpec =
@@ -539,6 +557,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         base.manifests.filterNot(r => rewrittenBuckets(r.bucket)) ++ newRefs,
         base.lineage, metrics,
         bucketCols = base.bucketCols, keyCols = base.keyCols, mor = base.mor,
+        sourceEpochs = base.sourceEpochsOrEmpty,
         lastFieldId = base.lastFieldId)
       try return commit(snap, maintenance = true)
       catch {
