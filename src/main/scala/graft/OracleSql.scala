@@ -777,6 +777,15 @@ object OracleSql {
          |  event_id AS winner_lsn, event_type AS winner_type FROM (
          |  SELECT user_id, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q64: two named feeds applied out of lockstep (with a per-source
+    // redelivery) must land the plain full-feed election.
+    "q64_multi_source" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_id AS winner_lsn, event_type AS winner_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
          |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

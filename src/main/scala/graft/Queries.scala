@@ -1240,6 +1240,42 @@ object Queries {
       col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
   }
 
+  /** Multi-feed ingest through the engine: the feed is split between two
+    * NAMED sources applied out of lockstep — each fences on its own
+    * per-source epoch — and the final state must equal the election over
+    * the whole feed, as if one feed had carried it all. */
+  def q64MultiSource(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q64-ms-${System.nanoTime()}")
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    // feed B's partitions namespaced, applied FIRST (out of lsn order —
+    // LWW makes the interleaving irrelevant), then feed A in two batches
+    graft.cdc.CdcApply.apply(lake,
+      ev.filter(col("_lsn") > mid)
+        .withColumn("_src_part", col("_src_part") + lit(1000)),
+      epoch = 1, nBuckets = 16, source = Some("backfill"))
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") <= mid / 2),
+      epoch = 1, nBuckets = 16, source = Some("live"))
+    graft.cdc.CdcApply.apply(lake,
+      ev.filter(col("_lsn") > mid / 2 && col("_lsn") <= mid),
+      epoch = 2, nBuckets = 16, source = Some("live"))
+    // redelivery of either feed is fenced per source
+    graft.cdc.CdcApply.apply(lake,
+      ev.filter(col("_lsn") > mid)
+        .withColumn("_src_part", col("_src_part") + lit(1000)),
+      epoch = 1, nBuckets = 16, source = Some("backfill"))
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1305,6 +1341,7 @@ object Queries {
     "q60_check_constraint" -> (q60CheckConstraint _),
     "q61_matview" -> (q61MatView _),
     "q62_requeue" -> (q62Requeue _),
-    "q63_branch_wap" -> (q63BranchWap _)
+    "q63_branch_wap" -> (q63BranchWap _),
+    "q64_multi_source" -> (q64MultiSource _)
   )
 }
