@@ -166,7 +166,7 @@ object CdcMain {
   private val flagNames =
     Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
       "cluster", "filerows", "imagecols", "buckets", "format", "agg",
-      "mv", "mvagg")
+      "mv", "mvagg", "source", "partbase")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
       flagNames.exists(n => a.startsWith(n + "=")))
@@ -299,6 +299,10 @@ object CdcMain {
           .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
         matView = flag(rest, "mv").map(d => new LakeTable(spark, d)),
         matViewAggs = parseAggs(flag(rest, "mvagg")),
+        // source=<id> + partbase=<n>: multi-feed tailer (per-source
+        // checkpoint binding + epoch fencing; see replay)
+        source = flag(rest, "source"),
+        partBase = flag(rest, "partbase").map(_.toInt).getOrElse(0),
         format = fmt)
       lake.currentSnapshot.foreach(s =>
         println(s"""{"snapshotId":${s.snapshotId},"epoch":${s.epoch}}"""))

@@ -77,6 +77,12 @@ object CdcStream {
         * maintained per micro-batch; aggs seed a NEW view's contract */
       matView: Option[LakeTable] = None,
       matViewAggs: Seq[MatView.AggCol] = Nil,
+      /** MULTI-FEED: name this tailer's feed — it binds its checkpoint
+        * and fences per source (snapshot.sourceEpochs), so several
+        * tailers/replays interleave into one table. Pair with a distinct
+        * partBase; lsn stays the global LWW version (see CdcDriver). */
+      source: Option[String] = None,
+      partBase: Int = 0,
       /** test-only fault hook, invoked per micro-batch BEFORE the merge —
         * lets specs inject a transient failure to exercise supervision */
       onBatch: Long => Unit = _ => (),
@@ -84,7 +90,7 @@ object CdcStream {
         * "json" (Debezium-style envelopes via JsonChangelog — `schema` is
         * ignored; the sidecar types the rows; no footer probe). */
       format: String = "parquet"): StreamingQuery = {
-    bindOrRefuse(lake, checkpointDir)
+    bindOrRefuse(lake, checkpointDir, source)
     // Derived-table reconciliation: if a crash landed between the main
     // commit and the agg maintain, the replayed batch will fence and the
     // per-batch maintain below never runs for it — catch up from the
@@ -125,27 +131,40 @@ object CdcStream {
         // matters until the first commit seeds it).
         val ks = lake.currentSnapshot.map(_.keySpec)
           .getOrElse(graft.model.Schemas.KeySpec.transcripts)
-        val probe =
+        val probe0 =
           if (format == "json") None // text shards carry no footers
           else FooterProbe.fromInputFiles(batch.inputFiles.toSeq,
             ks.keyCols.toSet + "_lsn", bucketKeys = ks.bucketCols)
-        val stats = CdcApply.apply(lake, batch, epoch = batchId + 1,
+        // multi-feed: namespace this feed's partition ids (data + lineage)
+        val shifted =
+          if (partBase == 0) batch
+          else batch.withColumn("_src_part",
+            org.apache.spark.sql.functions.col("_src_part") +
+              org.apache.spark.sql.functions.lit(partBase))
+        val probe =
+          if (partBase == 0) probe0
+          else probe0.map(p => p.copy(lineage = p.lineage.map(l =>
+            l.copy(srcPart = l.srcPart + partBase))))
+        val stats = CdcApply.apply(lake, shifted, epoch = batchId + 1,
           nBuckets, saltBuckets, probeInfo = probe,
-          patchEnabled = patchEnabled, changeFeed = changeFeed, mor = mor)
+          patchEnabled = patchEnabled, changeFeed = changeFeed, mor = mor,
+          source = source)
         // LSM merge policy: bound the MoR delta chains per micro-batch
         if (!stats.skipped && lake.currentSnapshot.exists(_.mor))
           CdcApply.maybeFold(lake, morCompactChain)
+        // derived tables key on the COMMITTED global epoch (== batchId+1
+        // for a single feed; distinct when several feeds interleave)
         aggLake.foreach { al =>
           if (!stats.skipped && stats.touchedSet.nonEmpty)
             AggMaintenance.maintain(spark, lake, al, stats.touchedSet,
-              epoch = batchId + 1)
+              epoch = stats.snapshot.epoch)
           else if (stats.skipped)
             AggMaintenance.catchUp(spark, lake, al)
         }
         matView.foreach { v =>
           if (!stats.skipped && stats.touchedSet.nonEmpty)
             MatView.maintain(spark, lake, v, stats.touchedSet,
-              epoch = batchId + 1, aggs = mvCfg)
+              epoch = stats.snapshot.epoch, aggs = mvCfg)
           else if (stats.skipped)
             MatView.catchUp(spark, lake, v, mvCfg)
         }
@@ -190,12 +209,15 @@ object CdcStream {
       replicaCols: Seq[String] = Nil,
       matView: Option[LakeTable] = None,
       matViewAggs: Seq[MatView.AggCol] = Nil,
+      source: Option[String] = None,
+      partBase: Int = 0,
       format: String = "parquet"): Unit =
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
       changeFeed, searchIndex, indexCompactChain,
       keepSnapshots, mor, morCompactChain, replica, replicaWhere,
       replicaCols, matView = matView, matViewAggs = matViewAggs,
+      source = source, partBase = partBase,
       format = format).awaitTermination()
 
   /** Always-on tailer with fixed-delay restart supervision: a failed stream
@@ -234,6 +256,8 @@ object CdcStream {
       replicaCols: Seq[String] = Nil,
       matView: Option[LakeTable] = None,
       matViewAggs: Seq[MatView.AggCol] = Nil,
+      source: Option[String] = None,
+      partBase: Int = 0,
       onBatch: Long => Unit = _ => (),
       format: String = "parquet"): Unit = {
     var attempt = 0
@@ -244,7 +268,8 @@ object CdcStream {
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
         patchEnabled, changeFeed, searchIndex, indexCompactChain,
         keepSnapshots, mor, morCompactChain, replica, replicaWhere,
-        replicaCols, matView, matViewAggs, onBatch, format)
+        replicaCols, matView, matViewAggs, source, partBase, onBatch,
+        format)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)
@@ -270,7 +295,8 @@ object CdcStream {
     * mismatch — fresh checkpoint against a populated lake, a checkpoint
     * with history against an unbound lake, or two different checkpoints —
     * fails loudly instead of silently fencing new data. */
-  private def bindOrRefuse(lake: LakeTable, checkpointDir: String): Unit = {
+  private def bindOrRefuse(lake: LakeTable, checkpointDir: String,
+                           source: Option[String]): Unit = {
     graft.lake.LakeIO.mkdirs(checkpointDir)
     val f = s"$checkpointDir/graft-binding.json"
     val ckptId =
@@ -291,14 +317,28 @@ object CdcStream {
           .getOrElse(throw new IllegalStateException(
             s"unreadable checkpoint binding $f"))
       }
-    lake.streamBinding match {
+    val srcKey = source.getOrElse("")
+    lake.streamBinding(srcKey) match {
       case Some(bound) if bound == ckptId => // matched pairing: resume
       case Some(bound) =>
         throw new IllegalStateException(
-          s"lake ${lake.root} is bound to checkpoint $bound but " +
-          s"$checkpointDir carries $ckptId — streaming epochs are " +
+          s"lake ${lake.root} is bound to checkpoint $bound" +
+          (if (srcKey.isEmpty) "" else s" for source $srcKey") +
+          s" but $checkpointDir carries $ckptId — streaming epochs are " +
           "checkpoint-relative, so a different checkpoint would silently " +
           "fence its batches; use the original checkpoint or a fresh lake")
+      // a NAMED source fences on its own per-source epoch, so a fresh
+      // checkpoint is safe as long as THIS source has no prior progress —
+      // a populated table built by other feeds is fine
+      case None if source.isDefined =>
+        if (lake.currentSnapshot.exists(_.sourceEpoch(source.get) > 0))
+          throw new IllegalStateException(
+            s"refusing fresh checkpoint $checkpointDir: source " +
+            s"${source.get} already progressed to epoch " +
+            s"${lake.currentSnapshot.get.sourceEpoch(source.get)} in " +
+            s"${lake.root}; its batchIds would restart at 0 and every " +
+            "early batch would be silently fenced (dropped)")
+        lake.bindStream(ckptId, srcKey)
       case None if lake.currentSnapshot.isEmpty =>
         lake.bindStream(ckptId) // first pairing: fresh lake + this checkpoint
       case None

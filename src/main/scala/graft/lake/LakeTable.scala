@@ -788,26 +788,33 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   }
 
   /** Streaming-checkpoint binding: the identity of the ONE Structured
-    * Streaming checkpoint allowed to drive this lake. Streaming epochs are
-    * derived from checkpoint batchIds, so pairing a fresh checkpoint with a
-    * populated lake would silently fence (drop) every early batch — the
-    * binding lets CdcStream refuse that pairing loudly instead. */
-  private def bindingPath: String = s"$metaDir/stream-binding.json"
+    * Streaming checkpoint allowed to drive this lake — PER NAMED SOURCE
+    * for multi-feed streaming (each feed's epochs are relative to its own
+    * checkpoint's batchIds; the empty source is the single-feed default).
+    * Pairing a fresh checkpoint with prior progress would silently fence
+    * (drop) every early batch — the binding lets CdcStream refuse that
+    * pairing loudly instead. */
+  private def bindingPath(source: String): String =
+    if (source.isEmpty) s"$metaDir/stream-binding.json"
+    else s"$metaDir/stream-binding-$source.json"
 
-  def streamBinding: Option[String] = {
-    if (!LakeIO.exists(bindingPath)) return None
-    val m = mapper.readValue(LakeIO.readBytes(bindingPath),
+  def streamBinding(source: String = ""): Option[String] = {
+    val p = bindingPath(source)
+    if (!LakeIO.exists(p)) return None
+    val m = mapper.readValue(LakeIO.readBytes(p),
       classOf[Map[String, String]])
     m.get("checkpointId")
   }
 
   /** Write-once (atomic exclusive publish): records the checkpoint id. */
-  def bindStream(checkpointId: String): Unit = {
+  def bindStream(checkpointId: String, source: String = ""): Unit = {
     LakeIO.mkdirs(metaDir)
     val bytes = mapper.writeValueAsBytes(Map("checkpointId" -> checkpointId))
-    if (!LakeIO.publishExclusive(bindingPath, bytes))
+    if (!LakeIO.publishExclusive(bindingPath(source), bytes))
       throw new CommitConflictException(
-        s"lake already bound to checkpoint ${streamBinding.getOrElse("?")}")
+        s"lake already bound to checkpoint " +
+        s"${streamBinding(source).getOrElse("?")}" +
+        (if (source.isEmpty) "" else s" for source $source"))
   }
 
   /** Data directories on disk that no snapshot references (crash orphans). */

@@ -82,6 +82,44 @@ class MultiSourceSpec extends AnyFunSuite {
     assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(union(dirA, dirB)))
   }
 
+  test("a streaming tailer and a batch backfill interleave as named feeds") {
+    val (dirA, dirB) = twoFeeds("stream")
+    val lake = new LakeTable(spark, TestSpark.tmpDir("ms-s-lake"))
+    val ckpt = TestSpark.tmpDir("ms-s-ckpt")
+    // live feed A through the tailer (its own checkpoint + source binding)
+    CdcStream.run(spark, dirA, lake, ckpt,
+      graft.model.Schemas.changeEventSchema, nBuckets = 8,
+      maxFilesPerTrigger = 4, source = Some("live"))
+    // batch backfill B lands next to it
+    driver(dirB, lake, "backfill", 1000).run()
+    assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(union(dirA, dirB)))
+    // drained stream re-run: fenced per source, nothing moves
+    val sid = lake.currentSnapshot.get.snapshotId
+    CdcStream.run(spark, dirA, lake, ckpt,
+      graft.model.Schemas.changeEventSchema, nBuckets = 8,
+      maxFilesPerTrigger = 4, source = Some("live"))
+    assert(lake.currentSnapshot.get.snapshotId == sid)
+    // a FRESH checkpoint for a source that already progressed must refuse
+    val e = intercept[IllegalStateException] {
+      CdcStream.run(spark, dirA, lake, TestSpark.tmpDir("ms-s-ckpt2"),
+        graft.model.Schemas.changeEventSchema, nBuckets = 8,
+        source = Some("live"))
+    }
+    // refused either as a binding mismatch (source already bound to its
+    // original checkpoint) or as prior per-source progress
+    assert(e.getMessage.contains("for source live") ||
+      e.getMessage.contains("already progressed"))
+
+    // the other refusal branch: a source with BATCH progress but no
+    // stream binding yet must also refuse a fresh checkpoint
+    val e2 = intercept[IllegalStateException] {
+      CdcStream.run(spark, dirB, lake, TestSpark.tmpDir("ms-s-ckpt3"),
+        graft.model.Schemas.changeEventSchema, nBuckets = 8,
+        source = Some("backfill"))
+    }
+    assert(e2.getMessage.contains("already progressed"))
+  }
+
   test("maintenance (compaction) carries source cursors; single-source" +
       " tables stay sourceEpochs-free") {
     val (dirA, dirB) = twoFeeds("maint")
