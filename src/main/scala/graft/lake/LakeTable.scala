@@ -514,10 +514,17 @@ final class LakeTable(val spark: SparkSession, val root: String) {
             s"maintenance commit must keep epoch ${cur.epoch}, got " +
             s"${snap.epoch} — a concurrent commit moved the table; " +
             "recompute against the current state")
-      } else if (cur.epoch >= snap.epoch) return cur // fenced: replayed batch
-      if (snap.snapshotId <= cur.snapshotId)
-        throw new CommitConflictException(
-          s"stale snapshot id ${snap.snapshotId}, current is ${cur.snapshotId}")
+      } else {
+        // STALENESS before the epoch fence: a commit prepared against an
+        // older snapshot must CONFLICT (the caller re-applies against the
+        // winner), never be silently fenced — with multi-feed ingest a
+        // racing source's global epoch overtakes this one's, and fencing
+        // first would swallow the losing feed's batch as a "replay".
+        if (snap.snapshotId <= cur.snapshotId)
+          throw new CommitConflictException(
+            s"stale snapshot id ${snap.snapshotId}, current is ${cur.snapshotId}")
+        if (cur.epoch >= snap.epoch) return cur // fenced: replayed batch
+      }
       require(snap.snapshotId == cur.snapshotId + 1,
         s"snapshot id ${snap.snapshotId} must follow ${cur.snapshotId}")
     }

@@ -120,6 +120,30 @@ class MultiSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("already progressed"))
   }
 
+  test("two feeds applied CONCURRENTLY race through commit retries and" +
+      " both land exactly once") {
+    val (dirA, dirB) = twoFeeds("race")
+    val lake = new LakeTable(spark, TestSpark.tmpDir("ms-race-lake"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() => {
+        try driver(dirA, lake, "feedA", 0).run()
+        catch { case t: Throwable => errors.add(t) }
+      }, "feedA"),
+      new Thread(() => {
+        try driver(dirB, lake, "feedB", 1000).run()
+        catch { case t: Throwable => errors.add(t) }
+      }, "feedB"))
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"feed failed: ${errors.peek()}")
+    val snap = lake.currentSnapshot.get
+    assert(snap.sourceEpoch("feedA") == 4 && snap.sourceEpoch("feedB") == 8)
+    assert(CdcOracle.tableState(lake.read()) == CdcOracle.fold(union(dirA, dirB)))
+    // gap-free linear snapshot history despite the races
+    assert(lake.snapshots.map(_.snapshotId) == (0L to snap.snapshotId))
+  }
+
   test("maintenance (compaction) carries source cursors; single-source" +
       " tables stay sourceEpochs-free") {
     val (dirA, dirB) = twoFeeds("maint")
