@@ -485,7 +485,10 @@ object CdcMain {
             s""""snapshotsRetained":${r.snapshotsRetained},""" +
             s""""meanRowsPerBucket":${r.meanRowsPerBucket},""" +
             s""""maxRowsPerBucket":${r.maxRowsPerBucket},""" +
-            s""""maxChain":${r.maxChain},"advice":[$adv],""" +
+            s""""maxChain":${r.maxChain},""" +
+            s""""quarantinedEpochs":[${r.quarantinedEpochs.mkString(",")}],""" +
+            s""""liveBranches":[${r.liveBranches.map(b => s""""$b"""").mkString(",")}],""" +
+            s""""advice":[$adv],""" +
             s""""applied":[${applied.map(a => s""""$a"""").mkString(",")}]}""")
       }
       spark.stop()

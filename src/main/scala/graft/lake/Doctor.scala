@@ -43,6 +43,10 @@ object Doctor {
       rows: Long, files: Int, snapshotsRetained: Int,
       meanRowsPerBucket: Long, maxRowsPerBucket: Long, maxChain: Int,
       chainedBuckets: Seq[Int], hotBuckets: Seq[Int],
+      /** quarantine dirs still holding dead letters (epoch ids) */
+      quarantinedEpochs: Seq[Long],
+      /** live (unpublished, undiscarded) branches */
+      liveBranches: Seq[String],
       advice: Seq[Advice])
 
   def examine(lake: LakeTable,
@@ -101,9 +105,30 @@ object Doctor {
         s"$snapCount snapshots retained (> ${t.keepSnapshots}): metadata " +
         "and dead-file footprint grows per commit; tags survive expiry")
 
+    // dead-letter backlog: epochs whose quarantine dir still holds rows —
+    // each is a pending operator decision (fix the cause, then `requeue`)
+    val qdir = s"${lake.root}/quarantine"
+    val quarantined =
+      if (!LakeIO.exists(qdir)) Nil
+      else LakeIO.list(qdir)
+        .collect { case (n, _, true) if n.startsWith("epoch=") =>
+          n.stripPrefix("epoch=").toLong }
+        .sorted
+    if (quarantined.nonEmpty)
+      advice += Advice("requeue", quarantined.mkString(","),
+        s"${quarantined.size} epoch(s) hold dead letters: after fixing " +
+        "the cause (constraint, feed bug), replay them — LWW keeps " +
+        "replays order-safe")
+    // long-lived branches pin their fork point against expiry forever
+    val branches = Branch.list(lake).map(_.name)
+    if (branches.nonEmpty)
+      advice += Advice("branch", branches.mkString(","),
+        s"${branches.size} live branch(es) pin their fork snapshots " +
+        "against retention: publish or discard when the audit concludes")
+
     Some(Report(cur.snapshotId, cur.epoch, cur.nBuckets, cur.mor,
       rows, byBucket.map(_._3).sum, snapCount, mean, maxRows, maxChain,
-      chained, hot, advice.result()))
+      chained, hot, quarantined, branches, advice.result()))
   }
 
   /** Execute the report's non-destructive advice: `fold` for MoR chains,

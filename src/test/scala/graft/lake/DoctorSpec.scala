@@ -76,6 +76,38 @@ class DoctorSpec extends AnyFunSuite {
     assert(lake.snapshots.size == nSnaps)
   }
 
+  test("dead-letter backlog and live branches surface as advisory signals") {
+    val lake = build("ops", mor = false)
+    val t = Doctor.Thresholds(keepSnapshots = 1000)
+    assert(Doctor.examine(lake, t).get.advice.isEmpty) // clean to start
+
+    // quarantine an epoch: a check that future events violate
+    lake.addCheck("lsn_cap", "_lsn < 900000")
+    import spark.implicits._
+    val bad = Seq(("convX", 0, "user", 999999L))
+      .toDF("conv_id", "turn_idx", "role", "_lsn")
+      .withColumn("op", org.apache.spark.sql.functions.lit("U"))
+      .withColumn("_src_part", org.apache.spark.sql.functions.lit(0))
+      .withColumn("_src_off", org.apache.spark.sql.functions.col("_lsn"))
+    val epoch = lake.currentSnapshot.get.epoch + 1
+    graft.cdc.CdcApply.apply(lake, bad, epoch = epoch, nBuckets = 8)
+    Branch.create(lake, "audit")
+
+    val r = Doctor.examine(lake, t).get
+    assert(r.quarantinedEpochs == Seq(epoch))
+    assert(r.liveBranches == Seq("audit"))
+    assert(r.advice.exists(_.action == "requeue"))
+    assert(r.advice.exists(_.action == "branch"))
+    // both advisory: applySafe runs neither
+    assert(Doctor.applySafe(lake, r, t).isEmpty)
+
+    // resolve both; the doctor goes quiet again
+    lake.dropCheck("lsn_cap")
+    graft.cdc.Requeue.requeue(lake, epoch)
+    Branch.discard(lake, "audit")
+    assert(Doctor.examine(lake, t).get.advice.isEmpty)
+  }
+
   test("empty lake reports empty") {
     val lake = new LakeTable(spark, TestSpark.tmpDir("doc-empty"))
     assert(Doctor.examine(lake).isEmpty)
