@@ -7,15 +7,33 @@ import graft.changelog.ChangelogGen
 import graft.lake.LakeTable
 
 /**
- * Per-round benchmark main. Emits ONE JSON line:
+ * Per-round benchmark main. Emits cumulative JSON lines — one after each
+ * completed block, each a complete well-formed object — so a crash in a
+ * late block still leaves every earlier block's numbers in the output tail
+ * (round-3 lesson: the driver's bench died in the soak and `parsed` was
+ * null for the WHOLE round). The final line is the full artifact:
  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
  *    "cdc":{"events":N,"throughput_full":ev/s,"throughput_full_nocf":ev/s,
  *           "full_cores":C,"throughput_n":ev/s,"throughput_4n":ev/s,
  *           "n_cores":2,"four_n_cores":8,"scaling_efficiency":r,
  *           "pinned":bool,"steal_pct":{"n":max,"four_n":max},
  *           "spread":{"n":x,"four_n":y},
- *           "mor":{"events":N,"batches":64,"throughput_cow":ev/s,
- *                  "throughput_mor":ev/s,"speedup":r},"soak":{...}}}
+ *           "mor":{...},"lookup":{...},"soak":{...}},
+ *    "disk":{"free_start_gb":..,"free_min_gb":..,"high_water_gb":..}}
+ *
+ * DISK HYGIENE (round-3 verdict item #1 — the driver bench ENOSPC'd):
+ *  - everything lives under ONE fixed base `target/bench`, which is wiped
+ *    at startup (reclaims a crashed prior run), wiped at the end, and
+ *    wiped by a JVM shutdown hook as a last resort;
+ *  - `spark.local.dir` (shuffle spill) points under the same base, so
+ *    spill from a killed run never strands in /tmp;
+ *  - every bench lake is deleted in a `finally` right after its timing
+ *    (one changelog per block is reused across runs; at no point do two
+ *    timed lakes coexist);
+ *  - bench lakes run with the engine's own `keepSnapshots=2` retention,
+ *    so copy-on-write history never accumulates during a run;
+ *  - the soak block preflights free disk and scales its event count down
+ *    (with a printed note) instead of running the filesystem out.
  *
  * Pair runs are CPU-affinity-pinned to exactly N (resp. 4N) CPUs via
  * taskset when available ("N cores" = N CPUs, as on a real N-executor
@@ -55,6 +73,18 @@ object Bench {
     "q23_minhash_lsh", "q24_simhash", "q28_ann_brute", "q29_ann_lsh",
     "q30_text_quality", "q31_lang_id", "q32_fingerprint", "q35_transcript_lww")
 
+  /** Recursive delete; tolerates concurrent-delete races and absent paths. */
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  // One fixed base: a crashed prior run's leftovers are reclaimed by the
+  // wipe at startup (a nanotime-suffixed dir — the round-3 design — is
+  // never reclaimed by anyone).
+  private val base = new java.io.File("target/bench")
+  private val localDir = new java.io.File(base, "spark-local")
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -63,6 +93,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
+      .config("spark.local.dir", localDir.getPath) // spill under the wiped base
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -136,8 +167,41 @@ object Bench {
     val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "32000000").toLong
     val scalePair = (2, 8) // N and 4N cores for the scaling-efficiency pair
 
+    rm(base); base.mkdirs(); localDir.mkdirs()
+    // Last-resort reclamation: a kill/OOM mid-run still frees the disk the
+    // next process needs (regular paths below delete eagerly, not here).
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(base)))
+
+    // Disk telemetry: free space sampled at every block boundary; the final
+    // line reports the high-water mark so BASELINE.md can state the bench's
+    // real footprint instead of guessing.
+    val freeStart = base.getUsableSpace
+    var freeMin = freeStart
+    def sampleDisk(): Unit = { freeMin = math.min(freeMin, base.getUsableSpace) }
+    def gb(b: Long): Double = b / 1e9
+
+    // ---- incremental emission: each block boundary prints ONE complete
+    // cumulative JSON line to STDERR (so a late-block crash still leaves
+    // every earlier block's numbers in the output tail — the round-3
+    // failure mode); the FINAL call prints the same complete line to
+    // STDOUT, keeping the driver contract of exactly one stdout JSON line.
+    var qJson = "{}"
+    var qTotal = 0.0
+    val cdcParts = scala.collection.mutable.LinkedHashMap[String, String]()
+    def emit(toStdout: Boolean = false): Unit = {
+      sampleDisk()
+      val cdc = if (cdcParts.isEmpty) ""
+        else cdcParts.values.mkString(""","cdc":{""", ",", "}")
+      val line =
+        f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
+        cdc +
+        f""","disk":{"free_start_gb":${gb(freeStart)}%.1f,"free_min_gb":${gb(freeMin)}%.1f,""" +
+        f""""high_water_gb":${gb(freeStart - freeMin)}%.1f}}"""
+      if (toStdout) println(line) else System.err.println(line)
+    }
+
     // ---- query timings at full parallelism
-    var spark = session(cpus)
+    val spark = session(cpus)
     // warm up executor pool / codegen / file listing so the first measured
     // query doesn't absorb session startup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -147,9 +211,11 @@ object Bench {
         name -> sec
       }
     }
+    qJson = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    qTotal = qTimes.map(_._2).sum
+    emit()
 
     // ---- CDC replay bench: one changelog, replayed per core-config
-    val base = new java.io.File(s"target/bench-${System.nanoTime()}")
     val changelog = new java.io.File(base, "changelog").getPath
     val cfg = ChangelogGen.Config(
       nEvents = cdcEvents, nConvs = math.max(cdcEvents / 200, 10L),
@@ -167,29 +233,32 @@ object Bench {
     ChangelogGen.write(spark, warmCl, ChangelogGen.Config(
       nEvents = 500000, nConvs = 2500, skew = 1.2,
       evolveAt = 250000, segSize = 125000))
-    var warmId = 0
     def warmup(s: SparkSession): Unit = {
-      warmId += 1
-      val lake = new LakeTable(s, new java.io.File(base, s"warm-$warmId").getPath)
-      new CdcDriver(s, warmCl, lake, segmentsPerBatch = 4,
-        nBuckets = 64, quiet = true).run()
-      ()
+      val warmLake = new java.io.File(base, "warm-lake")
+      try {
+        new CdcDriver(s, warmCl, new LakeTable(s, warmLake.getPath),
+          segmentsPerBatch = 4, nBuckets = 64, quiet = true).run()
+        ()
+      } finally rm(warmLake) // each warmup reclaims its lake immediately
     }
 
+    /** Timed replay into a fresh lake; the lake is DELETED in finally —
+      * its timing is the product, the files are not. `keepLake` keeps the
+      * finished lake on disk for a follow-up block (caller deletes). */
     def replayThroughput(s: SparkSession, tag: String,
-                         changeFeed: Boolean = true): Double = {
-      val lakeDir = new java.io.File(base, s"lake-$tag").getPath
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (new java.io.File(lakeDir).exists()) rm(new java.io.File(lakeDir))
-      val lake = new LakeTable(s, lakeDir)
-      val sec = timeSec {
-        new CdcDriver(s, changelog, lake, segmentsPerBatch = 4,
-          nBuckets = 64, quiet = true, changeFeed = changeFeed).run()
-      }
-      cdcEvents / sec
+                         changeFeed: Boolean = true,
+                         keepLake: Boolean = false): Double = {
+      val lakeFile = new java.io.File(base, s"lake-$tag")
+      if (lakeFile.exists()) rm(lakeFile)
+      try {
+        val lake = new LakeTable(s, lakeFile.getPath)
+        val sec = timeSec {
+          new CdcDriver(s, changelog, lake, segmentsPerBatch = 4,
+            nBuckets = 64, quiet = true, changeFeed = changeFeed,
+            keepSnapshots = 2).run()
+        }
+        cdcEvents / sec
+      } finally { sampleDisk(); if (!keepLake) rm(lakeFile) }
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -221,6 +290,11 @@ object Bench {
     val thrFull = median(fullRuns.map(_._1))
     val thrFullNoCf = median(fullRuns.map(_._2))
     val fullSpread = spread(fullRuns.map(_._1))
+    cdcParts += "full" ->
+      (f""""events":$cdcEvents,"throughput_full":$thrFull%.1f,""" +
+       f""""throughput_full_nocf":$thrFullNoCf%.1f,"full_cores":$cpus,""" +
+       f""""runs":$benchRuns,"spread_full":$fullSpread%.3f""")
+    emit()
 
     // ---- MoR vs CoW on the workload MoR exists for: many small update
     // batches trickling into a table they keep touching everywhere. Each
@@ -231,70 +305,82 @@ object Bench {
     // already right — both numbers published so the trade is visible.
     // SPARK_GRAFT_MOR_EVENTS=0 disables.
     val morEvents = sys.env.getOrElse("SPARK_GRAFT_MOR_EVENTS", "4000000").toLong
+    val trickleCl = new java.io.File(base, "trickle-changelog")
+    val lastMorLake = new java.io.File(base, "lake-trickle-mor-last")
     val morBlock: Option[(Double, Double, Int)] =
       if (morEvents <= 0) None
       else {
-        val trickleCl = new java.io.File(base, "trickle-changelog").getPath
         val nBatches = 64
-        ChangelogGen.write(spark, trickleCl, ChangelogGen.Config(
+        ChangelogGen.write(spark, trickleCl.getPath, ChangelogGen.Config(
           nEvents = morEvents, nConvs = math.max(morEvents / 200, 10L),
           skew = 1.2, evolveAt = morEvents / 2,
           segSize = math.max(morEvents / nBatches, 1L)))
-        def trickle(tag: String, morMode: Boolean): Double = {
-          val lake = new LakeTable(spark,
-            new java.io.File(base, s"lake-trickle-$tag").getPath)
-          val sec = timeSec {
-            new CdcDriver(spark, trickleCl, lake, segmentsPerBatch = 1,
-              nBuckets = 64, quiet = true, mor = morMode).run()
-          }
-          morEvents / sec
+        def trickle(tag: String, morMode: Boolean, keepLake: Boolean): Double = {
+          val lakeFile =
+            if (keepLake) lastMorLake else new java.io.File(base, s"lake-trickle-$tag")
+          if (lakeFile.exists()) rm(lakeFile)
+          try {
+            val lake = new LakeTable(spark, lakeFile.getPath)
+            val sec = timeSec {
+              new CdcDriver(spark, trickleCl.getPath, lake, segmentsPerBatch = 1,
+                nBuckets = 64, quiet = true, mor = morMode,
+                keepSnapshots = 2).run()
+            }
+            morEvents / sec
+          } finally { sampleDisk(); if (!keepLake) rm(lakeFile) }
         }
         // interleaved, median-of-runs — same discipline as the pair bench
         // (capped at 2 pairs: the CoW side is deliberately the slow shape,
         // and the tracked quantity is the RATIO, which interleaving keeps
-        // honest even under host drift — see BASELINE.md round-3 pairs)
-        val runs = (1 to math.min(benchRuns, 2)).map { i =>
-          (trickle(s"cow-r$i", morMode = false),
-            trickle(s"mor-r$i", morMode = true))
+        // honest even under host drift — see BASELINE.md round-3 pairs).
+        // The LAST MoR lake is kept for the lookup block below and deleted
+        // there.
+        val nPairs = math.min(benchRuns, 2)
+        val runs = (1 to nPairs).map { i =>
+          (trickle(s"cow-r$i", morMode = false, keepLake = false),
+            trickle(s"mor-r$i", morMode = true, keepLake = i == nPairs))
         }
         Some((median(runs.map(_._1)), median(runs.map(_._2)), nBatches))
       }
-    val morJson = morBlock.map { case (cow, mor, b) =>
-      f""","mor":{"events":$morEvents,"batches":$b,""" +
-      f""""throughput_cow":$cow%.1f,"throughput_mor":$mor%.1f,""" +
-      f""""speedup":${mor / cow}%.2f}"""
-    }.getOrElse("")
+    morBlock.foreach { case (cow, mor, b) =>
+      cdcParts += "mor" ->
+        (f""""mor":{"events":$morEvents,"batches":$b,""" +
+         f""""throughput_cow":$cow%.1f,"throughput_mor":$mor%.1f,""" +
+         f""""speedup":${mor / cow}%.2f}""")
+    }
 
     // ---- point-lookup latency + membership pruning on the MoR lake the
     // trickle block just built (multi-file bucket chains — the shape the
     // per-file bloom/dictionary evidence exists for). Positive lookups
     // time the whole driver path (prune + one small Spark job); negative
     // lookups must prune to ZERO files and run no job at all.
-    val lookupJson = morBlock.map { _ =>
-      val lakeDir = new java.io.File(base,
-        s"lake-trickle-mor-r${math.min(benchRuns, 2)}").getPath
-      val lake = new LakeTable(spark, lakeDir)
-      val snap = lake.currentSnapshot.get
-      val convs = lake.read().select("conv_id").distinct()
-        .orderBy("conv_id").limit(16).collect().map(_.getString(0))
-      lake.lookup(convs.head).count() // warm the lookup path once
-      def ms(f: => Unit): Double = { val t = System.nanoTime(); f
-        (System.nanoTime() - t) / 1e6 }
-      val pos = convs.map(c => ms { lake.lookup(c).count() }).sorted
-      val ghosts = convs.map(_ + "-x0")
-      var ghostFiles = 0
-      val neg = ghosts.map(g => ms {
-        ghostFiles += lake.lookupFilesKeyed(Seq(g)).size }).sorted
-      val chainAvg = snap.totalFiles.toDouble / snap.nBuckets
-      val posFilesPruned = convs.map(c =>
-        lake.lookupFilesKeyed(Seq(c), bloom = false).size -
-          lake.lookupFilesKeyed(Seq(c)).size).sum
-      f""","lookup":{"chain_avg":$chainAvg%.1f,""" +
-      f""""pos_ms_p50":${pos(pos.length / 2)}%.1f,""" +
-      f""""neg_ms_p50":${neg(neg.length / 2)}%.1f,""" +
-      f""""neg_files_opened":$ghostFiles,""" +
-      f""""pos_files_pruned":$posFilesPruned}"""
-    }.getOrElse("")
+    morBlock.foreach { _ =>
+      try {
+        val lake = new LakeTable(spark, lastMorLake.getPath)
+        val snap = lake.currentSnapshot.get
+        val convs = lake.read().select("conv_id").distinct()
+          .orderBy("conv_id").limit(16).collect().map(_.getString(0))
+        lake.lookup(convs.head).count() // warm the lookup path once
+        def ms(f: => Unit): Double = { val t = System.nanoTime(); f
+          (System.nanoTime() - t) / 1e6 }
+        val pos = convs.map(c => ms { lake.lookup(c).count() }).sorted
+        val ghosts = convs.map(_ + "-x0")
+        var ghostFiles = 0
+        val neg = ghosts.map(g => ms {
+          ghostFiles += lake.lookupFilesKeyed(Seq(g)).size }).sorted
+        val chainAvg = snap.totalFiles.toDouble / snap.nBuckets
+        val posFilesPruned = convs.map(c =>
+          lake.lookupFilesKeyed(Seq(c), bloom = false).size -
+            lake.lookupFilesKeyed(Seq(c)).size).sum
+        cdcParts += "lookup" ->
+          (f""""lookup":{"chain_avg":$chainAvg%.1f,""" +
+           f""""pos_ms_p50":${pos(pos.length / 2)}%.1f,""" +
+           f""""neg_ms_p50":${neg(neg.length / 2)}%.1f,""" +
+           f""""neg_files_opened":$ghostFiles,""" +
+           f""""pos_files_pruned":$posFilesPruned}""")
+      } finally { rm(lastMorLake); rm(trickleCl) }
+    }
+    emit()
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -335,47 +421,60 @@ object Bench {
     val thrN = median(nRuns)
     val thr4n = median(fnRuns)
     val efficiency = thr4n / (4.0 * thrN)
+    cdcParts += "pair" ->
+      (f""""throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,""" +
+       f""""n_cores":${scalePair._1},"four_n_cores":${scalePair._2},""" +
+       f""""scaling_efficiency":$efficiency%.3f,"pinned":$pinned,""" +
+       f""""steal_pct":{"n":${stealN.max}%.1f,"four_n":${steal4n.max}%.1f},""" +
+       f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f}""")
+    emit()
+    rm(new java.io.File(changelog)) // pair runs were its last consumer
 
     // ---- 10^8-event soak replay at full cores (round-over-round tracked;
     // SPARK_GRAFT_SOAK_EVENTS=0 disables). 25M-event batches per the heap
-    // guidance (build.sbt default -Xmx24g).
-    val soakEvents = sys.env.getOrElse("SPARK_GRAFT_SOAK_EVENTS", "100000000").toLong
+    // guidance (build.sbt default -Xmx24g). Free-disk preflight: the soak
+    // is the bench's biggest footprint (changelog ~70 B/event + lake +
+    // shuffle spill); budgeted at 200 B/event against at most 60% of the
+    // currently-free space, the event count scales DOWN (multiple of 4M,
+    // so segment math stays exact) instead of filling the filesystem —
+    // the scaling is printed in the JSON (`soak.scaled_from`).
+    val soakAsk = sys.env.getOrElse("SPARK_GRAFT_SOAK_EVENTS", "100000000").toLong
+    val soakBudgetBytesPerEvent = 200L
+    val soakCap = base.getUsableSpace * 6 / 10 / soakBudgetBytesPerEvent
+    val soakEvents =
+      if (soakAsk <= soakCap) soakAsk
+      else math.max(soakCap / 4000000L * 4000000L, 4000000L)
     val soak: Option[(Long, Double, Int)] =
-      if (soakEvents <= 0) None
+      if (soakAsk <= 0) None
       else {
         val s = session(cpus)
-        val soakCl = new java.io.File(base, "soak-changelog").getPath
-        ChangelogGen.write(s, soakCl, ChangelogGen.Config(
-          nEvents = soakEvents, nConvs = math.max(soakEvents / 200, 10L),
-          skew = 1.2, evolveAt = soakEvents / 2,
-          segSize = math.max(soakEvents / 4, 1L)))
-        warmup(s)
-        val lake = new LakeTable(s, new java.io.File(base, "lake-soak").getPath)
-        var batches = 0
-        val sec = timeSec {
-          batches = new CdcDriver(s, soakCl, lake, segmentsPerBatch = 1,
-            nBuckets = 64, quiet = true).run().size
+        val soakCl = new java.io.File(base, "soak-changelog")
+        val soakLake = new java.io.File(base, "lake-soak")
+        try {
+          ChangelogGen.write(s, soakCl.getPath, ChangelogGen.Config(
+            nEvents = soakEvents, nConvs = math.max(soakEvents / 200, 10L),
+            skew = 1.2, evolveAt = soakEvents / 2,
+            segSize = math.max(soakEvents / 4, 1L)))
+          warmup(s)
+          val lake = new LakeTable(s, soakLake.getPath)
+          var batches = 0
+          val sec = timeSec {
+            batches = new CdcDriver(s, soakCl.getPath, lake, segmentsPerBatch = 1,
+              nBuckets = 64, quiet = true, keepSnapshots = 2).run().size
+          }
+          Some((soakEvents, soakEvents / sec, batches))
+        } finally {
+          sampleDisk(); rm(soakLake); rm(soakCl)
+          s.stop()
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         }
-        s.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        Some((soakEvents, soakEvents / sec, batches))
       }
-    val soakJson = soak.map { case (n, thr, b) =>
-      f""","soak":{"events":$n,"throughput":$thr%.1f,"batches":$b,"cores":$cpus}"""
-    }.getOrElse("")
-
-    val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = qTimes.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      f""""cdc":{"events":$cdcEvents,"throughput_full":$thrFull%.1f,""" +
-      f""""throughput_full_nocf":$thrFullNoCf%.1f,"full_cores":$cpus,""" +
-      f""""throughput_n":$thrN%.1f,"throughput_4n":$thr4n%.1f,""" +
-      f""""n_cores":${scalePair._1},"four_n_cores":${scalePair._2},""" +
-      f""""scaling_efficiency":$efficiency%.3f,""" +
-      f""""runs":$benchRuns,"pinned":$pinned,""" +
-      f""""steal_pct":{"n":${stealN.max}%.1f,"four_n":${steal4n.max}%.1f},""" +
-      f""""spread":{"n":${spread(nRuns)}%.3f,"four_n":${spread(fnRuns)}%.3f,""" +
-      f""""full":$fullSpread%.3f}$morJson$lookupJson$soakJson}}""")
+    soak.foreach { case (n, thr, b) =>
+      val scaledNote = if (n != soakAsk) s""","scaled_from":$soakAsk""" else ""
+      cdcParts += "soak" ->
+        f""""soak":{"events":$n,"throughput":$thr%.1f,"batches":$b,"cores":$cpus$scaledNote}"""
+    }
+    emit(toStdout = true) // the one stdout JSON line — the artifact
+    rm(base)
   }
 }

@@ -42,5 +42,16 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Engine-roundtrip queries (q51+) build scratch lakes under target/qNN-*;
+    // their results were just dumped to parquet above, so the workspaces are
+    // dead — sweep them (disk hygiene: repeated verify runs must not
+    // accumulate lakes).
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    Option(new java.io.File("target").listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory && f.getName.matches("q\\d\\d-.*")) rm(f)
+    })
   }
 }

@@ -614,7 +614,8 @@ object CdcApply {
     // resolves the per-salt winners globally. Identical duplicate deliveries
     // share an lsn and therefore a salt, so phase 1 already collapses them.
     val merged =
-      if (patchEnabled) patchMerge(unioned, targetSchema, ks)
+      if (patchEnabled)
+        patchMerge(unioned, targetSchema, ks, lake.mapPutAllCols)
       else if (saltBuckets > 0) {
         val salted = lwwDedup(
           unioned.withColumn("_salt",
@@ -810,13 +811,35 @@ object CdcApply {
     * shuffle, so no salting phase is needed). The window plan cannot
     * express per-column fold, hence the separate opt-in path; output
     * contract matches lwwDedup's (`_st` = carried flag, `_hl` = had live
-    * stored row) so the change-feed classification downstream is shared. */
+    * stored row) so the change-feed classification downstream is shared.
+    *
+    * `putAllCols` (LakeTable.mapPutAllCols): map columns with ADDITIVE
+    * patch semantics — the reference's `QueryBuilder.putAll`
+    * (ActivityAggregatesFunction.scala:301-310, `agg map<text,int>` at
+    * test.cql:36-38). A patch carrying such a column MERGES its entries
+    * into the running map (patch keys win on collision) instead of
+    * replacing it; folding is in lsn order across ALL newer-than-base
+    * patches (latest-setter-per-column is wrong for maps — an early
+    * patch's untouched entries must survive a later partial one), an
+    * explicit unset still clears the whole column, and a newer full image
+    * still replaces it wholesale. The fold stays inside the same single
+    * aggregation exchange: collect_list of this key's newer patch maps
+    * (bounded by events-per-key-per-batch), then a codegen'd
+    * `aggregate()` fold — no extra shuffle, no UDF. */
   private def patchMerge(unioned: DataFrame, targetSchema: StructType,
-                         ks: graft.model.Schemas.KeySpec): DataFrame = {
+                         ks: graft.model.Schemas.KeySpec,
+                         putAllCols: Set[String] = Set.empty): DataFrame = {
     val metaCols = Set("_lsn", "_src_part", "_src_off", "_tombstone")
     val keyCols = ks.keyCols
     val dataCols = targetSchema.fields.map(_.name)
       .filterNot(n => keyCols.contains(n) || metaCols(n)).toSeq
+    val putAll = dataCols.filter(putAllCols).toSet
+    putAll.foreach { c =>
+      val dt = targetSchema.fields.find(_.name == c).get.dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.MapType],
+        s"map put-all contract on $c requires a map column; found " +
+        dt.simpleString)
+    }
     val isPatch = col("_patch")
     // ordering key preferring (lsn, state-on-tie); null for patches so
     // max_by skips them when electing the base image
@@ -835,10 +858,19 @@ object CdcApply {
       // is listed in the patch's unset_cols (explicit clear — Schemas.UnsetCol);
       // the unset wins when both, and the cleared value is a typed null
       val unset = coalesce(array_contains(col("_unset"), lit(c)), lit(false))
-      val setter =
-        when(isPatch && (col(c).isNotNull || unset), col("_lsn"))
-      Seq(max_by(when(!unset, col(c)), setter).as(s"_p_$c"),
-        max(setter).as(s"_pl_$c"))
+      if (putAll(c))
+        // additive map: EVERY touching patch matters, not just the latest —
+        // collect (lsn, unset, value), sorted by lsn for the output fold
+        Seq(sort_array(collect_list(
+          when(isPatch && (col(c).isNotNull || unset),
+            struct(col("_lsn").as("l"), unset.as("u"), col(c).as("v")))))
+          .as(s"_pp_$c"))
+      else {
+        val setter =
+          when(isPatch && (col(c).isNotNull || unset), col("_lsn"))
+        Seq(max_by(when(!unset, col(c)), setter).as(s"_p_$c"),
+          max(setter).as(s"_pl_$c"))
+      }
     }
     val g = unioned
       .groupBy(col("b") +: keyCols.map(col): _*)
@@ -855,6 +887,24 @@ object CdcApply {
       case "_tombstone" =>
         (coalesce(baseTomb, lit(false)) &&
           !coalesce(patchNewer, lit(false))).as("_tombstone")
+      case c if putAll(c) =>
+        // fold newer-than-base patches in lsn order over the base map:
+        // unset clears, a set merges entries with the patch winning
+        // collisions (putAll). Tombstoned/absent base starts from null —
+        // resurrection carries only patch entries.
+        val mt = targetSchema.fields.find(_.name == c).get.dataType
+        val entries = filter(col(s"_pp_$c"),
+          e => e.getField("l") > coalesce(baseLsn, noBase))
+        val init = when(!coalesce(baseTomb, lit(true)),
+          col("_base").getField(c))
+        aggregate(entries, init,
+          (acc, e) => when(e.getField("u"),
+            lit(null).cast(mt)) // explicit clear: fold restarts from empty
+            .otherwise(when(acc.isNull, e.getField("v"))
+              .otherwise(map_concat(
+                map_filter(acc, (k, v0) => { val _ = v0
+                  !array_contains(map_keys(e.getField("v")), k) }),
+                e.getField("v"))))).as(c)
       case c =>
         when(col(s"_pl_$c") > coalesce(baseLsn, noBase), col(s"_p_$c"))
           // tombstoned/absent base contributes nothing: resurrection is

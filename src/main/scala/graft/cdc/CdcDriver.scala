@@ -144,6 +144,28 @@ final class CdcDriver(
     // attached after the fact (new views need the declared agg list).
     matView.foreach(v => MatView.catchUp(spark, lake, v, matViewCfg))
     val segs = ChangelogGen.listSegments(changelogDir)
+    // EPOCH-DOMAIN GUARDS (round-3 advice): epochs are only comparable
+    // within one driver discipline. An UNNAMED replay resumes from the
+    // scalar epoch — on a multi-feed table that is a global commit COUNTER
+    // (advances per commit across all feeds), not a segment cursor, so a
+    // plain replay would silently skip segments and report them drained.
+    // Likewise a source whose epochs were minted by a streaming checkpoint
+    // (batchId-based) must not be advanced by segment-based batch epochs.
+    lake.currentSnapshot.foreach { s =>
+      if (source.isEmpty && s.sourceEpochsOrEmpty.nonEmpty)
+        throw new IllegalStateException(
+          s"${lake.root} is ingested by NAMED sources " +
+          s"(${s.sourceEpochsOrEmpty.keys.toSeq.sorted.mkString(",")}): an " +
+          "unnamed replay would resume from the global commit counter and " +
+          "skip segments — name this feed (source=...)")
+    }
+    val boundCkpt = lake.streamBinding(source.getOrElse(""))
+    if (boundCkpt.isDefined)
+      throw new IllegalStateException(
+        s"${lake.root} source '${source.getOrElse("")}' is bound to " +
+        s"streaming checkpoint ${boundCkpt.get}: its epochs are " +
+        "checkpoint-relative batchIds, not segment cursors — drive it with " +
+        "CdcStream (or use a differently-named source for batch backfill)")
     val applied = lake.currentSnapshot.map(s =>
       source match {
         case Some(id) => s.sourceEpoch(id) // per-feed resume cursor

@@ -45,32 +45,59 @@ object Branch {
 
   def tagName(name: String): String = s"branch-$name"
 
-  /** Fork `main` at its current snapshot into a writable branch. */
-  def create(main: LakeTable, name: String): BranchInfo = {
+  /** Fork `main` at its current snapshot into a writable branch.
+    *
+    * Race safety (round-3 advice): the meta-dir copy is not atomic against
+    * concurrent main commits — a commit landing mid-copy would leave the
+    * branch's head NEWER than the tag-pinned base (so main's expire could
+    * reclaim manifests the branch head references, and discard's baseFiles
+    * set would come from the wrong snapshot). After the copy, the head is
+    * re-verified against the pinned base: if main moved, the copy is torn
+    * down and the fork retried from the NEW head (fresh tag), up to
+    * `attempts` times. */
+  def create(main: LakeTable, name: String, attempts: Int = 5): BranchInfo = {
     require(name.nonEmpty && name.forall(c =>
       Character.isLetterOrDigit(c) || c == '-' || c == '_'),
       s"invalid branch name: $name")
-    val cur = main.currentSnapshot.getOrElse(
-      throw new IllegalStateException(
-        s"${main.root} has no snapshot — nothing to branch"))
     val broot = branchRoot(main, name)
-    if (LakeIO.exists(s"$broot/meta"))
-      throw new IllegalStateException(
-        s"branch $name already exists (publish or discard it first)")
-    // pin the fork point on main BEFORE the branch becomes readable: from
-    // here main's expire keeps the base snapshot and its files
-    main.tag(tagName(name), cur.snapshotId)
-    val fs = LakeIO.fs(main.root)
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new Path(s"${main.root}/meta"),
-      fs, new Path(s"$broot/meta"),
-      false /* deleteSource */, LakeIO.conf)
-    // the branch keeps its own tag namespace: drop inherited tags so a
-    // branch-side expire can't be blocked by (or later release) main's pins
-    LakeIO.delete(s"$broot/meta/tags")
-    val info = BranchInfo(name, cur.snapshotId, cur.epoch)
-    LakeIO.writeBytes(basePath(broot), mapper.writeValueAsBytes(info))
-    info
+    var left = attempts
+    while (true) {
+      val cur = main.currentSnapshot.getOrElse(
+        throw new IllegalStateException(
+          s"${main.root} has no snapshot — nothing to branch"))
+      if (LakeIO.exists(s"$broot/meta"))
+        throw new IllegalStateException(
+          s"branch $name already exists (publish or discard it first)")
+      // pin the fork point on main BEFORE the branch becomes readable: from
+      // here main's expire keeps the base snapshot and its files
+      main.tag(tagName(name), cur.snapshotId)
+      val fs = LakeIO.fs(main.root)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(s"${main.root}/meta"),
+        fs, new Path(s"$broot/meta"),
+        false /* deleteSource */, LakeIO.conf)
+      // the branch keeps its own tag namespace: drop inherited tags so a
+      // branch-side expire can't be blocked by (or later release) main's pins
+      LakeIO.delete(s"$broot/meta/tags")
+      // monotone snapshot ids make this check sufficient: head == cur at
+      // verify time means no commit completed during the copy, so the copy
+      // holds nothing newer than the pinned base
+      if (main.currentSnapshot.exists(_.snapshotId == cur.snapshotId)) {
+        val info = BranchInfo(name, cur.snapshotId, cur.epoch)
+        LakeIO.writeBytes(basePath(broot), mapper.writeValueAsBytes(info))
+        return info
+      }
+      // main moved mid-copy: tear the stale fork down and retry from the
+      // new head (the stale copy may contain a snapshot newer than the pin)
+      LakeIO.delete(broot)
+      main.untag(tagName(name))
+      left -= 1
+      if (left <= 0)
+        throw new CommitConflictException(
+          s"branch $name lost $attempts fork races against concurrent " +
+          "main commits — quiesce ingest or retry")
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The branch as a table — every engine surface works on it. */

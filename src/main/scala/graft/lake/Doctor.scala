@@ -89,10 +89,16 @@ object Doctor {
       var k = 2
       while (mean / k > t.rowsPerBucketTarget &&
              cur.nBuckets * k.toLong * 2 <= t.maxBuckets) k *= 2
-      val newN = math.min(cur.nBuckets.toLong * k, t.maxBuckets.toLong).toInt
-      advice += Advice("rebucket", newN.toString,
-        s"mean $mean rows/bucket exceeds target ${t.rowsPerBucketTarget}; " +
-        s"aligned ${cur.nBuckets} -> $newN split is shuffle-free")
+      // the maxBuckets cap must stay a MULTIPLE of the current count —
+      // min(nBuckets*k, maxBuckets) could advise a non-multiple, and
+      // Compaction.rebucket then falls back to a full repartition,
+      // contradicting the shuffle-free claim the operator acts on
+      val capped = math.min(cur.nBuckets.toLong * k, t.maxBuckets.toLong)
+      val newN = (capped / cur.nBuckets * cur.nBuckets).toInt
+      if (newN >= cur.nBuckets * 2) // a <2x aligned growth isn't worth it
+        advice += Advice("rebucket", newN.toString,
+          s"mean $mean rows/bucket exceeds target ${t.rowsPerBucketTarget}; " +
+          s"aligned ${cur.nBuckets} -> $newN split is shuffle-free")
     }
     if (hot.nonEmpty)
       advice += Advice("salt", "",

@@ -761,6 +761,46 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       }.toMap
   }
 
+  // ------------------------------------------------- map put-all contracts
+
+  /** Map columns with ADDITIVE patch semantics (the reference's
+    * `QueryBuilder.putAll` map<text,int> upserts,
+    * ActivityAggregatesFunction.scala:301-310; `agg map<text,int>` at
+    * test.cql:36-38): a patch event (op='P') carrying the column MERGES its
+    * entries into the stored map (new keys win on collision) instead of
+    * replacing the whole column; an explicit unset (Schemas.UnsetCol) still
+    * clears it. Stored as one immutable file per column under
+    * meta/mapmerge/ — the checks pattern: table-level, write-once, survives
+    * replay/kill/resume, read by CdcApply.patchMerge per batch (cheap
+    * metadata; empty for tables without the contract). */
+  private def mapMergeDir: String = s"$metaDir/mapmerge"
+  private def mapMergePath(name: String): String = s"$mapMergeDir/$name.json"
+
+  /** Declare `colName` additive under patches. The column need not exist
+    * yet (a patch feed may introduce it additively); when it does exist it
+    * must be a MapType — enforced at merge time against the batch schema. */
+  def setMapPutAll(colName: String): Unit = {
+    require(validTagName(colName), s"invalid column name: $colName")
+    LakeIO.mkdirs(mapMergeDir)
+    val bytes = mapper.writeValueAsBytes(Map("col" -> colName))
+    if (!LakeIO.publishExclusive(mapMergePath(colName), bytes))
+      throw new CommitConflictException(
+        s"map put-all contract for $colName already exists")
+  }
+
+  def dropMapPutAll(colName: String): Boolean = {
+    if (!LakeIO.exists(mapMergePath(colName))) return false
+    LakeIO.delete(mapMergePath(colName)); true
+  }
+
+  /** Columns under the additive-map patch contract. */
+  def mapPutAllCols: Set[String] = {
+    if (!LakeIO.exists(mapMergeDir)) return Set.empty
+    LakeIO.list(mapMergeDir)
+      .filter { case (n, _, isDir) => !isDir && n.endsWith(".json") }
+      .map(_._1.stripSuffix(".json")).toSet
+  }
+
   /** Expire all but the newest `keepLast` snapshots: their metadata files
     * are removed and any data file or manifest referenced ONLY by expired
     * snapshots is deleted (manifests are shared across snapshots by
@@ -777,13 +817,39 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val all = snapshots
     if (all.size <= keepLast) return (0, 0)
+    expireThese(all, all.splitAt(all.size - keepLast)._1)
+  }
+
+  /** AGE-based retention (the reference's knob is time, e.g. a 7-day dedup
+    * TTL — activity-aggregate-updater.conf:36): expire every snapshot whose
+    * commit time (version-file mtime — set once at the atomic publish,
+    * never touched again) is older than `maxAgeMs`, ALWAYS keeping the
+    * current head regardless of age. Tags remain retention-proof. An
+    * operator wanting "keep 7 days of time travel" calls this with
+    * 7*24*3600*1000 on any cadence; combine with keepLast by calling both. */
+  def expireSnapshotsOlderThan(maxAgeMs: Long): (Int, Int) = {
+    require(maxAgeMs >= 0, "maxAgeMs must be >= 0")
+    val all = snapshots
+    if (all.size <= 1) return (0, 0)
+    val now = System.currentTimeMillis()
+    val old = all.dropRight(1) // the head never expires
+      .filter(s => now - LakeIO.mtime(versionPath(s.snapshotId)) >= maxAgeMs)
+    if (old.isEmpty) return (0, 0)
+    expireThese(all, old)
+  }
+
+  /** Shared expiry core: delete `candidates` (minus tagged pins) and every
+    * manifest/data file only they reference. `all` must be the full current
+    * snapshot list (reference counting needs the retained side). */
+  private def expireThese(all: Seq[Snapshot],
+                          candidates: Seq[Snapshot]): (Int, Int) = {
     // tagged snapshots are retention-proof: audit pins and rollback targets
-    // survive any keepLast policy until explicitly untagged
+    // survive any retention policy until explicitly untagged
     val tagged = tags.values.toSet
-    val (old, recent) = all.splitAt(all.size - keepLast)
-    val (kept, expired) = old.partition(s => tagged.contains(s.snapshotId))
+    val candidateIds = candidates.map(_.snapshotId).toSet
+    val (expired, retained) = all.partition(s =>
+      candidateIds.contains(s.snapshotId) && !tagged.contains(s.snapshotId))
     if (expired.isEmpty) return (0, 0)
-    val retained = kept ++ recent
     val liveManifests = retained.flatMap(_.manifests.map(_.path)).toSet
     val deadRefs = expired.flatMap(_.manifests).distinctBy(_.path)
       .filterNot(r => liveManifests.contains(r.path))
