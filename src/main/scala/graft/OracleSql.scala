@@ -786,6 +786,74 @@ object OracleSql {
          |  event_id AS winner_lsn, event_type AS winner_type FROM (
          |  SELECT user_id, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
-         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q65: map put-all patch fold as a per-map-key election — a map key's
+    // final value comes from the newest patch setter after the last barrier
+    // (newest full image / delete = bl; newest whole-map unset after it =
+    // ul), and the base image's entry survives only when no unset follows
+    // it and no setter overrode that key.
+    "q65_map_putall" ->
+      s"""WITH ev AS (SELECT user_id AS conv_id, CAST(event_id % 7 AS INT) AS turn_idx,
+         |    event_id AS lsn,
+         |    CASE WHEN event_type = 'error' THEN 'D'
+         |         WHEN event_type = 'signup' THEN 'P' ELSE 'U' END AS op,
+         |    'k' || CAST(event_id % 3 AS VARCHAR) AS k,
+         |    coalesce(${cents("value")}, 0) AS v
+         |  FROM events),
+         |base AS (SELECT conv_id, turn_idx,
+         |    max(CASE WHEN op <> 'P' THEN lsn END) AS bl,
+         |    arg_max(op = 'D', CASE WHEN op <> 'P' THEN lsn END) AS btomb,
+         |    arg_max(k, CASE WHEN op <> 'P' THEN lsn END) AS bk,
+         |    arg_max(v, CASE WHEN op <> 'P' THEN lsn END) AS bv
+         |  FROM ev GROUP BY 1, 2),
+         |un AS (SELECT e.conv_id, e.turn_idx, max(e.lsn) AS ul
+         |  FROM ev e JOIN base b ON e.conv_id = b.conv_id AND e.turn_idx = b.turn_idx
+         |  WHERE e.op = 'P' AND e.lsn % 5 = 0
+         |    AND e.lsn > coalesce(b.bl, -9223372036854775807 - 1)
+         |  GROUP BY 1, 2),
+         |bar AS (SELECT b.conv_id, b.turn_idx, b.bl, b.btomb, b.bk, b.bv, u.ul,
+         |    greatest(coalesce(b.bl, -9223372036854775807 - 1),
+         |             coalesce(u.ul, -9223372036854775807 - 1)) AS barrier
+         |  FROM base b LEFT JOIN un u ON b.conv_id = u.conv_id AND b.turn_idx = u.turn_idx),
+         |setter AS (SELECT e.conv_id, e.turn_idx, e.k, arg_max(e.v, e.lsn) AS v
+         |  FROM ev e JOIN bar r ON e.conv_id = r.conv_id AND e.turn_idx = r.turn_idx
+         |  WHERE e.op = 'P' AND e.lsn % 5 <> 0 AND e.lsn > r.barrier
+         |  GROUP BY 1, 2, 3),
+         |basepairs AS (SELECT r.conv_id, r.turn_idx, r.bk AS k, r.bv AS v
+         |  FROM bar r
+         |  WHERE r.ul IS NULL AND r.bl IS NOT NULL AND NOT r.btomb
+         |    AND NOT EXISTS (SELECT 1 FROM setter s
+         |      WHERE s.conv_id = r.conv_id AND s.turn_idx = r.turn_idx
+         |        AND s.k = r.bk))
+         |SELECT conv_id, turn_idx, k, v FROM setter
+         |UNION ALL SELECT conv_id, turn_idx, k, v FROM basepairs""".stripMargin,
+
+    // q66: LWW election, plus the INSERT rows, plus the MERGE composed in
+    // plain SQL (matched turn-0 rows take the click spend; unmatched spend
+    // keys insert with a null event_type).
+    "q66_insert_merge" ->
+      s"""WITH st AS (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_type, ${cents("value")} AS v_cents FROM (
+         |    SELECT user_id, event_id, event_type, value,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |    FROM events) WHERE rn = 1 AND event_type <> 'error'),
+         |st2 AS (SELECT * FROM st
+         |  UNION ALL SELECT CAST(-777 AS BIGINT), 0, 'manual', 12345
+         |  UNION ALL SELECT CAST(-777 AS BIGINT), 1, 'manual', 67890),
+         |cs AS (SELECT user_id AS conv_id, CAST(0 AS INT) AS turn_idx,
+         |    sum(${cents("value")}) AS v_cents
+         |  FROM events WHERE event_type = 'click' GROUP BY 1)
+         |SELECT t.conv_id, t.turn_idx, t.event_type,
+         |  CASE WHEN s.conv_id IS NOT NULL THEN s.v_cents ELSE t.v_cents END AS v_cents
+         |FROM st2 t LEFT JOIN cs s
+         |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+         |UNION ALL
+         |SELECT s.conv_id, s.turn_idx, CAST(NULL AS VARCHAR) AS event_type,
+         |  s.v_cents
+         |FROM cs s LEFT JOIN st2 t
+         |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+         |WHERE t.conv_id IS NULL""".stripMargin
   )
 }

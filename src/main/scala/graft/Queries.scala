@@ -1276,6 +1276,92 @@ object Queries {
       col("_lsn").as("winner_lsn"), col("event_type").as("winner_type"))
   }
 
+  /** Map put-all patch semantics through the ENGINE (reference:
+    * `QueryBuilder.putAll` map<text,int> upserts,
+    * ActivityAggregatesFunction.scala:301-310): the events table becomes a
+    * patch feed carrying a one-entry map per event ('signup' = patch,
+    * 'error' = delete, else full image; key = 'k'||lsn%3, value = cents;
+    * a patch with lsn%5==0 CLEARS the map via unset_cols). The feed replays
+    * in 4 lsn-ordered batches through CdcApply with the attrs column under
+    * the put-all contract, so patches MERGE entries instead of replacing —
+    * output is the final maps exploded to (key, value) pairs, which the
+    * oracle reproduces as a per-map-key election in plain SQL. */
+  def q65MapPutAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D"))
+        .when(col("event_type") === "signup", lit("P"))
+        .otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(7)).cast("int").as("turn_idx"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"),
+      coalesce(cents(col("value")), lit(0L)).as("v"))
+    val isUnset = col("op") === lit("P") && pmod(col("_lsn"), lit(5)) === 0
+    val feed = ev.select(col("op"), col("conv_id"), col("turn_idx"),
+      when(!isUnset && col("op") =!= lit("D"),
+        map(concat(lit("k"), pmod(col("_lsn"), lit(3)).cast("string")),
+          col("v"))).as("attrs"),
+      when(isUnset, array(lit("attrs")))
+        .otherwise(lit(null).cast("array<string>"))
+        .as(graft.model.Schemas.UnsetCol),
+      col("_lsn"), col("_src_part"), col("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q65-map-${System.nanoTime()}")
+    lake.setMapPutAll("attrs")
+    val maxId = feed.agg(max("_lsn")).head().getLong(0)
+    val step = maxId / 4 + 1
+    (0 until 4).foreach { k =>
+      graft.cdc.CdcApply.apply(lake,
+        feed.filter(col("_lsn") >= k * step && col("_lsn") < (k + 1) * step),
+        epoch = k + 1, nBuckets = 16, patchEnabled = true)
+    }
+    lake.read().select(col("conv_id"), col("turn_idx"),
+        explode(col("attrs")))
+      .withColumnRenamed("key", "k").withColumnRenamed("value", "v")
+  }
+
+  /** SQL INSERT INTO + MERGE INTO through the engine (GraftDml): the events
+    * LWW feed seeds a lake; INSERT upserts synthetic admin rows; MERGE INTO
+    * (sourced from a registered view of 'click' winners) doubles matched
+    * rows' value and inserts unmatched keys — all as maintenance merges.
+    * Oracle: the same three steps composed in plain SQL. */
+  def q66InsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      cents(col("value")).as("v_cents"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q66-im-${System.nanoTime()}")
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    // INSERT: two admin rows under a conv id the feed never uses (negative)
+    // — INSERT over a CDC table is an upsert by construction
+    graft.sql.GraftDml.sql(lake,
+      "INSERT INTO lake (conv_id, turn_idx, event_type, v_cents) VALUES " +
+      "(CAST(-777 AS BIGINT), 0, 'manual', CAST(12345 AS BIGINT)), " +
+      "(CAST(-777 AS BIGINT), 1, 'manual', CAST(67890 AS BIGINT))")
+    // MERGE: source = per-conv click spend at turn 0 — most convs have a
+    // live turn 0 (UPDATE leg), some have it tombstoned or absent (INSERT
+    // leg resurrects/creates with event_type null)
+    t(s, dir, "events").filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("conv_id"))
+      .agg(lit(0).cast("int").as("turn_idx"),
+        sum(cents(col("value"))).as("v_cents"))
+      .createOrReplaceTempView("click_spend")
+    graft.sql.GraftDml.sql(lake,
+      "MERGE INTO lake AS t USING click_spend AS s " +
+      "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+      "WHEN MATCHED THEN UPDATE SET v_cents = s.v_cents " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("event_type"), col("v_cents"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1342,6 +1428,8 @@ object Queries {
     "q61_matview" -> (q61MatView _),
     "q62_requeue" -> (q62Requeue _),
     "q63_branch_wap" -> (q63BranchWap _),
-    "q64_multi_source" -> (q64MultiSource _)
+    "q64_multi_source" -> (q64MultiSource _),
+    "q65_map_putall" -> (q65MapPutAll _),
+    "q66_insert_merge" -> (q66InsertMerge _)
   )
 }

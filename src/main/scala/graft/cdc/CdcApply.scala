@@ -690,7 +690,7 @@ object CdcApply {
         val st = graft.lake.ParquetFooters.writeStats(p,
           if (statsIsString) Some(statsCol) else None)
         DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
-          st.zoneCols, st.zoneMins, st.zoneMaxs)
+          st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes)
       }
     }
     val rowsOut = newFiles.map(_.rows).sum
@@ -860,10 +860,14 @@ object CdcApply {
       val unset = coalesce(array_contains(col("_unset"), lit(c)), lit(false))
       if (putAll(c))
         // additive map: EVERY touching patch matters, not just the latest —
-        // collect (lsn, unset, value), sorted by lsn for the output fold
-        Seq(sort_array(collect_list(
+        // collect (lsn, unset, value), sorted by lsn for the output fold.
+        // array_sort with an explicit lsn comparator: structs containing
+        // maps have no natural ordering (sort_array refuses them).
+        Seq(array_sort(collect_list(
           when(isPatch && (col(c).isNotNull || unset),
-            struct(col("_lsn").as("l"), unset.as("u"), col(c).as("v")))))
+            struct(col("_lsn").as("l"), unset.as("u"), col(c).as("v")))),
+          (a, b) => when(a.getField("l") < b.getField("l"), -1)
+            .when(a.getField("l") > b.getField("l"), 1).otherwise(0))
           .as(s"_pp_$c"))
       else {
         val setter =

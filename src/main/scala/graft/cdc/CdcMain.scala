@@ -483,6 +483,9 @@ object CdcMain {
             s""""snapshotId":${r.snapshotId},"nBuckets":${r.nBuckets},""" +
             s""""mor":${r.mor},"rows":${r.rows},"files":${r.files},""" +
             s""""snapshotsRetained":${r.snapshotsRetained},""" +
+            s""""bytes":${r.bytes},""" +
+            s""""meanBytesPerBucket":${r.meanBytesPerBucket},""" +
+            s""""maxBytesPerBucket":${r.maxBytesPerBucket},""" +
             s""""meanRowsPerBucket":${r.meanRowsPerBucket},""" +
             s""""maxRowsPerBucket":${r.maxRowsPerBucket},""" +
             s""""maxChain":${r.maxChain},""" +

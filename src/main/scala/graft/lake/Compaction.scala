@@ -157,7 +157,7 @@ object Compaction {
         val st = ParquetFooters.writeStats(p,
           if (statsIsString) Some(statsCol) else None)
         DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
-          st.zoneCols, st.zoneMins, st.zoneMaxs)
+          st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes)
       }
     }
 

@@ -27,6 +27,10 @@ object Doctor {
       chainMax: Int = 16,
       /** advise rebucketing when mean stored rows per bucket exceed this */
       rowsPerBucketTarget: Long = 4_000_000L,
+      /** advise rebucketing when mean stored BYTES per bucket exceed this
+        * — catches wide/blob-heavy rows a row-count threshold misses
+        * (ignored when the snapshot predates byte stats, i.e. all 0) */
+      bytesPerBucketTarget: Long = 1L << 30,
       /** never advise growing past this many buckets */
       maxBuckets: Int = 4096,
       /** flag skew when the hottest bucket exceeds mean × this factor */
@@ -41,6 +45,8 @@ object Doctor {
   final case class Report(
       snapshotId: Long, epoch: Long, nBuckets: Int, mor: Boolean,
       rows: Long, files: Int, snapshotsRetained: Int,
+      /** compressed data bytes (0 when the snapshot predates byte stats) */
+      bytes: Long, meanBytesPerBucket: Long, maxBytesPerBucket: Long,
       meanRowsPerBucket: Long, maxRowsPerBucket: Long, maxChain: Int,
       chainedBuckets: Seq[Int], hotBuckets: Seq[Int],
       /** quarantine dirs still holding dead letters (epoch ids) */
@@ -56,19 +62,30 @@ object Doctor {
     // a MoR bucket's delta chain is SEVERAL refs with the same bucket id
     // (one per appended batch) — aggregate per bucket before judging
     val byBucket = cur.manifests.groupBy(_.bucket).map { case (b, refs) =>
-      (b, refs.map(_.rows).sum, refs.map(_.nFiles).sum)
+      (b, refs.map(_.rows).sum, refs.map(_.nFiles).sum, refs.map(_.bytes).sum)
     }.toSeq
     val rows = byBucket.map(_._2).sum
+    val bytes = byBucket.map(_._4).sum
     val mean = if (cur.nBuckets > 0) rows / math.max(cur.nBuckets, 1) else 0L
+    // bytes == 0 ⇒ pre-byte-stats snapshot: size judgments disabled, the
+    // row-count thresholds carry the advice alone (old behavior)
+    val meanB = if (cur.nBuckets > 0) bytes / math.max(cur.nBuckets, 1) else 0L
     val maxRows = if (byBucket.isEmpty) 0L else byBucket.map(_._2).max
+    val maxBytes = if (byBucket.isEmpty) 0L else byBucket.map(_._4).max
     val maxChain = if (byBucket.isEmpty) 0 else byBucket.map(_._3).max
     // worst chains first, so a capped applySafe run always takes the
     // buckets that hurt read amplification the most
     val chained = byBucket.filter(_._3 > t.chainMax)
       .sortBy(-_._3).map(_._1)
+    // hot by rows OR by bytes: a bucket of few huge rows (blob columns)
+    // skews scan time just as hard as one of many small rows
     val hot = byBucket
-      .filter(r => mean > 0 && r._2 > mean * t.skewFactor)
-      .sortBy(-_._2).map(_._1)
+      .filter(r => (mean > 0 && r._2 > mean * t.skewFactor) ||
+                   (meanB > 0 && r._4 > meanB * t.skewFactor))
+      .sortBy(r => -math.max(
+        if (mean > 0) r._2.toDouble / mean else 0.0,
+        if (meanB > 0) r._4.toDouble / meanB else 0.0))
+      .map(_._1)
 
     val advice = Seq.newBuilder[Advice]
     if (chained.nonEmpty) {
@@ -83,11 +100,14 @@ object Doctor {
           s"${chained.size} bucket(s) hold > ${t.chainMax} files " +
           s"(worst ${maxChain}): small-file read amplification")
     }
-    if (mean > t.rowsPerBucketTarget && cur.nBuckets < t.maxBuckets) {
-      // smallest power-of-two multiple that brings the mean back under
-      // target — aligned, so the rewrite is shuffle-free (Compaction)
+    val overRows = mean > t.rowsPerBucketTarget
+    val overBytes = meanB > t.bytesPerBucketTarget
+    if ((overRows || overBytes) && cur.nBuckets < t.maxBuckets) {
+      // smallest power-of-two multiple that brings BOTH means back under
+      // their targets — aligned, so the rewrite is shuffle-free (Compaction)
       var k = 2
-      while (mean / k > t.rowsPerBucketTarget &&
+      while ((mean / k > t.rowsPerBucketTarget ||
+              meanB / k > t.bytesPerBucketTarget) &&
              cur.nBuckets * k.toLong * 2 <= t.maxBuckets) k *= 2
       // the maxBuckets cap must stay a MULTIPLE of the current count —
       // min(nBuckets*k, maxBuckets) could advise a non-multiple, and
@@ -95,17 +115,28 @@ object Doctor {
       // contradicting the shuffle-free claim the operator acts on
       val capped = math.min(cur.nBuckets.toLong * k, t.maxBuckets.toLong)
       val newN = (capped / cur.nBuckets * cur.nBuckets).toInt
-      if (newN >= cur.nBuckets * 2) // a <2x aligned growth isn't worth it
+      if (newN >= cur.nBuckets * 2) { // a <2x aligned growth isn't worth it
+        val why =
+          if (overRows && overBytes)
+            s"mean $mean rows and $meanB bytes/bucket exceed targets " +
+            s"${t.rowsPerBucketTarget} rows / ${t.bytesPerBucketTarget} bytes"
+          else if (overBytes)
+            s"mean $meanB bytes/bucket exceeds target " +
+            s"${t.bytesPerBucketTarget} (rows mean $mean is fine — " +
+            "wide/blob-heavy rows)"
+          else
+            s"mean $mean rows/bucket exceeds target ${t.rowsPerBucketTarget}"
         advice += Advice("rebucket", newN.toString,
-          s"mean $mean rows/bucket exceeds target ${t.rowsPerBucketTarget}; " +
-          s"aligned ${cur.nBuckets} -> $newN split is shuffle-free")
+          s"$why; aligned ${cur.nBuckets} -> $newN split is shuffle-free")
+      }
     }
     if (hot.nonEmpty)
       advice += Advice("salt", "",
         s"bucket(s) ${hot.take(8).mkString(",")} hold > ${t.skewFactor}x " +
-        s"the mean rows (hottest $maxRows vs mean $mean): hot business " +
-        "keys — consider ingest-side salting (replay saltBuckets) and " +
-        "clustered compaction of those buckets")
+        s"the mean rows or bytes (hottest $maxRows rows / $maxBytes bytes " +
+        s"vs means $mean / $meanB): hot business keys — consider " +
+        "ingest-side salting (replay saltBuckets) and clustered " +
+        "compaction of those buckets")
     if (snapCount > t.keepSnapshots)
       advice += Advice("expire", t.keepSnapshots.toString,
         s"$snapCount snapshots retained (> ${t.keepSnapshots}): metadata " +
@@ -133,7 +164,8 @@ object Doctor {
         "against retention: publish or discard when the audit concludes")
 
     Some(Report(cur.snapshotId, cur.epoch, cur.nBuckets, cur.mor,
-      rows, byBucket.map(_._3).sum, snapCount, mean, maxRows, maxChain,
+      rows, byBucket.map(_._3).sum, snapCount, bytes, meanB, maxBytes,
+      mean, maxRows, maxChain,
       chained, hot, quarantined, branches, advice.result()))
   }
 

@@ -20,7 +20,10 @@ final case class DataFileMeta(
     path: String, bucket: Int, rows: Long, minKey: String, maxKey: String,
     zoneCols: Array[String] = Array.empty,
     zoneMins: Array[Long] = Array.empty,
-    zoneMaxs: Array[Long] = Array.empty) {
+    zoneMaxs: Array[Long] = Array.empty,
+    /** compressed data bytes (0 in pre-bytes manifests = "no stats") —
+      * feeds size-aware maintenance advice (Doctor) */
+    bytes: Long = 0L) {
   /** [min, max] of `column` in this file, None when not collected (pre-zone
     * manifest, all-null file, or a block without stats). */
   def zone(column: String): Option[(Long, Long)] = {
@@ -47,7 +50,12 @@ final case class PartitionLineage(srcPart: Int, minOff: Long, maxOff: Long)
   * metadata is O(touched buckets), not O(table files) — the manifest-tree
   * shape real table formats use (a flat in-snapshot file list stops
   * scaling once the table holds millions of files). */
-final case class ManifestRef(bucket: Int, path: String, rows: Long, nFiles: Int)
+final case class ManifestRef(bucket: Int, path: String, rows: Long,
+                             nFiles: Int,
+                             /** compressed data bytes of the listed files
+                               * (0 in pre-bytes snapshots = "no stats") —
+                               * lets size-aware advice stay metadata-only */
+                             bytes: Long = 0L)
 
 object Manifests {
   private[lake] val mapper = new ObjectMapper()
@@ -216,7 +224,7 @@ final class LakeTable(val spark: SparkSession, val root: String) {
       val path =
         s"$mdir/m-$snapshotId-b$b-${UUID.randomUUID().toString.take(8)}.json"
       LakeIO.writeBytes(path, mapper.writeValueAsBytes(fs.toArray))
-      ManifestRef(b, path, fs.map(_.rows).sum, fs.size)
+      ManifestRef(b, path, fs.map(_.rows).sum, fs.size, fs.map(_.bytes).sum)
     }
   }
 

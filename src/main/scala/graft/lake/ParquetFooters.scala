@@ -166,16 +166,21 @@ object ParquetFooters {
   final case class WriteFileStats(rows: Long, minKey: String, maxKey: String,
                                   zoneCols: Array[String],
                                   zoneMins: Array[Long],
-                                  zoneMaxs: Array[Long])
+                                  zoneMaxs: Array[Long],
+                                  /** compressed data bytes (block sums) —
+                                    * feeds size-aware maintenance advice */
+                                  bytes: Long = 0L)
   def writeStats(path: String, stringCol: Option[String]): WriteFileStats =
     withFooter(path) { footer =>
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      var rows = 0L; var mnK: String = null; var mxK: String = null
+      var rows = 0L; var bytes = 0L
+      var mnK: String = null; var mxK: String = null
       val zMin = scala.collection.mutable.Map[String, Long]()
       val zMax = scala.collection.mutable.Map[String, Long]()
       val dropped = scala.collection.mutable.Set[String]()
       footer.getBlocks.forEach { block =>
         rows += block.getRowCount
+        bytes += block.getCompressedSize
         val populated = block.getRowCount > 0
         block.getColumns.forEach { c =>
           val name = c.getPath.toDotString
@@ -206,7 +211,7 @@ object ParquetFooters {
       val keep = (zMin.keySet -- dropped).toArray.sorted
       WriteFileStats(rows, Option(mnK).getOrElse(""),
         Option(mxK).getOrElse(""), keep,
-        keep.map(zMin), keep.map(zMax))
+        keep.map(zMin), keep.map(zMax), bytes)
     }
 
   /** Exact-or-probabilistic membership probe for `value` in `column`,

@@ -68,8 +68,263 @@ object GraftDml {
       }
       update(lake, sets, afterSet.substring(wi + "where".length).trim,
         maxAttempts)
+    } else if (lower.startsWith("insert")) {
+      parseInsert(lake, s, maxAttempts)
+    } else if (lower.startsWith("merge")) {
+      parseMerge(lake, s, maxAttempts)
     } else throw new IllegalArgumentException(
-      s"unsupported DML (DELETE FROM … WHERE … | UPDATE … SET … WHERE …): $s")
+      "unsupported DML (DELETE FROM … WHERE … | UPDATE … SET … WHERE … | " +
+      s"INSERT INTO … | MERGE INTO … USING … ON … WHEN …): $s")
+  }
+
+  /** Insert `rows` (business + key columns; internal `_` columns and `op`
+    * are synthesized) as op='I' upserts through the maintenance MERGE.
+    * Rows whose keys already exist become plain LWW updates — SQL INSERT
+    * over a CDC table is upsert by construction (the reference's admin
+    * migration inserts, MergeOperations.scala:49-99, carry the same
+    * semantics: the write wins over whatever is stored). New columns are
+    * adopted through additive schema evolution; structural validation and
+    * CHECK constraints run (bad rows quarantine at the current epoch). */
+  def insert(lake: LakeTable, rows: org.apache.spark.sql.DataFrame,
+             maxAttempts: Int = 5): CdcApply.ApplyStats =
+    withConflictRetry(maxAttempts) {
+      val snap = lake.currentSnapshot.getOrElse(
+        throw new IllegalStateException(
+          s"no snapshot committed in ${lake.root} — seed the table with a " +
+          "replay batch first (INSERT needs the stored key/bucket contract)"))
+      val ks = snap.keySpec
+      ks.keyCols.foreach(k => require(rows.columns.contains(k),
+        s"INSERT rows must carry key column $k"))
+      require(!rows.columns.exists(c => c.startsWith("_") || c == "op"),
+        "INSERT rows must not carry internal columns or op")
+      applySynthesized(lake, snap,
+        rows.withColumn("op", lit(Schemas.OpInsert)), validate = true)
+    }
+
+  // ---------------------------------------------------------- INSERT INTO
+
+  /** `INSERT INTO t (c1, …) VALUES (…), (…)` — literals parsed by Spark's
+    * own VALUES clause — or `INSERT INTO t [(c1, …)] SELECT …` (the SELECT
+    * may read any registered temp view). */
+  private def parseInsert(lake: LakeTable, s: String,
+                          maxAttempts: Int): CdcApply.ApplyStats = {
+    val spark = lake.spark
+    val toks = s.split("\\s+", 4)
+    require(toks.length >= 4 && toks(1).equalsIgnoreCase("into"),
+      s"malformed INSERT statement (INSERT INTO <t> …): $s")
+    var rest = toks(3).trim
+    // optional column list
+    val cols: Seq[String] =
+      if (rest.startsWith("(")) {
+        val close = matchingParen(rest, 0)
+        val list = splitTopLevel(rest.substring(1, close), ',')
+        rest = rest.substring(close + 1).trim
+        list
+      } else Nil
+    val lower = rest.toLowerCase(java.util.Locale.ROOT)
+    val df =
+      if (lower.startsWith("values")) {
+        require(cols.nonEmpty,
+          "INSERT … VALUES requires an explicit column list " +
+          "(INSERT INTO t (c1, c2, …) VALUES …)")
+        spark.sql(
+          s"SELECT * FROM VALUES ${rest.substring("values".length)} " +
+          s"AS v(${cols.mkString(", ")})")
+      } else if (lower.startsWith("select")) {
+        val sel = spark.sql(rest)
+        if (cols.isEmpty) sel
+        else {
+          require(sel.columns.length == cols.length,
+            s"SELECT yields ${sel.columns.length} columns, the INSERT " +
+            s"list names ${cols.length}")
+          sel.toDF(cols: _*)
+        }
+      } else throw new IllegalArgumentException(
+        s"INSERT INTO expects VALUES or SELECT, got: $rest")
+    insert(lake, df, maxAttempts)
+  }
+
+  // ------------------------------------------------------------ MERGE INTO
+
+  /** `MERGE INTO t [AS a] USING (<subquery>)|<view> [AS] s ON <key equi
+    * conjunction> WHEN MATCHED THEN UPDATE SET c = expr, … | WHEN MATCHED
+    * THEN DELETE | WHEN NOT MATCHED THEN INSERT *` — compiled to ONE
+    * synthesized op-tagged batch (U/D for matched, I for not-matched)
+    * through the same maintenance MERGE as every other DML verb.
+    *
+    * Deliberate subset: the ON clause must be an equality conjunction over
+    * EXACTLY the table's key columns (the engine's merge primitive is
+    * key-addressed — an arbitrary theta-ON would be a different operator),
+    * and `WHEN NOT MATCHED BY SOURCE` is unsupported (that is a full-table
+    * anti-scan; express it as a DELETE WHERE with a NOT EXISTS instead). */
+  private def parseMerge(lake: LakeTable, s: String,
+                         maxAttempts: Int): CdcApply.ApplyStats = {
+    val spark = lake.spark
+    val ui = topLevelKeyword(s, "using").getOrElse(
+      throw new IllegalArgumentException(s"MERGE needs USING: $s"))
+    val oi = topLevelKeyword(s, "on").getOrElse(
+      throw new IllegalArgumentException(s"MERGE needs ON: $s"))
+    require(ui < oi, s"malformed MERGE (USING must precede ON): $s")
+    // target + alias: MERGE INTO <t> [AS] [<alias>]
+    val intoToks = s.substring(0, ui).trim.split("\\s+").toSeq
+    require(intoToks.length >= 3 && intoToks(1).equalsIgnoreCase("into"),
+      s"malformed MERGE statement (MERGE INTO <t> …): $s")
+    val tAlias = intoToks.filterNot(_.equalsIgnoreCase("as")).last
+    // source + alias
+    var srcPart = s.substring(ui + "using".length, oi).trim
+    val (srcSql, srcTail) =
+      if (srcPart.startsWith("(")) {
+        val close = matchingParen(srcPart, 0)
+        (srcPart.substring(1, close), srcPart.substring(close + 1).trim)
+      } else {
+        val sp = srcPart.split("\\s+", 2)
+        (s"SELECT * FROM ${sp(0)}", if (sp.length > 1) sp(1).trim else sp(0))
+      }
+    val tailToks = srcTail.split("\\s+").filterNot(_.equalsIgnoreCase("as"))
+      .filter(_.nonEmpty)
+    require(tailToks.nonEmpty,
+      s"MERGE source needs an alias (USING (…) AS s): $srcPart")
+    val sAlias = tailToks.last
+    // WHEN clauses
+    val wi = topLevelKeyword(s, "when").getOrElse(
+      throw new IllegalArgumentException(s"MERGE needs WHEN clauses: $s"))
+    val onSql = s.substring(oi + "on".length, wi).trim
+    val snap = lake.currentSnapshot.getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot committed in ${lake.root} — nothing to merge into"))
+    val ks = snap.keySpec
+    // the ON conjunction must cover exactly the key columns, by equality
+    val covered = splitTopLevelWord(onSql, "and").map { conj =>
+      val sides = splitTopLevel(conj, '=')
+      require(sides.length == 2, s"ON conjunct must be an equality: $conj")
+      val names = sides.map(_.trim).map { q =>
+        val parts = q.split("\\.").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        require(parts.length == 2 &&
+          (parts(0) == tAlias || parts(0) == sAlias),
+          s"ON sides must be <$tAlias|$sAlias>.<key>: $conj")
+        (parts(0), parts(1))
+      }
+      require(names.map(_._1).toSet == Set(tAlias, sAlias) &&
+        names(0)._2 == names(1)._2,
+        s"ON conjunct must equate the SAME key column across " +
+        s"$tAlias and $sAlias: $conj")
+      names(0)._2
+    }.toSet
+    require(covered == ks.keyCols.toSet,
+      s"MERGE ON must cover exactly the key columns " +
+      s"${ks.keyCols.mkString(", ")} (got ${covered.toSeq.sorted.mkString(", ")})")
+
+    // WHEN clause parsing (UPDATE SET | DELETE | INSERT *)
+    var matchedSets: Option[Seq[(String, String)]] = None
+    var matchedDelete = false
+    var insertAll = false
+    var rest = s.substring(wi)
+    while (rest.nonEmpty) {
+      val next = topLevelKeyword(rest.substring(4), "when").map(_ + 4)
+      val clause = next.map(rest.substring(0, _)).getOrElse(rest).trim
+      val cl = clause.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ")
+      if (cl.startsWith("when matched then update set ")) {
+        require(matchedSets.isEmpty && !matchedDelete,
+          "at most one WHEN MATCHED clause is supported")
+        // index the ORIGINAL clause (cl is whitespace-normalized)
+        val si = topLevelKeyword(clause, "set").getOrElse(
+          throw new IllegalArgumentException(s"UPDATE needs SET: $clause"))
+        val sets = splitTopLevel(
+          clause.substring(si + "set".length), ',').map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"malformed assignment: $a")
+          (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+        }
+        matchedSets = Some(sets)
+      } else if (cl == "when matched then delete") {
+        require(matchedSets.isEmpty && !matchedDelete,
+          "at most one WHEN MATCHED clause is supported")
+        matchedDelete = true
+      } else if (cl == "when not matched then insert *") {
+        insertAll = true
+      } else throw new IllegalArgumentException(
+        "unsupported MERGE clause (WHEN MATCHED THEN UPDATE SET …, WHEN " +
+        s"MATCHED THEN DELETE, WHEN NOT MATCHED THEN INSERT *): $clause")
+      rest = next.map(rest.substring(_)).getOrElse("")
+    }
+    require(matchedSets.isDefined || matchedDelete || insertAll,
+      "MERGE needs at least one supported WHEN clause")
+    matchedSets.foreach(_.foreach { case (c, _) =>
+      val cn = c.stripPrefix(s"$tAlias.")
+      require(!ks.keyCols.contains(cn),
+        s"key column $cn cannot be SET")
+      require(!cn.startsWith("_") && cn != "op",
+        s"internal column $cn cannot be SET")
+    })
+
+    withConflictRetry(maxAttempts) {
+      val cur = lake.currentSnapshot.get
+      val src = spark.sql(srcSql).alias(sAlias)
+      val tgt = GraftSql.table(spark, lake.root, asOf = cur.snapshotId)
+        .alias(tAlias)
+      val joinCond = ks.keyCols
+        .map(k => col(s"$sAlias.$k") === col(s"$tAlias.$k")).reduce(_ && _)
+      val joined = src.join(tgt, joinCond, "left")
+      // key columns are null-free in the table, so a null target key IS
+      // "not matched"
+      val isMatched = col(s"$tAlias.${ks.keyCols.head}").isNotNull
+      val tableCols = cur.schema.fields.map(_.name)
+        .filterNot(n => n.startsWith("_")).toSeq
+      val srcCols = spark.sql(srcSql).columns.toSet
+      def img(fromTarget: Boolean): Seq[org.apache.spark.sql.Column] =
+        tableCols.map { c =>
+          if (fromTarget) {
+            matchedSets.flatMap(_.find(_._1.stripPrefix(s"$tAlias.") == c))
+              .map { case (_, e) => expr(e).as(c) }
+              .getOrElse(col(s"$tAlias.$c").as(c))
+          } else if (ks.keyCols.contains(c) || srcCols.contains(c))
+            col(s"$sAlias.$c").as(c)
+          else lit(null).cast(cur.schema(c).dataType).as(c)
+        }
+      val legs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+      if (matchedSets.isDefined)
+        legs += joined.filter(isMatched)
+          .select(img(fromTarget = true) :+ lit(Schemas.OpUpdate).as("op"): _*)
+      if (matchedDelete)
+        legs += joined.filter(isMatched)
+          .select(img(fromTarget = true) :+ lit(Schemas.OpDelete).as("op"): _*)
+      if (insertAll)
+        legs += joined.filter(!isMatched)
+          .select(img(fromTarget = false) :+ lit(Schemas.OpInsert).as("op"): _*)
+      val batch = legs.result().reduce(_ unionByName _)
+      applySynthesized(lake, cur, batch, validate = true)
+    }
+  }
+
+  /** Shared tail for INSERT/MERGE: synthesize `_lsn` above every stored lsn
+    * of the touched buckets (so late re-deliveries of older images cannot
+    * beat the admin write — same discipline as DELETE/UPDATE), probe the
+    * provably-complete touched set from the batch's own keys, and apply as
+    * a maintenance merge at the current epoch. */
+  private def applySynthesized(lake: LakeTable, snap: graft.lake.Snapshot,
+                               batch0: org.apache.spark.sql.DataFrame,
+                               validate: Boolean): CdcApply.ApplyStats = {
+    val ks = snap.keySpec
+    val probe = batch0
+      .groupBy(CdcApply.bucketOfCols(ks.bucketCols.map(col), snap.nBuckets)
+        .as("b"))
+      .count().collect()
+    val buckets = probe.map(_.getInt(0)).toSet
+    val n = probe.map(_.getLong(1)).sum
+    if (n == 0)
+      return CdcApply.ApplyStats(snap, skipped = true, 0, 0, 0, 0.0)
+    val maxRow = lake.readBuckets(Some(buckets)).agg(max("_lsn")).head()
+    val synthLsn = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1
+    val batch = batch0
+      .withColumn("_lsn", lit(synthLsn))
+      .withColumn("_src_part", lit(-1))
+      .withColumn("_src_off", lit(synthLsn))
+    CdcApply.apply(lake, batch, epoch = snap.epoch, nBuckets = snap.nBuckets,
+      maintenance = true, validate = validate,
+      probeInfo = Some(CdcApply.ProbeInfo(n,
+        Seq(PartitionLineage(-1, synthLsn, synthLsn)))),
+      touchedHint = Some(buckets))
   }
 
   /** Tombstone every live row matching `whereSql`. */
@@ -199,6 +454,44 @@ object GraftDml {
       }
     }
     None
+  }
+
+  /** Index just past the matching close paren of the open paren at `open`. */
+  private def matchingParen(s: String, open: Int): Int = {
+    require(s.charAt(open) == '(', s"expected ( at $open in: $s")
+    var i = open; var depth = 0; var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses in: $s")
+  }
+
+  /** Split on word `w` (case-insensitive, word boundaries) at depth 0. */
+  private def splitTopLevelWord(s: String, w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var rest = s
+    var base = 0
+    var idx = topLevelKeyword(rest, w)
+    while (idx.isDefined) {
+      out += s.substring(start, base + idx.get)
+      start = base + idx.get + w.length
+      base = start
+      rest = s.substring(start)
+      idx = topLevelKeyword(rest, w)
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   /** Split on `sep` at paren/quote depth 0 (SET lists whose expressions

@@ -164,6 +164,90 @@ class CdcPatchSpec extends AnyFunSuite {
       CdcOracle.tableState(lake.read()))
   }
 
+  private def mkMapEvent(op: String, conv: String, turn: Int,
+                         attrs: Map[String, Long], lsn: Long,
+                         unset: Seq[String] = null) = {
+    import spark.implicits._
+    Seq((op, conv, turn, attrs, lsn, 0, lsn, Option(unset)))
+      .toDF("op", "conv_id", "turn_idx", "attrs",
+        "_lsn", "_src_part", "_src_off", "unset_cols")
+      .withColumn("unset_cols", col("unset_cols"))
+  }
+
+  test("map put-all: additive patches merge entries; replace mode replaces") {
+    def attrsOf(lake: LakeTable, conv: String): Map[String, Long] = {
+      val r = lake.read().filter(col("conv_id") === conv).head()
+      Option(r.getAs[Map[String, Long]]("attrs")).getOrElse(Map.empty)
+    }
+    // CONTROL: without the contract a patch replaces the whole column
+    val plain = new LakeTable(spark, TestSpark.tmpDir("map-replace"))
+    CdcApply.apply(plain, mkMapEvent("I", "m1", 0, Map("a" -> 1L, "b" -> 2L), 10),
+      1, nBuckets = 4, patchEnabled = true)
+    CdcApply.apply(plain, mkMapEvent("P", "m1", 0, Map("b" -> 20L, "c" -> 3L), 20),
+      2, nBuckets = 4, patchEnabled = true)
+    assert(attrsOf(plain, "m1") == Map("b" -> 20L, "c" -> 3L),
+      "replace mode: the patch map replaces the stored map wholesale")
+
+    // PUT-ALL: the contract makes the same feed merge entries
+    val lake = new LakeTable(spark, TestSpark.tmpDir("map-putall"))
+    lake.setMapPutAll("attrs")
+    def applyB(df: org.apache.spark.sql.DataFrame, epoch: Long) =
+      CdcApply.apply(lake, df, epoch, nBuckets = 4, patchEnabled = true)
+    applyB(mkMapEvent("I", "m1", 0, Map("a" -> 1L, "b" -> 2L), 10), 1)
+    applyB(mkMapEvent("P", "m1", 0, Map("b" -> 20L, "c" -> 3L), 20), 2)
+    assert(attrsOf(lake, "m1") == Map("a" -> 1L, "b" -> 20L, "c" -> 3L),
+      "put-all: patch entries merge in, patch wins collisions")
+
+    // two patches in ONE batch fold in lsn order — the early patch's
+    // untouched entries survive the later partial patch
+    applyB(mkMapEvent("P", "m1", 0, Map("d" -> 4L), 30)
+      .unionByName(mkMapEvent("P", "m1", 0, Map("b" -> 200L), 40)), 3)
+    assert(attrsOf(lake, "m1") ==
+      Map("a" -> 1L, "b" -> 200L, "c" -> 3L, "d" -> 4L))
+
+    // stale patch (lsn below the image) is ignored
+    applyB(mkMapEvent("P", "m1", 0, Map("z" -> 99L), 15), 4)
+    assert(attrsOf(lake, "m1") ==
+      Map("a" -> 1L, "b" -> 200L, "c" -> 3L, "d" -> 4L))
+
+    // explicit unset clears the whole map; a later patch rebuilds from empty
+    applyB(mkMapEvent("P", "m1", 0, null, 50, unset = Seq("attrs")), 5)
+    assert(attrsOf(lake, "m1") == Map.empty, "unset clears the map")
+    applyB(mkMapEvent("P", "m1", 0, Map("e" -> 5L), 60), 6)
+    assert(attrsOf(lake, "m1") == Map("e" -> 5L))
+
+    // a NEWER full image replaces wholesale (put-all is patch-only)
+    applyB(mkMapEvent("U", "m1", 0, Map("f" -> 6L), 70), 7)
+    assert(attrsOf(lake, "m1") == Map("f" -> 6L))
+
+    // tombstone, then a newer patch resurrects with ONLY its own entries
+    applyB(mkMapEvent("D", "m1", 0, null, 80), 8)
+    assert(lake.read().filter(col("conv_id") === "m1").isEmpty)
+    applyB(mkMapEvent("P", "m1", 0, Map("g" -> 7L), 90), 9)
+    assert(attrsOf(lake, "m1") == Map("g" -> 7L),
+      "resurrection carries only the patch's entries")
+
+    // unset + newer patch in the SAME batch: fold order holds (clear, then set)
+    applyB(mkMapEvent("P", "m1", 0, null, 100, unset = Seq("attrs"))
+      .unionByName(mkMapEvent("P", "m1", 0, Map("h" -> 8L), 110)), 10)
+    assert(attrsOf(lake, "m1") == Map("h" -> 8L))
+    // ...and a clear NEWER than a set in the same batch ends empty
+    applyB(mkMapEvent("P", "m1", 0, Map("i" -> 9L), 120)
+      .unionByName(mkMapEvent("P", "m1", 0, null, 130, unset = Seq("attrs"))), 11)
+    assert(attrsOf(lake, "m1") == Map.empty)
+  }
+
+  test("map put-all contract refuses non-map columns at merge time") {
+    val lake = new LakeTable(spark, TestSpark.tmpDir("map-notmap"))
+    lake.setMapPutAll("role") // declared before the schema exists: allowed
+    val e = intercept[IllegalArgumentException] {
+      CdcApply.apply(lake, mkEvent("I", "c1", 0, "user", "hello", 10),
+        1, nBuckets = 4, patchEnabled = true)
+    }
+    assert(e.getMessage.contains("requires a map column"))
+    assert(lake.dropMapPutAll("role"))
+  }
+
   test("patch events are quarantined when patch support is disabled") {
     val dir = TestSpark.tmpDir("patch-off-cl")
     ChangelogGen.write(spark, dir, ChangelogGen.Config(

@@ -108,6 +108,43 @@ class DoctorSpec extends AnyFunSuite {
     assert(Doctor.examine(lake, t).get.advice.isEmpty)
   }
 
+  test("size-aware: byte-skewed buckets advise even when rows are balanced") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lake = new LakeTable(spark, TestSpark.tmpDir("doc-bytes"))
+    val nB = 8
+    // 64 convs, one row each — rows/bucket are balanced; the convs landing
+    // in ONE bucket carry ~200 KB of random text (compression-resistant),
+    // the rest a few bytes. A rows-only doctor sees a healthy table.
+    val fatBucket = LakeTable.bucketOfValue("conv00", nB)
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 64).map { i =>
+      val id = f"conv$i%02d"
+      val fat = LakeTable.bucketOfValue(id, nB) == fatBucket
+      val text = if (fat) rng.alphanumeric.take(200000).mkString else "x"
+      (id, 0, "user", text, i.toLong)
+    }
+    val df = rows.toDF("conv_id", "turn_idx", "role", "text", "_lsn")
+      .withColumn("op", lit("U"))
+      .withColumn("_src_part", lit(0))
+      .withColumn("_src_off", col("_lsn"))
+    graft.cdc.CdcApply.apply(lake, df, epoch = 1, nBuckets = nB)
+
+    // rows threshold sky-high: only BYTE evidence can advise here
+    val r = Doctor.examine(lake, Doctor.Thresholds(
+      rowsPerBucketTarget = 1000000, bytesPerBucketTarget = 1024,
+      skewFactor = 3.0, keepSnapshots = 1000)).get
+    assert(r.bytes > 0, "manifest refs must carry footer byte stats")
+    assert(r.maxBytesPerBucket > r.meanBytesPerBucket * 3)
+    val reb = r.advice.find(_.action == "rebucket")
+    assert(reb.isDefined && reb.get.reason.contains("bytes"),
+      s"expected byte-keyed rebucket advice, got ${r.advice}")
+    assert(reb.get.args.toInt % nB == 0)
+    assert(r.hotBuckets.headOption.contains(fatBucket),
+      s"the fat bucket must rank hottest: ${r.hotBuckets}")
+    assert(r.advice.exists(_.action == "salt"))
+  }
+
   test("empty lake reports empty") {
     val lake = new LakeTable(spark, TestSpark.tmpDir("doc-empty"))
     assert(Doctor.examine(lake).isEmpty)

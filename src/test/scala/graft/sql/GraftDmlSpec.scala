@@ -161,6 +161,121 @@ class GraftDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO VALUES: new keys land, existing keys upsert, epoch kept") {
+    val lake = seed("dml-ins")
+    val pre = lake.currentSnapshot.get
+    val st = GraftDml.sql(lake,
+      "INSERT INTO lake (conv_id, turn_idx, role, text) VALUES " +
+      "('convNEW', 0, 'admin', 'hello'), " + // brand-new key
+      "('conv02', 1, 'admin', 'fixed')")     // existing key: upsert wins
+    assert(!st.skipped && st.rowsIn == 2)
+    assert(lake.currentSnapshot.get.epoch == pre.epoch,
+      "INSERT must not consume source-epoch space")
+    val niu = lake.lookup("convNEW").head()
+    assert(niu.getAs[String]("role") == "admin")
+    val upd = lake.lookup("conv02").filter(col("turn_idx") === 1).head()
+    assert(upd.getAs[String]("text") == "fixed",
+      "INSERT on an existing key is an upsert (the admin write wins)")
+    // the synthesized lsn fences re-delivery of the old image
+    CdcApply.apply(lake, batch(Seq(("conv02", 1, 9L))), epoch = 2, nBuckets = 8)
+    assert(lake.lookup("conv02").filter(col("turn_idx") === 1).head()
+      .getAs[String]("text") == "fixed")
+  }
+
+  test("INSERT INTO SELECT reads a registered view") {
+    val lake = seed("dml-ins-sel")
+    lake.read().filter(col("conv_id") === "conv01")
+      .select(concat(lit("copy-"), col("conv_id")).as("conv_id"),
+        col("turn_idx"), col("role"), col("text"))
+      .createOrReplaceTempView("to_copy")
+    val st = GraftDml.sql(lake, "INSERT INTO lake SELECT * FROM to_copy")
+    assert(st.rowsIn == 4)
+    assert(lake.lookup("copy-conv01").count() == 4)
+  }
+
+  test("MERGE INTO: matched UPDATE SET + not-matched INSERT *") {
+    val lake = seed("dml-merge")
+    val pre = lake.currentSnapshot.get
+    import spark.implicits._
+    // source: two existing keys + one new key
+    Seq(("conv01", 0, "patched-a"), ("conv02", 3, "patched-b"),
+      ("convX", 7, "fresh"))
+      .toDF("conv_id", "turn_idx", "text")
+      .createOrReplaceTempView("fixes")
+    val st = GraftDml.sql(lake,
+      "MERGE INTO lake AS t USING fixes AS s " +
+      "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+      "WHEN MATCHED THEN UPDATE SET text = s.text " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(!st.skipped && st.rowsIn == 3)
+    assert(lake.currentSnapshot.get.epoch == pre.epoch)
+    assert(lake.lookup("conv01").filter(col("turn_idx") === 0).head()
+      .getAs[String]("text") == "patched-a")
+    assert(lake.lookup("conv02").filter(col("turn_idx") === 3).head()
+      .getAs[String]("text") == "patched-b")
+    val fresh = lake.lookup("convX").head()
+    assert(fresh.getAs[String]("text") == "fresh")
+    assert(fresh.getAs[String]("role") == null,
+      "INSERT * null-fills table columns the source lacks")
+    // matched rows keep unassigned columns
+    assert(lake.lookup("conv01").filter(col("turn_idx") === 0).head()
+      .getAs[String]("role") == "user")
+  }
+
+  test("MERGE INTO: matched DELETE; subquery source") {
+    val lake = seed("dml-merge-del")
+    val st = GraftDml.sql(lake,
+      "MERGE INTO lake AS t USING " +
+      "(SELECT 'conv03' AS conv_id, 0 AS turn_idx UNION ALL " +
+      " SELECT 'conv03', 1 UNION ALL SELECT 'convZZ', 0) AS s " +
+      "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+      "WHEN MATCHED THEN DELETE")
+    assert(st.rowsIn == 2, "only the matched keys delete")
+    assert(lake.lookup("conv03").count() == 2) // turns 2,3 remain
+    // the tombstones fence re-delivery
+    CdcApply.apply(lake, batch(Seq(("conv03", 0, 12L))), epoch = 2, nBuckets = 8)
+    assert(lake.lookup("conv03").count() == 2)
+  }
+
+  test("MERGE refusals: non-key ON, missing alias, key SET") {
+    val lake = seed("dml-merge-refuse")
+    intercept[IllegalArgumentException] {
+      GraftDml.sql(lake,
+        "MERGE INTO lake AS t USING fixes AS s ON t.conv_id = s.conv_id " +
+        "WHEN MATCHED THEN DELETE") // turn_idx not covered
+    }
+    intercept[IllegalArgumentException] {
+      GraftDml.sql(lake,
+        "MERGE INTO lake AS t USING fixes AS s " +
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+        "WHEN MATCHED THEN UPDATE SET conv_id = s.conv_id")
+    }
+    intercept[IllegalArgumentException] {
+      GraftDml.sql(lake,
+        "MERGE INTO lake AS t USING (SELECT 1) ON t.conv_id = s.conv_id " +
+        "WHEN MATCHED THEN DELETE") // subquery without alias
+    }
+  }
+
+  test("a concurrent source commit retries the MERGE — both effects land") {
+    val lake = seed("dml-merge-race")
+    import spark.implicits._
+    Seq(("conv11", 0, "merged")).toDF("conv_id", "turn_idx", "text")
+      .createOrReplaceTempView("race_fix")
+    val merge = new Thread(() =>
+      GraftDml.sql(lake,
+        "MERGE INTO lake AS t USING race_fix AS s " +
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+        "WHEN MATCHED THEN UPDATE SET text = s.text"))
+    val src = new Thread(() =>
+      CdcApply.apply(lake, batch(Seq(("conv92", 0, 900L))), epoch = 2,
+        nBuckets = 8))
+    merge.start(); src.start(); merge.join(30000); src.join(30000)
+    assert(lake.lookup("conv11").filter(col("turn_idx") === 0).head()
+      .getAs[String]("text") == "merged", "the MERGE must land")
+    assert(lake.lookup("conv92").count() == 1, "the source batch must land")
+  }
+
   test("a concurrent source commit retries the DML — both effects land") {
     val lake = seed("dml-race")
     val dml = new Thread(() =>
