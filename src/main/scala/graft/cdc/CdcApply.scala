@@ -129,7 +129,11 @@ object CdcApply {
         // nullable-to-non-nullable map "cast" that moves no data
         case Some(t) if graft.model.Schemas.sameIgnoringNull(t, f.dataType) =>
           col(f.name)
-        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        // structural upcast (Schemas.upcast): plain cast for scalars; a
+        // struct widened by nested-additive evolution rebuilds field-wise
+        // (cast refuses struct casts that add fields)
+        case Some(t) =>
+          graft.model.Schemas.upcast(col(f.name), t, f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }.toIndexedSeq ++ extras.map { case (n, c) => c.as(n) }: _*)

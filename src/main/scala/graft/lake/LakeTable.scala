@@ -374,6 +374,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     require(graft.model.Schemas.hasFieldIds(sch),
       s"table $root was created before field-id support; rename needs " +
       "column identity (recreate or full-rewrite the table first)")
+    require(!from.contains(".") && !to.contains("."),
+      s"nested fields cannot be renamed ($from): field ids are top-level " +
+      "only — a nested rename has no column identity to resolve old files " +
+      "by. Evolve the feed additively (new nested field) instead")
     require(sch.fieldNames.contains(from), s"no column $from in $root")
     require(!sch.fieldNames.contains(to), s"column $to already exists")
     require(!from.startsWith("_") && !to.startsWith("_"),
@@ -405,6 +409,10 @@ final class LakeTable(val spark: SparkSession, val root: String) {
     require(graft.model.Schemas.hasFieldIds(sch),
       s"table $root was created before field-id support; drop needs " +
       "column identity (a re-added name would resurrect old values)")
+    require(!name.contains("."),
+      s"nested fields cannot be dropped ($name): field ids are top-level " +
+      "only — drop the whole column, or stop emitting the field feed-side " +
+      "(reads of absent nested fields are null)")
     require(sch.fieldNames.contains(name), s"no column $name in $root")
     require(!name.startsWith("_"), "internal columns cannot be dropped")
     require(!s.keySpec.keyCols.contains(name),
@@ -987,6 +995,26 @@ object LakeTable {
     ParquetFooters.parMap(files)(f =>
         (f, ParquetFooters.mightContain(f.path, column, value)))
       .filter(_._2 != Some(false)).map(_._1)
+
+  /** Membership pruning for a NON-KEY equality (`role = 'tool'`) at the
+    * storage mode's safe granularity: per FILE on copy-on-write (the
+    * residual filter is row-level, a file provably without the value
+    * contributes nothing), but per whole delta CHAIN on merge-on-read —
+    * dropping a single chain file that lacks the value could remove the
+    * NEWEST version of a key and elect a stale winner that spuriously
+    * matches; a bucket NONE of whose files might contain the value cannot
+    * elect a matching winner, so only whole chains die. Mirrors the
+    * granularity contract of [[pruneByRanges]]. */
+  def pruneByMembership(s: Snapshot, files: Seq[DataFileMeta],
+                        column: String, value: Any): Seq[DataFileMeta] =
+    if (!s.mor) filterByMembership(files, column, value)
+    else {
+      val verdicts = ParquetFooters.parMap(files)(f =>
+        (f, ParquetFooters.mightContain(f.path, column, value)))
+      verdicts.groupBy(_._1.bucket).values.collect {
+        case fs if fs.exists(_._2 != Some(false)) => fs.map(_._1)
+      }.toSeq.flatten
+    }
 
   def pruneByKey(s: Snapshot, bucketValues: Seq[Any]): Seq[DataFileMeta] = {
     val b = bucketOfValues(bucketValues, s.nBuckets)

@@ -219,6 +219,71 @@ object Schemas {
     case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
     case (t, DoubleType) if intChain.get(t).exists(_ <= 2) => Some(DoubleType)
     case (DoubleType, t) if intChain.get(t).exists(_ <= 2) => Some(DoubleType)
+    // NESTED evolution (the reference stores UDT structs and
+    // list<frozen<map>> columns — AssessmentAggregatorFunction.scala:222-231,
+    // test.cql:48): struct columns merge field-wise by NAME — common fields
+    // widen recursively, a field present on only one side adopts (additive,
+    // null-filled on the other; a batch missing a nested field never shrinks
+    // the stored type). Stored field order is kept, new batch fields append.
+    // Any non-widenable common field fails the WHOLE column loudly.
+    // Boundary (pinned by spec): nested fields carry no field ids, so
+    // rename/drop inside a struct is refused — a renamed nested field is an
+    // incompatible add+remove only when its type also changed; same-typed it
+    // behaves as drop+add (old values null out), which is why renameColumn
+    // refuses dotted paths instead of guessing.
+    case (x: StructType, y: StructType) =>
+      val yByName = y.fields.map(f => f.name -> f).toMap
+      val xNames = x.fieldNames.toSet
+      val merged = x.fields.map { f =>
+        yByName.get(f.name) match {
+          case Some(g) => widen(f.dataType, g.dataType) match {
+            case Some(w) => f.copy(dataType = w,
+              nullable = f.nullable || g.nullable)
+            case None => return None
+          }
+          case None => f // batch lacks it: keep stored shape (null-filled)
+        }
+      }
+      val added = y.fields.filterNot(f => xNames.contains(f.name))
+        .map(_.copy(nullable = true)) // absent in stored files => nullable
+      Some(StructType(merged ++ added))
+    case (x: ArrayType, y: ArrayType) =>
+      widen(x.elementType, y.elementType)
+        .map(e => ArrayType(e, x.containsNull || y.containsNull))
+    case (x: MapType, y: MapType) if sameIgnoringNull(x.keyType, y.keyType) =>
+      // keys are identity, never widened (a widened key would re-key rows)
+      widen(x.valueType, y.valueType)
+        .map(v => MapType(x.keyType, v,
+          x.valueContainsNull || y.valueContainsNull))
     case _ => None
+  }
+
+  /** Lossless upcast of `c` (typed `from`) to the widened `to` — the
+    * column-level counterpart of [[widen]]. Spark's `cast` refuses
+    * struct-to-struct casts that ADD fields, so struct columns rebuild
+    * field-by-field (new fields null), arrays map elements, maps map
+    * values; scalars fall back to a plain cast. A null struct/array/map
+    * stays null (never becomes a struct of nulls). */
+  def upcast(c: org.apache.spark.sql.Column, from: DataType,
+             to: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    (from, to) match {
+      case _ if sameIgnoringNull(from, to) => c
+      case (f: StructType, t: StructType) =>
+        val fb = f.fields.map(x => x.name -> x).toMap
+        val rebuilt = struct(t.fields.toIndexedSeq.map { tf =>
+          fb.get(tf.name) match {
+            case Some(ff) =>
+              upcast(c.getField(tf.name), ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }: _*)
+        when(c.isNull, lit(null).cast(t)).otherwise(rebuilt)
+      case (f: ArrayType, t: ArrayType) =>
+        transform(c, e => upcast(e, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        transform_values(c, (_, v) => upcast(v, f.valueType, t.valueType))
+      case _ => c.cast(to)
+    }
   }
 }

@@ -232,7 +232,8 @@ object GraftPushdown extends Rule[LogicalPlan] with PredicateHelper {
       }.toSeq
     val zoneKept: Seq[DataFileMeta] =
       if (byCol.isEmpty) s.files else LakeTable.pruneByRanges(s, byCol)._1
-    val kept: Seq[DataFileMeta] = keyEquality(rel, conjuncts) match {
+    val keyVals = keyEquality(rel, conjuncts)
+    val keyKept: Seq[DataFileMeta] = keyVals match {
       case Some(vs) =>
         val keyFiles = LakeTable.pruneByKey(s, vs).map(_.path).toSet
         val ranged = zoneKept.filter(f => keyFiles.contains(f.path))
@@ -242,6 +243,25 @@ object GraftPushdown extends Rule[LogicalPlan] with PredicateHelper {
         LakeTable.filterByMembership(ranged, s.keySpec.bucketCols.head, vs.head)
       case None => zoneKept
     }
+    // string-equality conjuncts on NON-key columns (`role = 'tool'`): zone
+    // maps only cover integral/ts columns, so these previously opened every
+    // file — lift the same bloom/dictionary chunk probe into planning.
+    // Granularity is storage-mode safe (file on CoW, whole chain on MoR:
+    // LakeTable.pruneByMembership); inconclusive evidence keeps the file,
+    // and the residual Filter above guarantees exactness either way.
+    val probedAlready: Set[String] =
+      if (keyVals.isDefined) Set(s.keySpec.bucketCols.head) else Set.empty
+    val strEqs: Seq[(String, String)] = conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+        if v != null && rel.outputSet.contains(a) => Some((a.name, v.toString))
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+        if v != null && rel.outputSet.contains(a) => Some((a.name, v.toString))
+      case _ => None
+    }
+    val kept = strEqs.distinct.filterNot(e => probedAlready.contains(e._1))
+      .foldLeft(keyKept) { case (fs, (c, v)) =>
+        LakeTable.pruneByMembership(s, fs, c, v)
+      }
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(

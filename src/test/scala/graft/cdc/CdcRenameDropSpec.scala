@@ -193,4 +193,15 @@ class CdcRenameDropSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](lake.dropColumn("_tombstone"))
     intercept[IllegalArgumentException](lake.dropColumn("nope"))
   }
+
+  test("nested rename/drop are refused loudly (field ids are top-level)") {
+    val lake = build()
+    val er = intercept[IllegalArgumentException](
+      lake.renameColumn("meta.src", "meta.source"))
+    assert(er.getMessage.contains("nested"),
+      s"refusal must name the nested boundary: ${er.getMessage}")
+    val ed = intercept[IllegalArgumentException](lake.dropColumn("meta.src"))
+    assert(ed.getMessage.contains("nested"),
+      s"refusal must name the nested boundary: ${ed.getMessage}")
+  }
 }

@@ -100,6 +100,42 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("string equality on a non-key column prunes files; MoR stays" +
+      " chain-safe") {
+    import spark.implicits._
+    def b(rows: Seq[(String, Int, String, Long)]): DataFrame =
+      rows.toDF("conv_id", "turn_idx", "role", "_lsn")
+        .withColumn("op", lit("U"))
+        .withColumn("text", concat(lit("t-"), col("_lsn")))
+        .withColumn("_src_part", (col("_lsn") % 4).cast("int"))
+        .withColumn("_src_off", col("_lsn"))
+    for (mor <- Seq(false, true)) {
+      val lake = new LakeTable(spark, TestSpark.tmpDir(s"sql-memb-$mor"))
+      // only conv03's rows carry role='tool'; every other bucket's files
+      // hold a single-value dictionary that PROVES 'tool' absent
+      val w1 = (0 until 48).flatMap { c =>
+        (0 until 4).map(t => (f"conv$c%02d", t,
+          if (c == 3) "tool" else "user", (c * 4 + t).toLong))
+      }
+      CdcApply.apply(lake, b(w1), epoch = 1, nBuckets = 8, mor = mor)
+      // a NEWER version of conv03 turn 0 WITHOUT the probed value — on MoR
+      // a per-file prune would drop this delta and elect the stale 'tool'
+      // row; chain granularity must keep the whole chain instead
+      CdcApply.apply(lake, b(Seq(("conv03", 0, "user", 1000L))),
+        epoch = 2, nBuckets = 8, mor = mor)
+
+      val df = GraftSql.table(spark, lake.root).filter(col("role") === "tool")
+      assert(rowsOf(df) == rowsOf(lake.read().filter(col("role") === "tool")),
+        s"mor=$mor")
+      assert(!df.filter(col("conv_id") === "conv03").select("turn_idx")
+        .collect().map(_.getInt(0)).contains(0),
+        s"mor=$mor: updated-away version resurfaced through pruning")
+      val total = lake.currentSnapshot.get.files.size
+      val n = filesScanned(df)
+      assert(n < total, s"mor=$mor membership pruning: $n of $total files")
+    }
+  }
+
   test("MoR: LWW election stays above the residual filter") {
     val lake = seedLake("sql-mor", mor = true)
     GraftSql.table(spark, lake.root).createOrReplaceTempView("lake_mor")
