@@ -772,6 +772,130 @@ object CdcMain {
       }
       spark.stop()
 
+    // Endurance soak whose FULL changelog never exists on disk: generate a
+    // chunk of the deterministic feed, replay it with EVERY maintenance
+    // policy on (keep=N retention, maintained search index, conv_agg,
+    // matview, filtered replica; mor optional), optionally replay the same
+    // chunk into a plain CONTROL lake, delete the applied segment dirs,
+    // repeat — so a 10^9-event run costs O(chunk) changelog disk. Prints
+    // one JSON line per chunk (throughput curve + free disk) and a summary
+    // with the final state checksum (and control equality when enabled).
+    // Crash-safe resume: segments already applied are fenced; rerunning
+    // regenerates at most one chunk (identical bytes, deterministic gen).
+    //   endure <workDir> <totalEvents> <chunkEvents> [segPerBatch] [nBuckets]
+    //     [segsize=N] [keep=N] [control] [mor] [noidx] [nocf]
+    case "endure" :: workDir :: total :: chunkSz :: rest =>
+      val spark = session()
+      val totalEv = total.toLong
+      val chunkEv = chunkSz.toLong
+      val pos = positionals(rest)
+      val segPerBatch = pos.headOption.map(_.toInt).getOrElse(4)
+      val nBuckets = pos.lift(1).map(_.toInt).getOrElse(64)
+      val segSize = flag(rest, "segsize").map(_.toLong).getOrElse(2000000L)
+      val keep = flag(rest, "keep").map(_.toInt).getOrElse(2)
+      val withControl = rest.contains("control")
+      val mor = rest.contains("mor")
+      require(chunkEv % segSize == 0 && chunkEv > 0,
+        s"chunk $chunkEv must be a positive multiple of segsize $segSize")
+      new java.io.File(workDir).mkdirs()
+      val clDir = s"$workDir/changelog"
+      val lake = new LakeTable(spark, s"$workDir/lake")
+      val ctl = new LakeTable(spark, s"$workDir/control")
+      // convs= bounds the KEY SPACE independently of event count — a
+      // 10^9-event run over a bounded entity population is the reference's
+      // actual shape (unbounded activity events folding into bounded
+      // aggregate state) and keeps the lake's live rows (and disk) O(keys)
+      val cfg = graft.changelog.ChangelogGen.Config(nEvents = totalEv,
+        nConvs = flag(rest, "convs").map(_.toLong)
+          .getOrElse(math.max(totalEv / 200, 10L)),
+        segSize = segSize,
+        pUpdate = 0.3, pDelete = 0.05, pDup = 0.05)
+      def freeGb: Double =
+        new java.io.File(workDir).getUsableSpace / 1e9
+      def driverFor(l: LakeTable, policies: Boolean) =
+        if (!policies) new CdcDriver(spark, clDir, l, segPerBatch, nBuckets,
+          quiet = true, keepSnapshots = keep, mor = mor,
+          changeFeed = !rest.contains("nocf"))
+        else new CdcDriver(spark, clDir, l, segPerBatch, nBuckets,
+          quiet = true, keepSnapshots = keep, mor = mor,
+          aggLake = Some(new LakeTable(spark, s"$workDir/agg")),
+          searchIndex = if (rest.contains("noidx")) None
+            else Some(new LakeTable(spark, s"$workDir/idx")),
+          replica = Some(new LakeTable(spark, s"$workDir/replica")),
+          replicaWhere = "role = 'assistant'",
+          replicaCols = Seq("role", "text", "ts"),
+          matView = Some(new LakeTable(spark, s"$workDir/mv")),
+          matViewAggs = parseAggs(Some("n=count(1);maxlsn=max(_lsn)")))
+      def checksum(l: LakeTable): (Long, String) = l.currentSnapshot match {
+        case None => (0L, "0")
+        case Some(_) =>
+          val t = l.read()
+          val hashCols = t.schema.fields.toIndexedSeq.sortBy(_.name).map { f =>
+            f.dataType match {
+              case _: org.apache.spark.sql.types.MapType =>
+                to_json(sort_array(map_entries(col(f.name))))
+              case _ => col(f.name)
+            }
+          }
+          val row = t.select(count(lit(1)).as("n"),
+            sum(xxhash64(hashCols: _*).cast("decimal(38,0)")).as("ck")).head()
+          (row.getLong(0), String.valueOf(row.getDecimal(1)))
+      }
+      val t00 = System.nanoTime()
+      // resume at the chunk containing the applied cursor (epoch = applied
+      // segment bound; deterministic gen makes regeneration idempotent)
+      val appliedEv = math.min(
+        lake.currentSnapshot.map(_.epoch * segSize).getOrElse(0L),
+        if (withControl)
+          ctl.currentSnapshot.map(_.epoch * segSize).getOrElse(0L)
+        else Long.MaxValue)
+      var lo = math.min(appliedEv / chunkEv * chunkEv, totalEv)
+      var applied = 0L
+      while (lo < totalEv) {
+        val hi = math.min(lo + chunkEv, totalEv)
+        val tg = System.nanoTime()
+        graft.changelog.ChangelogGen.writeRange(spark, clDir, cfg, lo, hi)
+        val genSec = (System.nanoTime() - tg) / 1e9
+        val t0 = System.nanoTime()
+        val stats = driverFor(lake, policies = true).run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = stats.map(_.rowsIn).sum
+        applied += rows
+        val ctlSec =
+          if (!withControl) 0.0
+          else {
+            val tc = System.nanoTime()
+            driverFor(ctl, policies = false).run()
+            (System.nanoTime() - tc) / 1e9
+          }
+        // both lakes have consumed every segment below the safe cursor —
+        // the chunk's disk is reclaimed before the next one generates
+        val safeSeg = math.min(
+          lake.currentSnapshot.map(_.epoch).getOrElse(0L),
+          if (withControl) ctl.currentSnapshot.map(_.epoch).getOrElse(0L)
+          else Long.MaxValue)
+        graft.changelog.ChangelogGen.listSegments(clDir)
+          .filter(_ < safeSeg)
+          .foreach(sg => graft.lake.LakeIO.delete(s"$clDir/seg=$sg"))
+        println(f"""{"chunk":[$lo,$hi],"events":$rows,"genSec":$genSec%.1f,""" +
+          f""""applySec":$sec%.1f,"eventsPerSec":${if (sec > 0) rows / sec else 0.0}%.1f,""" +
+          f""""controlSec":$ctlSec%.1f,"freeGb":$freeGb%.1f}""")
+        lo = hi
+      }
+      val totalSec = (System.nanoTime() - t00) / 1e9
+      val (rowsP, ckP) = checksum(lake)
+      val (rowsC, ckC) = if (withControl) checksum(ctl) else (0L, "")
+      println(f"""{"endured":$totalEv,"appliedRows":$applied,""" +
+        f""""totalSec":$totalSec%.1f,""" +
+        f""""eventsPerSec":${if (totalSec > 0) applied / totalSec else 0.0}%.1f,""" +
+        s""""rows":$rowsP,"checksum":"$ckP"""" +
+        (if (withControl)
+          s""","controlRows":$rowsC,"controlChecksum":"$ckC",""" +
+          s""""match":${rowsP == rowsC && ckP == ckC}"""
+         else "") +
+        f""","freeGb":$freeGb%.1f}""")
+      spark.stop()
+
     case "state" :: lakeDir :: Nil =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)

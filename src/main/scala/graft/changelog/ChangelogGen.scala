@@ -200,25 +200,41 @@ object ChangelogGen {
     * If `evolveAt >= 0`, segments wholly before the cut-in are written with
     * the v1 schema (no tool_meta) and later segments with v2 — a genuine
     * mid-stream additive schema change as seen by the tailer. */
-  def write(spark: SparkSession, dir: String, cfg: Config): Unit = {
+  def write(spark: SparkSession, dir: String, cfg: Config): Unit =
+    writeRange(spark, dir, cfg, 0L, cfg.nEvents, overwriteFirst = true)
+
+  /** Write only the segments for delivery indices [lo, hi) — the CHUNKED
+    * generation path for endurance runs whose full changelog would not fit
+    * on disk: generate a chunk, replay it, delete the applied segment dirs,
+    * repeat (`CdcMain endure`). Everything an event carries derives from
+    * its delivery index, so the same cfg+range always writes identical
+    * bytes — regenerating a partially-applied chunk after a crash is safe
+    * (already-applied segments are fenced by epoch anyway). `lo` must be
+    * segment-aligned; `cfg.nEvents` stays the TOTAL (cut-in points like
+    * evolveAt are absolute delivery indices, independent of chunking). */
+  def writeRange(spark: SparkSession, dir: String, cfg: Config,
+                 lo: Long, hi: Long, overwriteFirst: Boolean = false): Unit = {
+    require(lo % cfg.segSize == 0,
+      s"chunk start $lo must be segment-aligned (segSize=${cfg.segSize})")
+    require(lo < hi && hi <= cfg.nEvents, s"bad chunk [$lo, $hi)")
     def aligned(at: Long): Long =
       if (at < 0) cfg.nEvents
       else math.min((at / cfg.segSize) * cfg.segSize, cfg.nEvents) // segment-aligned
     val evolveCut = aligned(cfg.evolveAt)
     val widenCut = aligned(cfg.widenAt)
     val chunk = pmod(xxhash64(col("_lsn")), lit(cfg.filesPerSeg.toLong))
-    def part(df: org.apache.spark.sql.DataFrame, lo: Long, hi: Long) =
+    def part(df: org.apache.spark.sql.DataFrame, l: Long, h: Long) =
       df.withColumn("p", col("_src_part"))
         .repartition(
-          (((hi - lo) / cfg.segSize + 1) * cfg.nSrcPartitions * cfg.filesPerSeg).toInt,
+          (((h - l) / cfg.segSize + 1) * cfg.nSrcPartitions * cfg.filesPerSeg).toInt,
           col("seg"), col("p"), chunk)
-    val cuts = (Seq(0L, cfg.nEvents) ++
-      Seq(evolveCut, widenCut).filter(c => c > 0 && c < cfg.nEvents))
+    val cuts = (Seq(lo, hi) ++
+      Seq(evolveCut, widenCut).filter(c => c > lo && c < hi))
       .distinct.sorted
-    cuts.sliding(2).foreach { case Seq(lo, hi) =>
-      part(events(spark, cfg, lo, hi,
-          withEvolution = lo >= evolveCut, latWide = lo >= widenCut), lo, hi)
-        .write.mode(if (lo == 0) "overwrite" else "append")
+    cuts.sliding(2).foreach { case Seq(l, h) =>
+      part(events(spark, cfg, l, h,
+          withEvolution = l >= evolveCut, latWide = l >= widenCut), l, h)
+        .write.mode(if (overwriteFirst && l == lo) "overwrite" else "append")
         .partitionBy("seg", "p").parquet(dir)
       case _ => ()
     }
