@@ -190,6 +190,12 @@ object CdcMain {
       // binlog segments are modest files; smaller split size keeps scan
       // parallelism >= cores even on a handful of segments
       .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
+      // Long-lived ingest sessions accumulate shuffle files until the
+      // driver's ContextCleaner notices the dead ShuffleDependency objects
+      // — with a big heap that can be never (Spark's default periodic GC is
+      // 30 min; a multi-hour replay leaked 50+ GB of /tmp blockmgr spill
+      // before dying ENOSPC). A 2-minute periodic GC bounds the window.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
     val s = (if (sys.props.contains("spark.master")) b
              else b.master(s"local[$cpus]")).getOrCreate()
@@ -383,12 +389,19 @@ object CdcMain {
       println(s"""{"foldedBuckets":${folded.size},"maxChain":$maxChain}""")
       spark.stop()
 
+    // expire <lake> [keepLast] [olderthan=<ms>] — count-based retention,
+    // age-based retention (the reference's 7-day-TTL shape), or both
     case "expire" :: lakeDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)
-      val (snaps, files) = lake.expireSnapshots(
-        rest.headOption.map(_.toInt).getOrElse(1))
-      println(s"""{"snapshotsExpired":$snaps,"filesDeleted":$files}""")
+      val byAge = flag(rest, "olderthan").map(_.toLong)
+        .map(lake.expireSnapshotsOlderThan).getOrElse((0, 0))
+      val byCount = positionals(rest).headOption.map(_.toInt)
+        .orElse(if (byAge == (0, 0) && flag(rest, "olderthan").isEmpty)
+          Some(1) else None) // bare `expire <lake>` keeps the old default
+        .map(lake.expireSnapshots).getOrElse((0, 0))
+      println(s"""{"snapshotsExpired":${byAge._1 + byCount._1},""" +
+        s""""filesDeleted":${byAge._2 + byCount._2}}""")
       spark.stop()
 
     case "compact" :: lakeDir :: rest =>
@@ -785,7 +798,13 @@ object CdcMain {
     //   endure <workDir> <totalEvents> <chunkEvents> [segPerBatch] [nBuckets]
     //     [segsize=N] [keep=N] [control] [mor] [noidx] [nocf]
     case "endure" :: workDir :: total :: chunkSz :: rest =>
-      val spark = session()
+      // ONE SESSION PER CHUNK: a single multi-hour session accumulates
+      // shuffle files until the driver's periodic GC reaps the dead
+      // dependencies; restarting the session at each chunk boundary deletes
+      // its blockmgr/spill dirs outright, hard-bounding scratch disk at
+      // O(one chunk) no matter how long the run is. (session() also sets
+      // spark.cleaner.periodicGC.interval=2min for the within-chunk window.)
+      var spark = session()
       val totalEv = total.toLong
       val chunkEv = chunkSz.toLong
       val pos = positionals(rest)
@@ -799,8 +818,8 @@ object CdcMain {
         s"chunk $chunkEv must be a positive multiple of segsize $segSize")
       new java.io.File(workDir).mkdirs()
       val clDir = s"$workDir/changelog"
-      val lake = new LakeTable(spark, s"$workDir/lake")
-      val ctl = new LakeTable(spark, s"$workDir/control")
+      def lake = new LakeTable(spark, s"$workDir/lake")
+      def ctl = new LakeTable(spark, s"$workDir/control")
       // convs= bounds the KEY SPACE independently of event count — a
       // 10^9-event run over a bounded entity population is the reference's
       // actual shape (unbounded activity events folding into bounded
@@ -881,6 +900,8 @@ object CdcMain {
           f""""applySec":$sec%.1f,"eventsPerSec":${if (sec > 0) rows / sec else 0.0}%.1f,""" +
           f""""controlSec":$ctlSec%.1f,"freeGb":$freeGb%.1f}""")
         lo = hi
+        // chunk boundary: retire the session (and its scratch disk)
+        if (lo < totalEv) { spark.stop(); spark = session() }
       }
       val totalSec = (System.nanoTime() - t00) / 1e9
       val (rowsP, ckP) = checksum(lake)

@@ -37,6 +37,10 @@ object Doctor {
       skewFactor: Double = 4.0,
       /** advise expiry when more snapshots than this are retained */
       keepSnapshots: Int = 32,
+      /** escalate dead-letter advice when a quarantine epoch has sat
+        * unresolved longer than this (reference shape: 7-day TTL,
+        * activity-aggregate-updater.conf:36) */
+      quarantineMaxAgeMs: Long = 7L * 24 * 3600 * 1000,
       /** at most this many buckets folded/compacted per applySafe run */
       applyCap: Int = 32)
 
@@ -151,11 +155,22 @@ object Doctor {
         .collect { case (n, _, true) if n.startsWith("epoch=") =>
           n.stripPrefix("epoch=").toLong }
         .sorted
-    if (quarantined.nonEmpty)
+    if (quarantined.nonEmpty) {
+      // age-escalation: a backlog older than the bound is no longer "will
+      // get to it" — it is silently diverging state (reference 7-day TTL)
+      val now = System.currentTimeMillis()
+      val aged = quarantined.filter(e =>
+        now - LakeIO.mtime(s"$qdir/epoch=$e") > t.quarantineMaxAgeMs)
+      val ageNote =
+        if (aged.isEmpty) ""
+        else s"; epoch(s) ${aged.mkString(",")} exceed the " +
+          s"${t.quarantineMaxAgeMs / 3600000}h age bound — resolve NOW " +
+          "or the feed gap becomes operationally invisible"
       advice += Advice("requeue", quarantined.mkString(","),
         s"${quarantined.size} epoch(s) hold dead letters: after fixing " +
         "the cause (constraint, feed bug), replay them — LWW keeps " +
-        "replays order-safe")
+        s"replays order-safe$ageNote")
+    }
     // long-lived branches pin their fork point against expiry forever
     val branches = Branch.list(lake).map(_.name)
     if (branches.nonEmpty)

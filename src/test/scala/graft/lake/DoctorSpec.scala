@@ -98,6 +98,14 @@ class DoctorSpec extends AnyFunSuite {
     assert(r.liveBranches == Seq("audit"))
     assert(r.advice.exists(_.action == "requeue"))
     assert(r.advice.exists(_.action == "branch"))
+    // age escalation: within the bound the advice is routine...
+    assert(!r.advice.find(_.action == "requeue").get.reason
+      .contains("age bound"))
+    // ...past the bound (forced to 0 here) it escalates loudly
+    val aged = Doctor.examine(lake,
+      t.copy(quarantineMaxAgeMs = 0L)).get
+    assert(aged.advice.find(_.action == "requeue").get.reason
+      .contains("age bound"))
     // both advisory: applySafe runs neither
     assert(Doctor.applySafe(lake, r, t).isEmpty)
 
