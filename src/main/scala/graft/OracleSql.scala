@@ -854,6 +854,24 @@ object OracleSql {
          |  s.v_cents
          |FROM cs s LEFT JOIN st2 t
          |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
-         |WHERE t.conv_id IS NULL""".stripMargin
+         |WHERE t.conv_id IS NULL""".stripMargin,
+
+    // q67: LWW election over the evolving-struct feed, flattened — winners
+    // from the second half of the stream carry the widened bigint and the
+    // new nested field; first-half winners read back upcast + null-filled.
+    "q67_nested_evolve" ->
+      s"""WITH ev AS (SELECT user_id AS conv_id,
+         |    CAST(event_id % 5 AS INT) AS turn_idx, event_id AS lsn,
+         |    event_type, coalesce(${cents("value")}, 0) AS cents,
+         |    event_type = 'error' AS del FROM events),
+         |mx AS (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) AS cut FROM ev),
+         |w AS (SELECT *, row_number() OVER (
+         |    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ev)
+         |SELECT conv_id, turn_idx, event_type AS src,
+         |  CASE WHEN lsn >= (SELECT cut FROM mx) THEN cents + 3000000000
+         |       ELSE cents END AS n,
+         |  CASE WHEN lsn >= (SELECT cut FROM mx) THEN upper(event_type)
+         |       ELSE CAST(NULL AS VARCHAR) END AS extra
+         |FROM w WHERE rn = 1 AND NOT del""".stripMargin
   )
 }

@@ -1362,6 +1362,46 @@ object Queries {
       col("event_type"), col("v_cents"))
   }
 
+  /** Nested-type evolution through the ENGINE: the feed's struct column
+    * grows mid-stream — batch 1 carries meta=struct<src:string, n:int>,
+    * batch 2 carries meta=struct<src:string, n:bigint, extra:string> with
+    * values beyond int32 — so the second apply exercises nested additive
+    * adoption + nested int→long widening (Schemas.widen struct recursion),
+    * and the read resolves batch-1 files under the WIDER schema (nested
+    * upcast + null-filled new field). Output is flattened so the oracle is
+    * a plain LWW election in DuckDB SQL (reference UDT-struct analogue:
+    * AssessmentAggregatorFunction.scala:222-231). */
+  def q67NestedEvolve(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(5)).cast("int").as("turn_idx"),
+      col("event_type"),
+      coalesce(cents(col("value")), lit(0L)).as("cents"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val cut = ev.agg(max("_lsn")).head().getLong(0) / 2
+    val b1 = ev.filter(col("_lsn") < cut).select(col("op"), col("conv_id"),
+      col("turn_idx"),
+      struct(col("event_type").as("src"),
+        col("cents").cast("int").as("n")).as("meta"),
+      col("_lsn"), col("_src_part"), col("_src_off"))
+    val b2 = ev.filter(col("_lsn") >= cut).select(col("op"), col("conv_id"),
+      col("turn_idx"),
+      struct(col("event_type").as("src"),
+        (col("cents") + 3000000000L).as("n"),
+        upper(col("event_type")).as("extra")).as("meta"),
+      col("_lsn"), col("_src_part"), col("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      s"target/q67-ne-${System.nanoTime()}")
+    graft.cdc.CdcApply.apply(lake, b1, epoch = 1, nBuckets = 16)
+    graft.cdc.CdcApply.apply(lake, b2, epoch = 2, nBuckets = 16)
+    lake.read().select(col("conv_id"), col("turn_idx"),
+      col("meta.src").as("src"), col("meta.n").as("n"),
+      col("meta.extra").as("extra"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1430,6 +1470,7 @@ object Queries {
     "q63_branch_wap" -> (q63BranchWap _),
     "q64_multi_source" -> (q64MultiSource _),
     "q65_map_putall" -> (q65MapPutAll _),
-    "q66_insert_merge" -> (q66InsertMerge _)
+    "q66_insert_merge" -> (q66InsertMerge _),
+    "q67_nested_evolve" -> (q67NestedEvolve _)
   )
 }
