@@ -94,6 +94,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
       .config("spark.local.dir", localDir.getPath) // spill under the wiped base
+      // shuffle files live until the driver GCs their dead dependencies
+      // (default periodic GC: 30 min) — a long soak block would accumulate
+      // tens of GB of spill inside one session; 2 min bounds the window
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
