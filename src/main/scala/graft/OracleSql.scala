@@ -872,6 +872,46 @@ object OracleSql {
          |       ELSE cents END AS n,
          |  CASE WHEN lsn >= (SELECT cut FROM mx) THEN upper(event_type)
          |       ELSE CAST(NULL AS VARCHAR) END AS extra
-         |FROM w WHERE rn = 1 AND NOT del""".stripMargin
+         |FROM w WHERE rn = 1 AND NOT del""".stripMargin,
+
+    // q68: the engine side read a MERGE-ON-READ lake through the V2 catalog
+    // (per-bucket LWW resolution inside the partition readers); the oracle
+    // is the same election in plain SQL — tombstone ('error') winners die,
+    // then the residual filter applies.
+    "q68_catalog_scan" ->
+      s"""SELECT conv_id, turn_idx, event_type, lsn FROM (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_type, event_id AS lsn,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> 'error'
+         |  AND event_type <> 'purchase'""".stripMargin,
+
+    // q69: storage-partitioned join of two lakes — lake A is the LWW state
+    // of the whole feed (tombstone winners dead), lake B the LWW state of
+    // the click subset (no deletes there); the oracle joins the two
+    // elections on the full key.
+    "q69_spj_join" ->
+      s"""WITH a AS (
+         |  SELECT conv_id, turn_idx, event_type, lsn FROM (
+         |    SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |      event_type, event_id AS lsn,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND event_type <> 'error'),
+         |b AS (
+         |  SELECT conv_id, turn_idx, lsn FROM (
+         |    SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |      event_id AS lsn,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_type = 'click')
+         |  WHERE rn = 1)
+         |SELECT a.conv_id, a.turn_idx, a.event_type,
+         |  a.lsn AS lsn_a, b.lsn AS lsn_b
+         |FROM a JOIN b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx"""
+        .stripMargin
   )
 }

@@ -1402,6 +1402,72 @@ object Queries {
       col("meta.extra").as("extra"))
   }
 
+  /** V2 catalog read path end-to-end, on a MERGE-ON-READ lake: two waves of
+    * the events feed build real multi-file delta chains, then the rows come
+    * back through `graft.sources.GraftCatalog` — plain SQL over
+    * `graft.`path``, no session extensions — whose partition readers
+    * resolve the LWW election per bucket with ZERO shuffle
+    * (GraftScan/GraftReaderFactory). Equality with the plain-SQL election
+    * proves the reader's chain resolution, tombstone filtering, pruning
+    * residuals, and projection are all invisible. */
+  def q68CatalogScan(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q68-cat-${System.nanoTime()}").getAbsolutePath)
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") < mid),
+      epoch = 1, nBuckets = 16, mor = true)
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") >= mid),
+      epoch = 2, nBuckets = 16, mor = true)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(
+      s"""SELECT conv_id, turn_idx, event_type, _lsn AS lsn
+         |FROM graft.`${lake.root}`
+         |WHERE event_type <> 'purchase'""".stripMargin)
+  }
+
+  /** Storage-partitioned join through the V2 catalog: two lakes sharded
+    * identically (16 buckets on conv_id) join on the full key with
+    * `spark.sql.sources.v2.bucketing.enabled` — the scans report
+    * KeyGroupedPartitioning over the shared `bucket` transform, so the join
+    * plans with no exchange (zero-shuffle assertion: GraftCatalogSpec).
+    * The oracle reproduces both LWW elections and the join in plain SQL —
+    * result equality proves co-partitioned planning changed nothing. */
+  def q69SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val tag = System.nanoTime()
+    val lakeA = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q69-spj-a-$tag").getAbsolutePath)
+    val lakeB = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q69-spj-b-$tag").getAbsolutePath)
+    graft.cdc.CdcApply.apply(lakeA, ev, epoch = 1, nBuckets = 16)
+    graft.cdc.CdcApply.apply(lakeB,
+      ev.filter(col("event_type") === "click"), epoch = 1, nBuckets = 16)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.sql(
+      s"""SELECT a.conv_id, a.turn_idx, a.event_type,
+         |  a._lsn AS lsn_a, b._lsn AS lsn_b
+         |FROM graft.`${lakeA.root}` a JOIN graft.`${lakeB.root}` b
+         |  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx""".stripMargin)
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1471,6 +1537,8 @@ object Queries {
     "q64_multi_source" -> (q64MultiSource _),
     "q65_map_putall" -> (q65MapPutAll _),
     "q66_insert_merge" -> (q66InsertMerge _),
-    "q67_nested_evolve" -> (q67NestedEvolve _)
+    "q67_nested_evolve" -> (q67NestedEvolve _),
+    "q68_catalog_scan" -> (q68CatalogScan _),
+    "q69_spj_join" -> (q69SpjJoin _)
   )
 }

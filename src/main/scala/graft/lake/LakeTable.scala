@@ -203,6 +203,13 @@ final class LakeTable(val spark: SparkSession, val root: String) {
   /** All snapshots, oldest first (time travel / lineage audit). */
   def snapshots: Seq[Snapshot] = versionIds.sorted.map(loadSnapshot)
 
+  /** Latest snapshot committed at or before `tsMillis` (SQL `TIMESTAMP AS
+    * OF`). Commit time is the version file's mtime, set once at the atomic
+    * publish — the same clock age-based retention expires on. */
+  def snapshotIdAsOf(tsMillis: Long): Option[Long] =
+    versionIds.sorted
+      .filter(id => LakeIO.mtime(versionPath(id)) <= tsMillis).lastOption
+
   /** Fresh unique directory for a new snapshot's data files. The uuid keeps
     * retried attempts of the same epoch from colliding. */
   def newDataDir(snapshotId: Long): String =

@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{LakeIO, LakeTable}
+
+/** A Spark V2 catalog over graft lakes, addressed by PATH:
+  *
+  * {{{
+  *   spark.conf spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *   SELECT * FROM graft.`/data/transcripts`
+  *   SELECT * FROM graft.`/data/transcripts` VERSION AS OF 3       -- snapshot id / tag
+  *   SELECT * FROM graft.`/data/transcripts` TIMESTAMP AS OF '...' -- commit time
+  * }}}
+  *
+  * This is the FRONT DOOR for plain Spark sessions: no session extensions,
+  * no temp-view registration — any SQL engine feature composes with the
+  * scan ([[GraftScan]]), which prunes files from lake metadata, reports
+  * bucket partitioning for storage-partitioned joins, and resolves
+  * merge-on-read chains inside the reader.
+  *
+  * Also a [[FunctionCatalog]]: Catalyst resolves the `bucket` transform the
+  * table reports against [[GraftBucketFunction]] — required for V2
+  * bucketing (storage-partitioned joins) to engage.
+  *
+  * Tables are CREATED by the ingest/DML path (the lake's key contract,
+  * bucketing, and schema identity live in its own metadata), so the
+  * catalog's DDL surface is read-only: createTable/alterTable/dropTable
+  * refuse with the supported alternative spelled out.
+  *
+  * Reference analogue: the reference exposes its stores through service
+  * clients (Cassandra/ES/Mongo, jobs-core CassandraUtil.scala); Spark-first,
+  * the store IS a queryable catalog.
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def path(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def lakeFor(ident: Identifier): LakeTable = {
+    val p = path(ident)
+    if (!LakeIO.exists(s"$p/meta"))
+      throw new NoSuchTableException(ident)
+    new LakeTable(SparkSession.active, p)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // lakes are path-addressed; there is no namespace listing
+
+  override def loadTable(ident: Identifier): Table = {
+    val lake = lakeFor(ident)
+    val snap = lake.currentSnapshot.getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftTable(lake, snap)
+  }
+
+  /** `VERSION AS OF x`: a snapshot id, or a tag/branch name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val lake = lakeFor(ident)
+    val id = version.toLongOption
+      .orElse(lake.tags.get(version))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val snap = lake.snapshots.find(_.snapshotId == id).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot $version in ${lake.root} (expired or never committed)"))
+    new GraftTable(lake, snap)
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch, per the V2 contract). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val lake = lakeFor(ident)
+    val id = lake.snapshotIdAsOf(timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"${lake.root} has no snapshot committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(timestamp / 1000L)}"))
+    new GraftTable(lake, lake.snapshots.find(_.snapshotId == id).get)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    LakeIO.exists(s"${path(ident)}/meta")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by the ingest path (CdcDriver / CdcApply — " +
+      "the key contract and bucketing live in lake metadata); CREATE TABLE " +
+      "through the catalog is not supported")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER through the catalog is not supported — use the engine's " +
+      "evolution operations (rename/dropcol CLI, additive adoption on ingest)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP through the catalog is not supported — a lake is a directory; " +
+      "delete it with storage tooling once nothing references it")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME through the catalog is not supported (path-addressed tables)")
+
+  // ------------------------------------------------------ FunctionCatalog
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}

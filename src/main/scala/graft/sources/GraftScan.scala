@@ -1,0 +1,324 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.lake.{DataFileMeta, LakeTable, ParquetFooters, Snapshot}
+
+/** Scan planning for [[GraftTable]].
+  *
+  * File pruning happens at PLAN time from lake metadata — the same three
+  * ladders as the engine's own SQL pushdown (`graft.sql.GraftPushdown`),
+  * re-expressed over the V2 `Filter` API:
+  *   1. zone maps: range/equality conjuncts on integral/timestamp/date
+  *      columns intersect per-file [min, max] (whole delta CHAINS on
+  *      merge-on-read — pruning single chain files could elect a stale
+  *      winner);
+  *   2. bucket-key equality: equality on ALL bucket columns prunes to one
+  *      bucket, then per-file key ranges and bloom/dictionary membership;
+  *   3. string equality on any other column: bloom/dictionary chunk
+  *      evidence per file (CoW) / chain (MoR).
+  * Every filter is ALSO returned as residual, so pruning can only drop
+  * whole files the predicate provably cannot match — never rows.
+  *
+  * Partitions are per BUCKET (each carries its chain's files), implement
+  * [[HasPartitionKey]], and the scan reports [[KeyGroupedPartitioning]]
+  * over the table's `bucket` transform — a join of two equally-sharded
+  * lakes on the bucket columns plans with ZERO exchanges
+  * (storage-partitioned join).
+  *
+  * Merge-on-read chains resolve INSIDE the partition reader: a bucket's
+  * files hold every version of its keys, so a per-bucket hash election
+  * (max `_lsn` wins, tombstone winners dropped) needs no shuffle at all —
+  * memory is O(live keys per bucket), the same bound the engine's
+  * compaction fold already assumes.
+  */
+final class GraftScanBuilder(lake: LakeTable, snapshot: Snapshot)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val publicSchema = GraftTable.publicSchema(snapshot)
+  private var required: StructType = publicSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: pruning is an IO optimization, never semantics
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan =
+    new GraftScan(lake, snapshot, required, pushed)
+}
+
+final class GraftScan(lake: LakeTable, snapshot: Snapshot,
+                      required: StructType, pushed: Array[Filter])
+    extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics {
+
+  private val spark = lake.spark
+  private val ks = snapshot.keySpec
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft ${lake.root} snapshot=${snapshot.snapshotId} " +
+    s"buckets=${snapshot.nBuckets}${if (snapshot.mor) " mor" else ""}"
+
+  // ------------------------------------------------- plan-time file pruning
+
+  /** long value in the zone-stats physical domain (micros for timestamps,
+    * days for dates), None for types zone maps don't cover. */
+  private def statsLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private def zoneEligible(name: String): Boolean =
+    snapshot.schema.fields.exists(f => f.name == name && (f.dataType match {
+      case IntegerType | LongType | ShortType | ByteType |
+           TimestampType | DateType => true
+      case _ => false
+    }))
+
+  private lazy val keptFiles: Seq[DataFileMeta] = {
+    // 1. zone ranges (conjunction; intersect per-column bounds)
+    val ranges = pushed.toSeq.flatMap {
+      case EqualTo(c, v) if zoneEligible(c) =>
+        statsLong(v).map(x => (c, x, x))
+      case GreaterThan(c, v) if zoneEligible(c) =>
+        statsLong(v).map(x => (c, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) if zoneEligible(c) =>
+        statsLong(v).map(x => (c, x, Long.MaxValue))
+      case LessThan(c, v) if zoneEligible(c) =>
+        statsLong(v).map(x => (c, Long.MinValue, x - 1))
+      case LessThanOrEqual(c, v) if zoneEligible(c) =>
+        statsLong(v).map(x => (c, Long.MinValue, x))
+      case _ => None
+    }
+    val byCol = ranges.groupBy(_._1).map { case (c, rs) =>
+      (c, rs.map(_._2).max, rs.map(_._3).min)
+    }.toSeq
+    val zoneKept =
+      if (byCol.isEmpty) snapshot.files
+      else LakeTable.pruneByRanges(snapshot, byCol)._1
+
+    // 2. full bucket-key equality -> bucket + key-range + membership
+    val eqs: Map[String, Any] = pushed.collect {
+      case EqualTo(c, v) if v != null => c -> v
+    }.toMap
+    val keyVals: Option[Seq[Any]] =
+      if (ks.bucketCols.forall(eqs.contains)) Some(ks.bucketCols.map(eqs))
+      else None
+    val keyKept = keyVals match {
+      case Some(vs) =>
+        val keyFiles = LakeTable.pruneByKey(snapshot, vs).map(_.path).toSet
+        LakeTable.filterByMembership(
+          zoneKept.filter(f => keyFiles.contains(f.path)),
+          ks.bucketCols.head, vs.head)
+      case None => zoneKept
+    }
+
+    // 3. string equality on non-key columns -> bloom/dictionary evidence
+    val probedAlready: Set[String] =
+      if (keyVals.isDefined) Set(ks.bucketCols.head) else Set.empty
+    val strEqs = pushed.collect {
+      case EqualTo(c, v: String)
+        if v != null && !probedAlready.contains(c) &&
+           snapshot.schema.fields.exists(f =>
+             f.name == c && f.dataType == StringType) => (c, v)
+    }
+    strEqs.distinct.foldLeft(keyKept) { case (fs, (c, v)) =>
+      LakeTable.pruneByMembership(snapshot, fs, c, v)
+    }
+  }
+
+  // -------------------------------------------------- partitions + readers
+
+  /** Columns the READER needs beyond the projection: MoR election needs the
+    * key columns + `_lsn`; live-row filtering needs `_tombstone` when the
+    * snapshot stores it. Read schema keeps the snapshot's field ids so
+    * rename/drop evolution resolves by id against old files. */
+  private lazy val readStruct: StructType = {
+    val names = required.fields.map(_.name).toSeq
+    val extra =
+      (if (snapshot.mor) ks.keyCols :+ "_lsn" else Seq.empty) ++
+      (if (snapshot.schema.fieldNames.contains("_tombstone"))
+         Seq("_tombstone") else Seq.empty)
+    val want = (names ++ extra.filterNot(names.contains)).toSet
+    StructType(snapshot.schema.fields.toIndexedSeq.filter(f => want(f.name)))
+  }
+
+  private lazy val partitions: Array[InputPartition] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val byBucket = keptFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
+    // file lengths for split planning: one parallel driver stat pass over
+    // the surviving (post-prune) files
+    val lens: Map[String, Long] = ParquetFooters.parMap(
+      byBucket.flatMap(_._2.map(_.path)).distinct) { p =>
+        val hp = new Path(p)
+        p -> hp.getFileSystem(conf).getFileStatus(hp).getLen
+      }.toMap
+    byBucket.map { case (b, fs) =>
+      GraftInputPartition(b, fs.map(f => (f.path, lens(f.path))).toArray)
+        : InputPartition
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = partitions
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array[V2Expression](
+        Expressions.bucket(snapshot.nBuckets, ks.bucketCols: _*)),
+      partitions.length)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = keptFiles.map(_.rows).sum
+    private val bytes = {
+      val b = keptFiles.map(_.bytes).sum
+      if (b > 0) b else rows * 64L // pre-byte-stats manifests: rough row guess
+    }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // row-group-level parquet filters: always safe on CoW (residuals
+    // re-apply row-level); on MoR only key-column predicates are safe —
+    // a non-key predicate could drop a row group holding the NEWEST
+    // version of a key and elect a stale winner
+    val readNames = readStruct.fieldNames.toSet
+    val parquetFilters = pushed.toSeq.filter { f =>
+      val refs = f.references.toSet
+      refs.nonEmpty && refs.subsetOf(readNames) &&
+      (!snapshot.mor || refs.subsetOf(ks.keyCols.toSet))
+    }
+    val fmt = new ParquetFileFormat
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      spark,
+      dataSchema = snapshot.schema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = readStruct,
+      filters = parquetFilters,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+
+    val keyOrds =
+      if (snapshot.mor) ks.keyCols.map(readStruct.fieldIndex).toArray
+      else Array.empty[Int]
+    val lsnOrd =
+      if (readStruct.fieldNames.contains("_lsn"))
+        readStruct.fieldIndex("_lsn") else -1
+    val tombOrd =
+      if (readStruct.fieldNames.contains("_tombstone"))
+        readStruct.fieldIndex("_tombstone") else -1
+    val projOrds = required.fields.map(f => readStruct.fieldIndex(f.name))
+    new GraftReaderFactory(readFunc, readStruct, snapshot.mor,
+      keyOrds, lsnOrd, tombOrd, projOrds)
+  }
+}
+
+/** One bucket's surviving chain: (path, fileLength) pairs. The partition
+  * KEY is the bucket id — the value of the reported `bucket` transform —
+  * which is what lets Spark line buckets up across two scans. */
+final case class GraftInputPartition(bucket: Int,
+                                     files: Array[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
+final class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    readStruct: StructType, mor: Boolean,
+    keyOrds: Array[Int], lsnOrd: Int, tombOrd: Int, projOrds: Array[Int])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+
+    def fileRows(path: String, len: Long): Iterator[InternalRow] =
+      readFunc(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(path), 0L, len,
+        Array.empty[String], 0L, 0L, Map.empty))
+        .asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+
+    val raw: Iterator[InternalRow] =
+      p.files.iterator.flatMap { case (path, len) => fileRows(path, len) }
+
+    def live(r: InternalRow): Boolean =
+      tombOrd < 0 || r.isNullAt(tombOrd) || !r.getBoolean(tombOrd)
+
+    val resolved: Iterator[InternalRow] =
+      if (!mor) raw.filter(live)
+      else {
+        // per-bucket LWW election: every version of a key lives in this
+        // partition's chain, so a local hash election replaces the
+        // table-scan path's clustering exchange. Ties on _lsn are
+        // byte-identical redeliveries (LwwResolve contract) — last wins.
+        val keyProj = UnsafeProjection.create(keyOrds.map(i =>
+          BoundReference(i, readStruct.fields(i).dataType, nullable = true)))
+        val lsns = new java.util.HashMap[UnsafeRow, java.lang.Long]()
+        val winners = new java.util.HashMap[UnsafeRow, InternalRow]()
+        raw.foreach { r =>
+          val k = keyProj(r)
+          val lsn = if (lsnOrd < 0) 0L else r.getLong(lsnOrd)
+          val cur = lsns.get(k)
+          if (cur == null || lsn >= cur) {
+            val kc = k.copy()
+            lsns.put(kc, lsn)
+            winners.put(kc, r.copy())
+          }
+        }
+        winners.values().iterator().asScala.filter(live)
+      }
+
+    val proj = UnsafeProjection.create(projOrds.map(i =>
+      BoundReference(i, readStruct.fields(i).dataType, nullable = true)))
+    val out = resolved.map(proj)
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (out.hasNext) { current = out.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
