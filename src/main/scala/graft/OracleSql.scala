@@ -843,15 +843,16 @@ object OracleSql {
          |  UNION ALL SELECT CAST(-777 AS BIGINT), 0, 'manual', 12345
          |  UNION ALL SELECT CAST(-777 AS BIGINT), 1, 'manual', 67890),
          |cs AS (SELECT user_id AS conv_id, CAST(0 AS INT) AS turn_idx,
-         |    sum(${cents("value")}) AS v_cents
+         |    CAST(sum(${cents("value")}) AS BIGINT) AS v_cents
          |  FROM events WHERE event_type = 'click' GROUP BY 1)
          |SELECT t.conv_id, t.turn_idx, t.event_type,
-         |  CASE WHEN s.conv_id IS NOT NULL THEN s.v_cents ELSE t.v_cents END AS v_cents
+         |  CAST(CASE WHEN s.conv_id IS NOT NULL THEN s.v_cents
+         |       ELSE t.v_cents END AS BIGINT) AS v_cents
          |FROM st2 t LEFT JOIN cs s
          |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
          |UNION ALL
          |SELECT s.conv_id, s.turn_idx, CAST(NULL AS VARCHAR) AS event_type,
-         |  s.v_cents
+         |  CAST(s.v_cents AS BIGINT) AS v_cents
          |FROM cs s LEFT JOIN st2 t
          |  ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
          |WHERE t.conv_id IS NULL""".stripMargin,
