@@ -913,6 +913,50 @@ object OracleSql {
          |SELECT a.conv_id, a.turn_idx, a.event_type,
          |  a.lsn AS lsn_a, b.lsn AS lsn_b
          |FROM a JOIN b ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx"""
-        .stripMargin
+        .stripMargin,
+
+    // q70: catalog DELETE — the LWW election (tombstone winners dead)
+    // minus every row matching the deleted predicate.
+    "q70_catalog_delete" ->
+      s"""SELECT conv_id, turn_idx, event_type, lsn FROM (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_type, event_id AS lsn,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> 'error'
+         |  AND NOT (event_type = 'purchase' OR turn_idx >= 15)""".stripMargin,
+
+    // q71: the snapshot-diff change feed between the two commits — both
+    // LWW elections (wave 1 = event_id < max/2; wave 2 = all), full-outer
+    // joined on the key and classified; carried winners (same lsn both
+    // sides) are not part of a delta feed.
+    "q71_catalog_changes" ->
+      s"""WITH s1 AS (
+         |  SELECT conv_id, turn_idx, lsn FROM (
+         |    SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |      event_type, event_id AS lsn,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_id < (SELECT max(event_id) // 2 FROM events))
+         |  WHERE rn = 1 AND event_type <> 'error'),
+         |s2 AS (
+         |  SELECT conv_id, turn_idx, event_type, lsn FROM (
+         |    SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |      event_type, event_id AS lsn,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                         ORDER BY event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND event_type <> 'error')
+         |SELECT coalesce(s1.conv_id, s2.conv_id) AS conv_id,
+         |  coalesce(s1.turn_idx, s2.turn_idx) AS turn_idx,
+         |  CASE WHEN s1.lsn IS NULL THEN 'inserted'
+         |       WHEN s2.lsn IS NULL THEN 'deleted'
+         |       ELSE 'updated' END AS action,
+         |  s1.lsn AS pre_lsn, s2.lsn AS post_lsn,
+         |  s2.event_type AS post_event_type
+         |FROM s1 FULL OUTER JOIN s2
+         |  ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+         |WHERE s1.lsn IS DISTINCT FROM s2.lsn""".stripMargin
   )
 }

@@ -1468,6 +1468,60 @@ object Queries {
          |  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx""".stripMargin)
   }
 
+  /** `DELETE FROM` through the V2 catalog (SupportsDeleteV2): the analyzed
+    * predicate round-trips V2 `Predicate` → SQL (`V2PredicateSql`) into the
+    * engine's tombstone merge — the same plan as `GraftDml.sql` DELETE, so
+    * the oracle is simply the LWW election minus the deleted predicate. */
+  def q70CatalogDelete(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q70-del-${System.nanoTime()}").getAbsolutePath)
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"DELETE FROM graft.`${lake.root}` " +
+      "WHERE event_type = 'purchase' OR turn_idx >= 15")
+    s.sql(
+      s"""SELECT conv_id, turn_idx, event_type, _lsn AS lsn
+         |FROM graft.`${lake.root}`""".stripMargin)
+  }
+
+  /** The `changes` suffix table through the catalog: the snapshot-diff
+    * change feed between the two commits, span-addressed with
+    * `VERSION AS OF 'from..to'`, carrying the Debezium-style after-image.
+    * The oracle reproduces both LWW elections in DuckDB and classifies the
+    * full-outer diff. */
+  def q71CatalogChanges(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q71-chg-${System.nanoTime()}").getAbsolutePath)
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") < mid),
+      epoch = 1, nBuckets = 16)
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") >= mid),
+      epoch = 2, nBuckets = 16)
+    val ids = lake.snapshots.map(_.snapshotId)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(
+      s"""SELECT conv_id, turn_idx, action, pre_lsn, post_lsn,
+         |  post_event_type
+         |FROM graft.`${lake.root}`.`changes`
+         |  VERSION AS OF '${ids.head}..${ids.last}'""".stripMargin)
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1539,6 +1593,8 @@ object Queries {
     "q66_insert_merge" -> (q66InsertMerge _),
     "q67_nested_evolve" -> (q67NestedEvolve _),
     "q68_catalog_scan" -> (q68CatalogScan _),
-    "q69_spj_join" -> (q69SpjJoin _)
+    "q69_spj_join" -> (q69SpjJoin _),
+    "q70_catalog_delete" -> (q70CatalogDelete _),
+    "q71_catalog_changes" -> (q71CatalogChanges _)
   )
 }

@@ -2,8 +2,9 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -33,7 +34,7 @@ import graft.model.Schemas
   */
 final class GraftTable(val lake: LakeTable, val snapshot: Snapshot)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns with SupportsDeleteV2 {
 
   override def name(): String = s"graft.`${lake.root}`"
 
@@ -85,6 +86,27 @@ final class GraftTable(val lake: LakeTable, val snapshot: Snapshot)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(lake, snapshot)
+
+  /** `DELETE FROM graft.`…` WHERE …` in plain Spark SQL: the analyzed
+    * predicate round-trips through [[V2PredicateSql]] into the engine's
+    * own predicate DML ([[graft.sql.GraftDml.delete]]) — the SAME
+    * tombstone merge as the CLI/SQL front doors, so history, change feed,
+    * lineage and commit-race retry all apply. A bare `DELETE FROM t`
+    * (ALWAYS_TRUE) tombstones every live row — a rollback-able DML event,
+    * NOT a metadata truncate. Untranslatable conditions (nested fields,
+    * functions) are refused at analysis time. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    V2PredicateSql.conjunction(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val where = V2PredicateSql.conjunction(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        "DELETE condition not translatable to the engine's predicate DML " +
+        s"(${predicates.mkString(" AND ")}) — supported: comparisons, " +
+        "IS [NOT] NULL, IN, AND/OR/NOT over top-level columns and literals"))
+    graft.sql.GraftDml.delete(lake, where)
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -178,6 +178,77 @@ class GraftCatalogSpec extends AnyFunSuite {
       .select("text").head().getString(0) == "rewritten")
   }
 
+  test("DELETE FROM through the catalog rides the engine's tombstone merge") {
+    val (lake, dir) = seed("cat-delete", mor = false)
+    val before = lake.currentSnapshot.get
+    spark.sql(s"DELETE FROM graft.`$dir` " +
+      "WHERE conv_id IN ('conv01', 'conv02') OR turn_idx >= 3")
+    val after = lake.read()
+    assert(rowsOf(pub(after)) == rowsOf(pub(
+      lake.readAt(before.snapshotId).filter(
+        !(col("conv_id").isin("conv01", "conv02") || col("turn_idx") >= 3)))),
+      "catalog DELETE kept/removed the wrong rows")
+    // a real DML commit: snapshot advanced, history intact (rollback-able)
+    val snap = lake.currentSnapshot.get
+    assert(snap.snapshotId > before.snapshotId && snap.epoch == before.epoch)
+    assert(lake.snapshots.exists(_.snapshotId == before.snapshotId))
+    // untranslatable condition (function call) is refused at analysis,
+    // not guessed at runtime
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE length(text) > 2")
+    }
+    assert(e.getMessage != null)
+    // bare DELETE FROM t = tombstone-everything DML (still time-travelable)
+    spark.sql(s"DELETE FROM graft.`$dir`")
+    assert(lake.read().count() == 0)
+    assert(lake.readAt(before.snapshotId).count() > 0,
+      "history must survive a full delete")
+  }
+
+  test("metadata suffix tables: files/snapshots/lineage through plain SQL") {
+    val (lake, dir) = seed("cat-meta", mor = false)
+    val snaps = spark.sql(s"SELECT * FROM graft.`$dir`.`snapshots`")
+    assert(snaps.count() == lake.snapshots.size)
+    assert(snaps.columns.contains("epoch"))
+    val files = spark.sql(
+      s"SELECT count(*) AS n, sum(rows) AS r FROM graft.`$dir`.`files`").head()
+    assert(files.getLong(0) == lake.currentSnapshot.get.files.size)
+    assert(files.getLong(1) == lake.read().count())
+    val lin = spark.sql(s"SELECT * FROM graft.`$dir`.`lineage`")
+    assert(lin.count() > 0 && lin.columns.sameElements(
+      Array("src_part", "min_off", "max_off")))
+    // a metadata name that is NOT over a lake stays a missing-table error
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir/nope`.`files`").collect()
+    }
+  }
+
+  test("changes suffix table is the snapshot-diff feed, span-addressable") {
+    val (lake, dir) = seed("cat-changes", mor = false)
+    val ids = lake.snapshots.map(_.snapshotId)
+    // default span: the LAST commit's delta — wave 2 rewrote convs 0-3
+    val last = spark.sql(
+      s"SELECT action, count(*) AS n FROM graft.`$dir`.`changes` " +
+      "GROUP BY action")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last == Map("updated" -> 16L), s"unexpected last-commit delta: $last")
+    // before/after images ride along (Debezium envelope)
+    val img = spark.sql(
+      s"SELECT pre_text, post_text FROM graft.`$dir`.`changes` " +
+      "WHERE conv_id = 'conv00' AND turn_idx = 0").head()
+    assert(img.getString(0) == "t-0" && img.getString(1) == "t-1000")
+    // explicit span from the empty table: everything live is `inserted`
+    val full = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir`.`changes` " +
+      s"VERSION AS OF '-1..${ids.last}' WHERE action = 'inserted'").head()
+    assert(full.getLong(0) == lake.read().count())
+    // single-version span = that commit vs its parent
+    val first = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir`.`changes` " +
+      s"VERSION AS OF '${ids.head}'").head()
+    assert(first.getLong(0) == lake.readAt(ids.head).count())
+  }
+
   test("bucket function equals the write path's bucketing") {
     import org.apache.spark.sql.types._
     for ((values, types) <- Seq(
