@@ -536,6 +536,29 @@ object CdcMain {
       }
       spark.stop()
 
+    // Push twin of `follow`: subscribe to the lake's change feed through
+    // the Structured Streaming source (format "graft-changes") and append
+    // every delta row to a parquet sink, offsets checkpointed — re-running
+    // against the same checkpoint emits only what committed since.
+    //   subscribe <lakeDir> <outDir> <ckptDir> [images=<csv|*|none>]
+    //     [startfrom=<snapshotId|tag>]
+    case "subscribe" :: lakeDir :: outDir :: ckptDir :: rest =>
+      val spark = session()
+      val reader = spark.readStream.format("graft-changes")
+        .option("path", lakeDir)
+      flag(rest, "images").foreach(v => reader.option("images", v))
+      flag(rest, "startfrom").foreach(v => reader.option("startfrom", v))
+      val q = reader.load().writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val total = spark.read.parquet(outDir).count()
+      println(s"""{"subscribed":true,"sinkRows":$total,"out":"$outDir"}""")
+      spark.stop()
+
     case "replica" :: lakeDir :: replicaDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)

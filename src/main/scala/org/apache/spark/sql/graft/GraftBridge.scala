@@ -26,6 +26,38 @@ object GraftBridge {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
 
+  /** A BATCH DataFrame's rows as a STREAMING DataFrame with the given
+    * schema — what a V1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts `isStreaming`). The rows stay a lazy
+    * distributed RDD (`queryExecution.toRdd`), nothing is collected; this
+    * is the same construction the built-in Kafka source uses
+    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`). */
+  def streamingDataFrame(spark: SparkSession, batch: DataFrame,
+                         schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = batch.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd
+    classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
+  }
+
+  /** A streaming DataFrame that THROWS `msg` when (and only when) its rows
+    * are computed — for a V1 source whose batch range has become
+    * unserviceable: returning it keeps harmless plan-only engine calls
+    * working (restart recovery re-fetches the last committed batch and
+    * discards it unexecuted) while any genuine consumer of the rows fails
+    * loudly. */
+  def streamingPoisonFrame(spark: SparkSession,
+                           schema: org.apache.spark.sql.types.StructType,
+                           msg: String): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val poison = spark.sparkContext.parallelize(Seq(0), 1)
+      .mapPartitions[org.apache.spark.sql.catalyst.InternalRow] { _ =>
+        throw new IllegalStateException(msg)
+      }
+    classic.internalCreateDataFrame(poison, schema, isStreaming = true)
+  }
+
   /** Catalyst Expression -> public Column, for operators that rewrite a
     * parsed expression tree before use — e.g. CHECK constraints
     * substituting NULL for table columns a batch doesn't carry yet
