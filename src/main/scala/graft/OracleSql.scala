@@ -957,6 +957,37 @@ object OracleSql {
          |  s2.event_type AS post_event_type
          |FROM s1 FULL OUTER JOIN s2
          |  ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
-         |WHERE s1.lsn IS DISTINCT FROM s2.lsn""".stripMargin
+         |WHERE s1.lsn IS DISTINCT FROM s2.lsn""".stripMargin,
+
+    // q72: the same second-half delta as q54, but streamed through the
+    // Structured Streaming source (startfrom = first snapshot) into a
+    // parquet sink — the oracle is identical by construction: the
+    // full-outer diff of the two LWW elections (split at max/2,
+    // <= on the first half), carried rows dropped.
+    "q72_stream_changes" ->
+      s"""WITH mid AS (SELECT CAST(FLOOR(max(event_id) / 2.0) AS BIGINT) AS m FROM events),
+         |pre AS (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_id AS lsn FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |    FROM events WHERE event_id <= (SELECT m FROM mid))
+         |  WHERE rn = 1 AND event_type <> 'error'),
+         |post AS (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_id AS lsn FROM (
+         |    SELECT user_id, event_id, event_type,
+         |      row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1 AND event_type <> 'error')
+         |SELECT coalesce(pre.conv_id, post.conv_id) AS conv_id,
+         |  coalesce(pre.turn_idx, post.turn_idx) AS turn_idx,
+         |  CASE WHEN pre.lsn IS NULL THEN 'inserted'
+         |       WHEN post.lsn IS NULL THEN 'deleted'
+         |       ELSE 'updated' END AS action,
+         |  pre.lsn AS pre_lsn, post.lsn AS post_lsn
+         |FROM pre FULL OUTER JOIN post
+         |  ON pre.conv_id = post.conv_id AND pre.turn_idx = post.turn_idx
+         |WHERE pre.lsn IS NULL OR post.lsn IS NULL OR pre.lsn <> post.lsn""".stripMargin
   )
 }

@@ -1522,6 +1522,46 @@ object Queries {
          |  VERSION AS OF '${ids.head}..${ids.last}'""".stripMargin)
   }
 
+  /** The change feed consumed through the STRUCTURED STREAMING source
+    * (format "graft-changes"): the events LWW feed replays in two halves,
+    * then one AvailableNow drain pinned at `startfrom=<first snapshot>`
+    * streams exactly the second delta into a parquet sink — the same
+    * per-key difference q54 pulls through the follower, now arriving
+    * through checkpointed source offsets. Oracle: the q54 full-outer
+    * diff of the two elections. */
+  def q72StreamChanges(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val base = new java.io.File(
+      s"target/q72-sub-${System.nanoTime()}").getAbsolutePath
+    val lake = new graft.lake.LakeTable(s, s"$base/lake")
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") <= mid),
+      epoch = 1, nBuckets = 16)
+    val snap1 = lake.currentSnapshot.get.snapshotId
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") > mid),
+      epoch = 2, nBuckets = 16)
+    val q = s.readStream.format("graft-changes")
+      .option("path", lake.root)
+      .option("startfrom", snap1.toString)
+      .option("images", "none")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/sink").select(col("conv_id"), col("turn_idx"),
+      col("action"), col("pre_lsn"), col("post_lsn"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1595,6 +1635,7 @@ object Queries {
     "q68_catalog_scan" -> (q68CatalogScan _),
     "q69_spj_join" -> (q69SpjJoin _),
     "q70_catalog_delete" -> (q70CatalogDelete _),
-    "q71_catalog_changes" -> (q71CatalogChanges _)
+    "q71_catalog_changes" -> (q71CatalogChanges _),
+    "q72_stream_changes" -> (q72StreamChanges _)
   )
 }

@@ -60,7 +60,14 @@ object ChangelogGen {
         * archive is one file chain per shard; >1 adds scan parallelism. */
       filesPerSeg: Int = 2,
       seed: Long = 42L
-  )
+  ) {
+    // a zero segment size divides silently into garbage segment numbers
+    // (CLI gen with a misplaced 0 positional produced an empty changelog
+    // and exit 0 — a silent no-op a replay then reports as "drained")
+    require(segSize > 0, s"segSize must be positive, got $segSize")
+    require(nEvents > 0 && nConvs > 0,
+      s"nEvents/nConvs must be positive, got $nEvents/$nConvs")
+  }
 
   private val vocab: Seq[String] = Seq(
     "the", "fast", "key", "order", "sort", "table", "scan", "merge", "part",
