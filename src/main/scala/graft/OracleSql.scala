@@ -988,6 +988,16 @@ object OracleSql {
          |  pre.lsn AS pre_lsn, post.lsn AS post_lsn
          |FROM pre FULL OUTER JOIN post
          |  ON pre.conv_id = post.conv_id AND pre.turn_idx = post.turn_idx
-         |WHERE pre.lsn IS NULL OR post.lsn IS NULL OR pre.lsn <> post.lsn""".stripMargin
+         |WHERE pre.lsn IS NULL OR post.lsn IS NULL OR pre.lsn <> post.lsn""".stripMargin,
+
+    // The cascaded DOWNSTREAM lake must hold exactly the upstream live
+    // image: the plain LWW election with delete winners dropped (q35's
+    // winner semantics, read back from the second lake).
+    "q73_cascade" ->
+      s"""SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |  event_type AS winner_type FROM (
+         |  SELECT user_id, event_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

@@ -1562,6 +1562,52 @@ object Queries {
       col("action"), col("pre_lsn"), col("post_lsn"))
   }
 
+  /** Lake→lake CASCADE: the events LWW feed builds an upstream lake in two
+    * halves, and after each half a checkpointed streaming drain
+    * (`graft-changes` source → GraftCascade.toEvents → `graft` SINK)
+    * follows the delta into a downstream LAKE — exactly-once at both ends,
+    * deletes included. The downstream live image must equal the upstream
+    * one, so the oracle is the plain LWW election with error winners
+    * (deletes) dropped — same winner semantics as q35, read from the
+    * SECOND lake. */
+  def q73Cascade(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val base = new java.io.File(
+      s"target/q73-casc-${System.nanoTime()}").getAbsolutePath
+    val up = new graft.lake.LakeTable(s, s"$base/up")
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-changes")
+        .option("path", up.root)
+        .option("withsnapshot", "true")
+        .load()
+        .transform(graft.streaming.GraftCascade.toEvents)
+        .writeStream.format("graft")
+        .option("path", s"$base/down")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("nbuckets", "16")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(up, ev.filter(col("_lsn") <= mid),
+      epoch = 1, nBuckets = 16)
+    drain()
+    graft.cdc.CdcApply.apply(up, ev.filter(col("_lsn") > mid),
+      epoch = 2, nBuckets = 16)
+    drain()
+    new graft.lake.LakeTable(s, s"$base/down").read()
+      .select(col("conv_id"), col("turn_idx"),
+        col("event_type").as("winner_type"))
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1636,6 +1682,7 @@ object Queries {
     "q69_spj_join" -> (q69SpjJoin _),
     "q70_catalog_delete" -> (q70CatalogDelete _),
     "q71_catalog_changes" -> (q71CatalogChanges _),
-    "q72_stream_changes" -> (q72StreamChanges _)
+    "q72_stream_changes" -> (q72StreamChanges _),
+    "q73_cascade" -> (q73Cascade _)
   )
 }

@@ -559,6 +559,30 @@ object CdcMain {
       println(s"""{"subscribed":true,"sinkRows":$total,"out":"$outDir"}""")
       spark.stop()
 
+    // Lake→lake cascade: follow an upstream lake's change feed into a
+    // downstream LAKE (graft-changes source → GraftCascade.toEvents →
+    // graft sink), exactly-once at both ends. Drains the backlog and
+    // exits; re-run to catch up (or wire ProcessingTime for always-on).
+    //   cascade <upLakeDir> <downLakeDir> <ckptDir> [nbuckets=N]
+    case "cascade" :: upDir :: downDir :: ckptDir :: rest =>
+      val spark = session()
+      val q = spark.readStream.format("graft-changes")
+        .option("path", upDir)
+        .option("withsnapshot", "true")
+        .load()
+        .transform(graft.streaming.GraftCascade.toEvents)
+        .writeStream.format("graft")
+        .option("path", downDir)
+        .option("checkpointLocation", ckptDir)
+        .option("nbuckets", flag(rest, "nbuckets").getOrElse("64"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val down = new LakeTable(spark, downDir)
+      println(s"""{"cascaded":true,"downRows":${down.read().count()},""" +
+        s""""downSnapshot":${down.currentSnapshot.map(_.snapshotId).getOrElse(-1L)}}""")
+      spark.stop()
+
     case "replica" :: lakeDir :: replicaDir :: rest =>
       val spark = session()
       val lake = new LakeTable(spark, lakeDir)

@@ -295,8 +295,8 @@ object CdcStream {
     * mismatch — fresh checkpoint against a populated lake, a checkpoint
     * with history against an unbound lake, or two different checkpoints —
     * fails loudly instead of silently fencing new data. */
-  private def bindOrRefuse(lake: LakeTable, checkpointDir: String,
-                           source: Option[String]): Unit = {
+  private[graft] def bindOrRefuse(lake: LakeTable, checkpointDir: String,
+                                  source: Option[String]): Unit = {
     graft.lake.LakeIO.mkdirs(checkpointDir)
     val f = s"$checkpointDir/graft-binding.json"
     val ckptId =

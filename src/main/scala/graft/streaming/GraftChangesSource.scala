@@ -59,7 +59,8 @@ class GraftChangesSourceProvider extends StreamSourceProvider
       "graft-changes derives its schema from the lake — do not pass one")
     val (lake, imageCols) =
       GraftChangesSource.resolve(sqlContext.sparkSession, parameters)
-    (shortName(), GraftChangesSource.feedSchema(lake, imageCols))
+    (shortName(), GraftChangesSource.feedSchema(lake, imageCols,
+      GraftChangesSource.withSnapshot(parameters)))
   }
 
   override def createSource(
@@ -75,8 +76,9 @@ class GraftChangesSourceProvider extends StreamSourceProvider
         throw new IllegalArgumentException(
           s"startfrom '$v' is neither a snapshot id nor a tag in ${lake.root}"))
     }.getOrElse(-1L)
+    val stamp = GraftChangesSource.withSnapshot(parameters)
     new GraftChangesSource(spark, lake.root, imageCols, startFrom,
-      GraftChangesSource.feedSchema(lake, imageCols))
+      GraftChangesSource.feedSchema(lake, imageCols, stamp), stamp)
   }
 }
 
@@ -112,11 +114,23 @@ object GraftChangesSource {
     (lake, imageCols)
   }
 
+  /** `withsnapshot=true` appends a `_commit_snapshot` column — the batch's
+    * target snapshot id, constant per micro-batch. A cascading consumer
+    * ([[GraftCascade.toEvents]]) uses it as the downstream version: each
+    * micro-batch is a snapshot diff (at most ONE row per key), so the
+    * stamped id is per-key monotonic across batches, which makes the
+    * cascade follow even a ROLLBACK upstream (where the upstream lsn moves
+    * DOWN and could never win a downstream LWW election). */
+  private[streaming] def withSnapshot(parameters: Map[String, String])
+      : Boolean = parameters.get("withsnapshot").exists(_.toBoolean)
+
   /** The delta-row schema: key columns (table types), action,
     * pre_/post_lsn, then pre_/post_ images — exactly
     * [[ChangeFeedReader.between]]'s column order. */
   private[streaming] def feedSchema(lake: LakeTable,
-                                    imageCols: Seq[String]): StructType = {
+                                    imageCols: Seq[String],
+                                    stampSnapshot: Boolean = false)
+      : StructType = {
     val snap = lake.currentSnapshot.get
     val byName = snap.schema.fields.map(f => f.name -> f).toMap
     val keys = snap.keySpec.keyCols.map(k =>
@@ -130,7 +144,10 @@ object GraftChangesSource {
       Seq(StructField(s"pre_$c", t, nullable = true),
           StructField(s"post_$c", t, nullable = true))
     }
-    StructType(keys ++ core ++ images)
+    val stamp = if (stampSnapshot)
+      Seq(StructField("_commit_snapshot", LongType, nullable = true))
+    else Nil
+    StructType(keys ++ core ++ images ++ stamp)
   }
 }
 
@@ -139,7 +156,8 @@ class GraftChangesSource(
     lakeRoot: String,
     imageCols: Seq[String],
     startFrom: Long,
-    declared: StructType) extends Source {
+    declared: StructType,
+    stampSnapshot: Boolean = false) extends Source {
 
   private def lake = new LakeTable(spark, lakeRoot)
 
@@ -157,7 +175,7 @@ class GraftChangesSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(at).getOrElse(startFrom)
     val to = at(end)
-    val delta =
+    val delta0 =
       try ChangeFeedReader.between(spark, lake, from, to, imageCols)
       catch {
         case e: NoSuchElementException =>
@@ -175,6 +193,10 @@ class GraftChangesSource(
             "image."
           return GraftBridge.streamingPoisonFrame(spark, declared, msg)
       }
+    // the stamp is constant per micro-batch (the diff's target snapshot)
+    val delta = if (stampSnapshot)
+      delta0.withColumn("_commit_snapshot",
+        org.apache.spark.sql.functions.lit(to)) else delta0
     // pin the stream-start schema: a widening evolution mid-stream would
     // otherwise flow rows the checkpointed plan can't read — fail loudly
     val got = delta.schema

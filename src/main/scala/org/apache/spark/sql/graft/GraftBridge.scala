@@ -58,6 +58,22 @@ object GraftBridge {
     classic.internalCreateDataFrame(poison, schema, isStreaming = true)
   }
 
+  /** The rows a V1 streaming `Sink.addBatch` receives, re-wrapped as a
+    * plain BATCH DataFrame that downstream batch operators (the CDC merge)
+    * can drive with their own actions. The incoming frame is bound to the
+    * micro-batch's IncrementalExecution — re-planning it in a new query
+    * would re-analyze streaming leaves — so we lift its executed rows
+    * (`queryExecution.toRdd`, still a lazy distributed RDD; nothing is
+    * collected) exactly the way the built-in ForeachBatchSink does
+    * (`LogicalRDD.fromDataset(data.queryExecution.toRdd, …,
+    * isStreaming = false)`). */
+  def batchDataFrame(spark: SparkSession, data: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = data.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd
+    classic.internalCreateDataFrame(rdd, data.schema, isStreaming = false)
+  }
+
   /** Catalyst Expression -> public Column, for operators that rewrite a
     * parsed expression tree before use — e.g. CHECK constraints
     * substituting NULL for table columns a batch doesn't carry yet
