@@ -74,10 +74,8 @@ object Bench {
     "q30_text_quality", "q31_lang_id", "q32_fingerprint", "q35_transcript_lww")
 
   /** Recursive delete; tolerates concurrent-delete races and absent paths. */
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
-  }
+  private def rm(f: java.io.File): Unit =
+    graft.lake.LakeIO.delete(f.getPath)
 
   // One fixed base: a crashed prior run's leftovers are reclaimed by the
   // wipe at startup (a nanotime-suffixed dir — the round-3 design — is

@@ -1588,7 +1588,7 @@ object Queries {
         .option("withsnapshot", "true")
         .load()
         .transform(graft.streaming.GraftCascade.toEvents)
-        .writeStream.format("graft")
+        .writeStream.format("graft-lake")
         .option("path", s"$base/down")
         .option("checkpointLocation", s"$base/ckpt")
         .option("nbuckets", "16")

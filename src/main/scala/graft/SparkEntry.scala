@@ -16,10 +16,8 @@ object SparkEntry {
     // Fixed dir, wiped before AND after: a crashed prior invocation's
     // leftovers are reclaimed, and nothing is left behind (round-3 verdict:
     // the old nanotime-suffixed dir leaked per call).
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
+    def rm(f: java.io.File): Unit =
+      graft.lake.LakeIO.delete(f.getPath)
     val base = new java.io.File("target/entry")
     rm(base); base.mkdirs()
     try {

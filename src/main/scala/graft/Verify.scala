@@ -46,10 +46,8 @@ object Verify {
     // their results were just dumped to parquet above, so the workspaces are
     // dead — sweep them (disk hygiene: repeated verify runs must not
     // accumulate lakes).
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
+    def rm(f: java.io.File): Unit =
+      graft.lake.LakeIO.delete(f.getPath)
     Option(new java.io.File("target").listFiles()).foreach(_.foreach { f =>
       if (f.isDirectory && f.getName.matches("q\\d\\d-.*")) rm(f)
     })

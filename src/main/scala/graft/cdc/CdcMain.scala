@@ -166,9 +166,11 @@ object CdcMain {
   private val flagNames =
     Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
       "cluster", "filerows", "imagecols", "buckets", "format", "agg",
-      "mv", "mvagg", "source", "partbase")
+      "mv", "mvagg", "source", "partbase", "olderthan", "segsize", "convs",
+      "images", "startfrom", "nbuckets", "asof", "join")
+  private val bareWords = Set("patch", "nocf", "mor", "control", "noidx")
   private def positionals(rest: List[String]): List[String] =
-    rest.filterNot(a => a == "patch" || a == "nocf" || a == "mor" ||
+    rest.filterNot(a => bareWords.contains(a) ||
       flagNames.exists(n => a.startsWith(n + "=")))
 
   /** "n=count(*);s=sum(score)" -> AggCol pairs (semicolons separate pairs
@@ -571,7 +573,7 @@ object CdcMain {
         .option("withsnapshot", "true")
         .load()
         .transform(graft.streaming.GraftCascade.toEvents)
-        .writeStream.format("graft")
+        .writeStream.format("graft-lake")
         .option("path", downDir)
         .option("checkpointLocation", ckptDir)
         .option("nbuckets", flag(rest, "nbuckets").getOrElse("64"))
@@ -920,6 +922,14 @@ object CdcMain {
       while (lo < totalEv) {
         val hi = math.min(lo + chunkEv, totalEv)
         val tg = System.nanoTime()
+        // a crash can leave this chunk's segments half-generated (or
+        // generated-but-unapplied): regeneration APPENDS parquet files, so
+        // drop the stale dirs first — applied segments in the chunk are
+        // regenerated byte-identical and stay fenced, unapplied ones are
+        // replayed exactly once instead of twice
+        graft.changelog.ChangelogGen.listSegments(clDir)
+          .filter(sg => sg >= lo / segSize && sg < (hi + segSize - 1) / segSize)
+          .foreach(sg => graft.lake.LakeIO.delete(s"$clDir/seg=$sg"))
         graft.changelog.ChangelogGen.writeRange(spark, clDir, cfg, lo, hi)
         val genSec = (System.nanoTime() - tg) / 1e9
         val t0 = System.nanoTime()

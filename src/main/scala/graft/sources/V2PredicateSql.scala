@@ -63,12 +63,25 @@ object V2PredicateSql {
     case _ => None
   }
 
+  /** Parser-mode-independent string literal: how a quoted literal reads
+    * back depends on `spark.sql.parser.escapedStringLiterals` (a backslash
+    * is an escape char in the default mode but a plain character in the
+    * legacy mode), so any string that would need escaping renders as
+    * `decode(unhex('…'), 'UTF-8')` — byte-exact under every parser conf.
+    * Benign strings keep the readable quoted form. */
+  private def stringSql(s: String): String =
+    if (s.forall(c => c != '\'' && c != '\\' && c >= ' ')) s"'$s'"
+    else {
+      val hex = s.getBytes("UTF-8").map(b => f"$b%02x").mkString
+      s"decode(unhex('$hex'), 'UTF-8')"
+    }
+
   private def literalSql(v: Any, dt: DataType): Option[String] = (v, dt) match {
     case (null, _) => Some("NULL")
     case (s: org.apache.spark.unsafe.types.UTF8String, _: StringType) =>
-      Some("'" + s.toString.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      Some(stringSql(s.toString))
     case (s: String, _: StringType) =>
-      Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      Some(stringSql(s))
     case (b: java.lang.Boolean, BooleanType) => Some(b.toString)
     case (n: java.lang.Number, ByteType | ShortType | IntegerType) =>
       Some(n.intValue().toString)

@@ -271,7 +271,7 @@ object GraftDml {
       val isMatched = col(s"$tAlias.${ks.keyCols.head}").isNotNull
       val tableCols = cur.schema.fields.map(_.name)
         .filterNot(n => n.startsWith("_")).toSeq
-      val srcCols = spark.sql(srcSql).columns.toSet
+      val srcCols = src.columns.toSet // alias() leaves column names intact
       def img(fromTarget: Boolean): Seq[org.apache.spark.sql.Column] =
         tableCols.map { c =>
           if (fromTarget) {

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
  *   spark.readStream.format("graft-changes")
  *     .option("path", upstream).option("withsnapshot", "true").load()
  *     .transform(GraftCascade.toEvents)       // optionally .filter/.select
- *     .writeStream.format("graft")
+ *     .writeStream.format("graft-lake")
  *     .option("path", downstream).option("checkpointLocation", ckpt)
  *     .start()
  * }}}

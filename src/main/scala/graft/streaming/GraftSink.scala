@@ -14,7 +14,7 @@ import graft.model.Schemas
  * The lake as a first-class Structured Streaming SINK:
  *
  * {{{
- *   events.writeStream.format("graft")
+ *   events.writeStream.format("graft-lake")
  *     .option("path", "/data/transcripts")
  *     .option("checkpointLocation", ckpt)
  *     .start()
@@ -50,7 +50,7 @@ import graft.model.Schemas
  */
 class GraftSinkProvider extends StreamSinkProvider with DataSourceRegister {
 
-  override def shortName(): String = "graft"
+  override def shortName(): String = "graft-lake"
 
   override def createSink(
       sqlContext: SQLContext,

@@ -205,6 +205,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       "history must survive a full delete")
   }
 
+  test("DELETE string literals survive both parser escape modes") {
+    // a backslash is an escape char under the default parser but a plain
+    // character under legacy escapedStringLiterals — the predicate
+    // round-trip (V2PredicateSql) must delete the right row either way
+    val dir = TestSpark.tmpDir("cat-del-esc")
+    val lake = new LakeTable(spark, dir)
+    val ids = Seq("path\\to\\conv", "it's-quoted", "plain")
+    CdcApply.apply(lake,
+      batch(ids.zipWithIndex.map { case (id, i) => (id, 0, i.toLong) }),
+      epoch = 1, nBuckets = 4)
+    assert(lake.read().count() == 3)
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val orig = spark.conf.get(key, "false")
+    try {
+      spark.conf.set(key, "true")
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE conv_id = 'path\\to\\conv'")
+      assert(rowsOf(lake.read().select("conv_id")) ==
+        Set("[it's-quoted]", "[plain]"),
+        "legacy-mode DELETE removed the wrong row(s)")
+      spark.conf.set(key, "false")
+      spark.sql(s"DELETE FROM graft.`$dir` WHERE conv_id = 'it\\'s-quoted'")
+      assert(rowsOf(lake.read().select("conv_id")) == Set("[plain]"),
+        "default-mode DELETE removed the wrong row(s)")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("metadata suffix tables: files/snapshots/lineage through plain SQL") {
     val (lake, dir) = seed("cat-meta", mor = false)
     val snaps = spark.sql(s"SELECT * FROM graft.`$dir`.`snapshots`")

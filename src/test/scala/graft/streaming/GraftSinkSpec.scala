@@ -37,7 +37,7 @@ class GraftSinkSpec extends AnyFunSuite {
       .option("withsnapshot", "true")
       .load()
       .transform(GraftCascade.toEvents)
-      .writeStream.format("graft")
+      .writeStream.format("graft-lake")
       .option("path", downRoot)
       .option("checkpointLocation", ckpt)
       .option("nbuckets", "8")
