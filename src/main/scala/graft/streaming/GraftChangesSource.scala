@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
@@ -157,7 +158,8 @@ class GraftChangesSource(
     imageCols: Seq[String],
     startFrom: Long,
     declared: StructType,
-    stampSnapshot: Boolean = false) extends Source {
+    stampSnapshot: Boolean = false)
+    extends Source with SupportsTriggerAvailableNow {
 
   private def lake = new LakeTable(spark, lakeRoot)
 
@@ -167,6 +169,30 @@ class GraftChangesSource(
     * source's offset, giving resume-exactly-where-left-off for free. */
   override def getOffset: Option[Offset] =
     lake.currentSnapshot.map(s => LongOffset(s.snapshotId))
+
+  // ---- Trigger.AvailableNow (first-class, not the single-batch fallback):
+  // the drain target is the head snapshot PINNED when the trigger starts,
+  // so the query terminates deterministically even while the upstream
+  // keeps committing — and a restart that must first re-run an
+  // uncommitted batch still continues to the pinned head instead of
+  // exiting after that one batch (the fallback's documented caveat).
+  @volatile private var pinnedHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedHead = lake.currentSnapshot.map(_.snapshotId)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control: snapshot diffs have no meaningful sub-batch read
+    * limit (a diff's cost is O(changed buckets) regardless of where it
+    * ends), so every trigger reads to the head — pinned under
+    * AvailableNow, live otherwise. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    pinnedHead.orElse(lake.currentSnapshot.map(_.snapshotId))
+      .map(LongOffset.apply).orNull
+
+  override def reportLatestOffset(): OffsetV2 =
+    lake.currentSnapshot.map(s => LongOffset(s.snapshotId)).orNull
 
   // LongOffset round-trips its value through json; recovered offsets may
   // arrive as SerializedOffset, so parse the json rather than pattern-match

@@ -162,4 +162,28 @@ class GraftChangesSourceSpec extends AnyFunSuite {
     val e = intercept[Exception] { drain(lakeL.root, ckptL) }
     assert(messages(e).exists(_.contains("expired under the consumer")))
   }
+
+  test("Trigger.AvailableNow is first-class: the drain target pins at " +
+       "trigger start while the live head keeps moving") {
+    val (lake, driver) = mkLake("availnow")
+    driver.run(maxBatches = 2)
+    val source = new GraftChangesSource(spark, lake.root, Nil, -1L,
+      GraftChangesSource.feedSchema(lake, Nil))
+    val pinned = lake.currentSnapshot.get.snapshotId
+    source.prepareForTriggerAvailableNow()
+    driver.run(maxBatches = 2) // upstream advances during the drain
+    val head = lake.currentSnapshot.get.snapshotId
+    assert(head > pinned)
+    // admission control answers the PINNED head (deterministic drain end);
+    // progress reporting answers the live one
+    assert(source.latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .json.trim.toLong == pinned)
+    assert(source.reportLatestOffset().json.trim.toLong == head)
+    // and the engine accepts the source as SupportsTriggerAvailableNow —
+    // AvailableNow uses the multi-batch executor, not the single-batch
+    // fallback whose restart can under-drain after a crash mid-commit
+    assert(source.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow])
+  }
 }
