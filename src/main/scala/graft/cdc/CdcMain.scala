@@ -168,7 +168,8 @@ object CdcMain {
       "cluster", "filerows", "imagecols", "buckets", "format", "agg",
       "mv", "mvagg", "source", "partbase", "olderthan", "segsize", "convs",
       "images", "startfrom", "nbuckets", "asof", "join")
-  private val bareWords = Set("patch", "nocf", "mor", "control", "noidx")
+  private val bareWords =
+    Set("patch", "nocf", "mor", "control", "noidx", "zorder")
   private def positionals(rest: List[String]): List[String] =
     rest.filterNot(a => bareWords.contains(a) ||
       flagNames.exists(n => a.startsWith(n + "=")))
@@ -415,15 +416,22 @@ object CdcMain {
       // an at-least-once redelivery of an older event resurrect deleted keys.
       val wm = positionals(rest).headOption.map(_.toLong)
         .getOrElse(Long.MinValue)
-      // cluster=<col> + filerows=<n>: sort the rewrite on <col> within each
-      // bucket and split files, so zone maps become selective on cold data
+      // cluster=<col>[,<col>…] + filerows=<n>: sort the rewrite on the
+      // columns within each bucket and split files, so zone maps become
+      // selective on cold data; bare word `zorder` sorts on the
+      // interleaved-bit Z-value instead (every clustered column prunes)
       // buckets=0,3,9: incremental compaction of only those buckets (rest
       // carried by path; commit rebases over disjoint concurrent ingest)
+      val clusterList = flag(rest, "cluster")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
       val st = graft.lake.Compaction.compact(lake, wm,
         targetFileRows = flag(rest, "filerows").map(_.toLong).getOrElse(0L),
-        clusterCol = flag(rest, "cluster"),
+        clusterCol = if (clusterList.size == 1) Some(clusterList.head) else None,
         buckets = flag(rest, "buckets")
-          .map(_.split(",").filter(_.nonEmpty).map(_.toInt).toSet))
+          .map(_.split(",").filter(_.nonEmpty).map(_.toInt).toSet),
+        clusterCols = if (clusterList.size > 1) clusterList else Nil,
+        zorder = rest.contains("zorder"))
       println(s"""{"filesBefore":${st.filesBefore},"filesAfter":${st.filesAfter},""" +
         s""""rowsBefore":${st.rowsBefore},"rowsAfter":${st.rowsAfter},""" +
         s""""tombstonesDropped":${st.tombstonesDropped},""" +

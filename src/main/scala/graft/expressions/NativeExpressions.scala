@@ -51,6 +51,29 @@ object NativeKernels {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Bit-interleave the low 16 bits of n lanes (lane 0 least significant)
+    * — the Morton/Z-value a multi-column clustered compaction sorts on, so
+    * files become range-tight in EVERY clustered dimension at once instead
+    * of only the leading sort column. */
+  private def zloop(vals: Array[Long]): Long = {
+    val n = vals.length
+    var z = 0L
+    var j = 0
+    while (j < n) {
+      val x = vals(j)
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (i * n + j)
+        i += 1
+      }
+      j += 1
+    }
+    z
+  }
+  def z2(a: Long, b: Long): Long = zloop(Array(a, b))
+  def z3(a: Long, b: Long, c: Long): Long = zloop(Array(a, b, c))
+  def z4(a: Long, b: Long, c: Long, d: Long): Long = zloop(Array(a, b, c, d))
+
   /** Fused cosine: dot(a,b) / (|a||b|) in double precision, index order. */
   def cosineF32(a: ArrayData, b: ArrayData): Double = {
     val len = math.min(a.numElements(), b.numElements())
@@ -115,4 +138,61 @@ case class FloatVectorCosine(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVectorCosine =
     copy(left = newLeft, right = newRight)
+}
+
+/** Z-value (Morton code) of 2–4 long lanes, each expected in [0, 65535]
+  * (the caller zone-scales raw values down to 16 bits): interleaves their
+  * low 16 bits, lane 0 least significant. Sorting on this value gives the
+  * multi-dimensional clustering `Compaction.compact(zorder = true)` uses —
+  * a codegen'd static call, never a UDF, per the engine's §2.10 policy. */
+case class BitInterleave64(children: Seq[Expression]) extends Expression {
+  require(children.size >= 2 && children.size <= 4,
+    s"graft_zvalue interleaves 2-4 columns, got ${children.size}")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint lanes, got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_zvalue"
+
+  override def eval(input: InternalRow): Any = {
+    val vals = new Array[Long](children.size)
+    var j = 0
+    while (j < vals.length) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      vals(j) = v.asInstanceOf[Long]
+      j += 1
+    }
+    children.size match {
+      case 2 => NativeKernels.z2(vals(0), vals(1))
+      case 3 => NativeKernels.z3(vals(0), vals(1), vals(2))
+      case _ => NativeKernels.z4(vals(0), vals(1), vals(2), vals(3))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{Block, EmptyBlock}
+    val gens = children.map(_.genCode(ctx))
+    val anyNull =
+      if (nullable) gens.map(_.isNull).mkString("(", " || ", ")") else "false"
+    val call = s"graft.expressions.NativeKernels.z${children.size}(" +
+      gens.map(_.value).mkString(", ") + ")"
+    val childCode =
+      gens.map(_.code).foldLeft(EmptyBlock: Block)((acc, b) => code"$acc\n$b")
+    ev.copy(code =
+      code"""$childCode
+         |boolean ${ev.isNull} = $anyNull;
+         |long ${ev.value} = 0L;
+         |if (!${ev.isNull}) ${ev.value} = $call;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitInterleave64 =
+    copy(children = newChildren)
 }

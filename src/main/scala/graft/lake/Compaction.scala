@@ -52,9 +52,26 @@ object Compaction {
         * winner touched only other buckets (LakeTable.commitRebasing), so
         * cold-bucket compaction never stalls hot-bucket ingest and never
         * recomputes for it. */
-      buckets: Option[Set[Int]] = None): CompactionStats =
+      buckets: Option[Set[Int]] = None,
+      /** MULTI-column clustering (2–4 numeric/timestamp columns).
+        * `zorder = false` sorts lexicographically — tight zones on the
+        * FIRST column only. `zorder = true` sorts on the interleaved-bit
+        * Z-value of all of them (each zone-scaled to 16 bits against its
+        * GLOBAL range, read from the snapshot's own file zone maps —
+        * metadata-only, no extra data pass), so every clustered dimension
+        * prunes: the standard answer to "queries filter on ts OR on _lsn"
+        * where one sort order can't serve both. Linear 16-bit scaling, not
+        * rank-based — good when values aren't pathologically clumped at
+        * one point of the range (lsns and timestamps aren't); pruning is
+        * an IO optimization only, correctness never depends on it. */
+      clusterCols: Seq[String] = Nil,
+      zorder: Boolean = false): CompactionStats = {
+    require(clusterCol.isEmpty || clusterCols.isEmpty,
+      "pass clusterCol OR clusterCols, not both")
     rewrite(lake, tombstoneWatermark, newBuckets = None, targetFileRows,
-      clusterCol, buckets)
+      if (clusterCols.nonEmpty) clusterCols else clusterCol.toSeq,
+      buckets, zorder)
+  }
 
   /** Re-bucket the table (e.g. 64 -> 4096 as it grows): rewrite into
     * `newBuckets` hash buckets as a maintenance commit. Subsequent CDC
@@ -74,19 +91,76 @@ object Compaction {
     * run incremental `compact(buckets=…)` afterwards to consolidate). */
   def rebucket(lake: LakeTable, newBuckets: Int,
                targetFileRows: Long = 0L): CompactionStats =
-    rewrite(lake, Long.MinValue, Some(newBuckets), targetFileRows, None, None)
+    rewrite(lake, Long.MinValue, Some(newBuckets), targetFileRows, Nil, None)
 
   /** Test seam: runs `beforeCommit` between the rewrite and its commit to
     * make commit races deterministic in specs. */
   private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** The Z-value sort column: each cluster column zone-scaled to a 16-bit
+    * lane against its GLOBAL [min, max] — read from the snapshot's own
+    * per-file zone maps (driver metadata, no data pass; one fallback agg
+    * only for columns some file predates zone stats for) — then
+    * bit-interleaved by the codegen'd [[graft.expressions.BitInterleave64]]. */
+  private def zValueColumn(
+      spark: org.apache.spark.sql.SparkSession,
+      cur: Snapshot,
+      subset: Option[Set[Int]],
+      kept: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val fields = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    def phys(c: String): org.apache.spark.sql.Column = fields(c) match {
+      case TimestampType => expr(s"unix_micros(`$c`)")
+      case DateType => expr(s"unix_date(`$c`)")
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(c).cast(LongType)
+      case dt => throw new IllegalArgumentException(
+        s"zorder clusters numeric/timestamp/date columns; $c is " +
+        dt.simpleString)
+    }
+    val refs = subset match {
+      case None => cur.manifests
+      case Some(bs) => cur.manifests.filter(r => bs(r.bucket))
+    }
+    val files = Manifests.loadAll(refs)
+    val metaRanges: Map[String, Option[(Long, Long)]] = cols.map { c =>
+      val zs = files.map(_.zone(c))
+      c -> (if (files.nonEmpty && zs.forall(_.isDefined))
+        Some((zs.flatten.map(_._1).min, zs.flatten.map(_._2).max)) else None)
+    }.toMap
+    val needAgg = cols.filter(metaRanges(_).isEmpty)
+    val aggRanges: Map[String, (Long, Long)] =
+      if (needAgg.isEmpty) Map.empty
+      else {
+        val aggs = needAgg.flatMap(c => Seq(min(phys(c)), max(phys(c))))
+        val row = kept.agg(aggs.head, aggs.tail: _*).head()
+        needAgg.zipWithIndex.map { case (c, i) =>
+          c -> (if (row.isNullAt(2 * i)) (0L, 0L)
+                else (row.getLong(2 * i), row.getLong(2 * i + 1)))
+        }.toMap
+      }
+    val bridge = org.apache.spark.sql.graft.GraftBridge
+    val lanes = cols.map { c =>
+      val (mn, mx) = metaRanges(c).getOrElse(aggRanges(c))
+      val span = math.max(mx.toDouble - mn.toDouble, 1.0)
+      val scaled = ((phys(c).cast("double") - lit(mn.toDouble)) / lit(span) *
+        lit(65535.0)).cast("long")
+      // nulls sort first (lane 0), like a NULLS FIRST sort would
+      least(greatest(coalesce(scaled, lit(0L)), lit(0L)), lit(65535L))
+    }
+    bridge.column(graft.expressions.BitInterleave64(
+      lanes.map(bridge.expression)))
+  }
 
   private def rewrite(
       lake: LakeTable,
       tombstoneWatermark: Long,
       newBuckets: Option[Int],
       targetFileRows: Long,
-      clusterCol: Option[String],
-      bucketSubset: Option[Set[Int]]): CompactionStats = {
+      clusterCols: Seq[String],
+      bucketSubset: Option[Set[Int]],
+      zorder: Boolean = false): CompactionStats = {
     val cur = lake.currentSnapshot.getOrElse(
       throw new IllegalStateException("nothing to compact: empty table"))
     val spark = lake.spark
@@ -115,16 +189,21 @@ object Compaction {
     val withB = kept.withColumn("b",
       CdcApply.bucketOfCols(ks.bucketCols.map(col), nB))
 
-    clusterCol.foreach { c =>
+    clusterCols.foreach { c =>
       require(kept.columns.contains(c),
         s"cluster column $c is not in the table schema")
       require(!ks.keyCols.headOption.contains(c),
         s"clustering on the leading key column $c is the default sort")
     }
+    require(!zorder || (clusterCols.size >= 2 && clusterCols.size <= 4),
+      s"zorder interleaves 2-4 cluster columns, got ${clusterCols.size}")
     val dataDir = lake.newDataDir(cur.snapshotId + 1)
     LakeIO.ensureMicrosTimestamps(spark)
+    val clusterSort: Seq[org.apache.spark.sql.Column] =
+      if (!zorder) clusterCols.map(col)
+      else Seq(zValueColumn(spark, cur, bucketSubset, kept, clusterCols))
     val sortCols =
-      col("b") +: (clusterCol.map(col).toSeq ++ ks.keyCols.map(col))
+      col("b") +: (clusterSort ++ ks.keyCols.map(col))
     // Aligned rebucket (one count divides the other) never moves a row
     // across old-bucket boundaries (see rebucket doc), so the exchange is
     // pure waste: keep the scan's partitioning (old bucket dirs) and let

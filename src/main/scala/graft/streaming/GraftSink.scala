@@ -119,6 +119,20 @@ class GraftSink(
     if (!stats.skipped && morChain > 0 && lake.currentSnapshot.exists(_.mor))
       CdcApply.maybeFold(lake, morChain)
     if (!stats.skipped && keep > 0) lake.expireSnapshots(keep)
+    // the same per-batch metrics line every other front-end emits (the
+    // north rule's per-batch rows/sec + lineage contract): stderr, so a
+    // CLI's stdout stays a clean JSON protocol
+    val cf = Seq("inserted", "updated", "deleted", "delete_noop", "carried")
+      .map(k => s""""$k":${stats.actions.getOrElse(k, 0L)}""").mkString(",")
+    System.err.println(
+      s"""{"sink":"$path","batchId":$batchId,""" +
+      s""""snapshotId":${stats.snapshot.snapshotId},""" +
+      s""""rowsIn":${stats.rowsIn},"rowsOut":${stats.rowsOut},""" +
+      s""""failedEvents":${stats.failedEvents},""" +
+      s""""touchedBuckets":${stats.touchedBuckets},""" +
+      f""""durationSec":${stats.durationSec}%.3f,""" +
+      f""""rowsPerSec":${stats.eventsPerSec}%.1f,""" +
+      s""""skipped":${stats.skipped},"changeFeed":{$cf}}""")
   }
 
   override def toString: String = s"GraftSink[$path]"

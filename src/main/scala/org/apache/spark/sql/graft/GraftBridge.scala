@@ -81,4 +81,11 @@ object GraftBridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The reverse direction: a public Column's Catalyst expression, for
+    * composing built-in column arithmetic INTO a custom native expression
+    * (e.g. the zone-scaled lanes feeding `BitInterleave64`). */
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -211,4 +211,79 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(meta.zone("ts").isEmpty)
     assert(meta.mayOverlap("ts", 0L, 1L))
   }
+
+  test("zorder clustering prunes on EVERY clustered column; " +
+       "lexicographic only on the first") {
+    // ts and _lsn deliberately UNCORRELATED: day follows i, lsn follows a
+    // bit-reversed permutation of i — a single sort order can serve one
+    // dimension only, the Z-value serves both. Enough rows per bucket that
+    // a file covers a FINE z-curve block (z-order pruning is a resolution
+    // game: with only ~4 files per bucket each file spans a whole quadrant
+    // and two dimensions cannot both prune).
+    def perm(i: Int): Int = // 10-bit reversal (1024 rows)
+      (0 until 10).foldLeft(0)((a, b) => a | (((i >> b) & 1) << (9 - b)))
+    val rows = (0 until 128).flatMap { c =>
+      (0 until 8).map { t =>
+        val i = c * 8 + t
+        (f"conv$c%03d", t, tsLit(f"2024-01-${1 + i % 28}%02dT00:00:00"),
+         perm(i).toLong)
+      }
+    }
+    def seedOne(tag: String): LakeTable = {
+      val l = new LakeTable(spark, TestSpark.tmpDir(s"zorder-$tag"))
+      CdcApply.apply(l, batch(rows), epoch = 1, nBuckets = 2)
+      l
+    }
+    val tsWin = (micros("2024-01-01T00:00:00"), micros("2024-01-04T00:00:00"))
+    val lsnWin = (0L, 127L) // an eighth of the bit-reversed lsn domain
+
+    val zl = seedOne("z")
+    Compaction.compact(zl, targetFileRows = 32L,
+      clusterCols = Seq("ts", "_lsn"), zorder = true)
+    val (ktsZ, totZ) = zl.scanRangeFiles("ts", tsWin._1, tsWin._2)
+    val (klsnZ, _) = zl.scanRangeFiles("_lsn", lsnWin._1, lsnWin._2)
+    assert(totZ >= 24, s"file split produced only $totZ files")
+    assert(ktsZ.size <= totZ / 2,
+      s"zorder should prune the ts window: ${ktsZ.size}/$totZ")
+    assert(klsnZ.size <= totZ / 2,
+      s"zorder should prune the lsn window TOO: ${klsnZ.size}/$totZ")
+    rangeEquals(zl, "ts", tsWin._1, tsWin._2)
+    rangeEquals(zl, "_lsn", lsnWin._1, lsnWin._2)
+
+    // same table, same columns, lexicographic: the SECOND column's zones
+    // all span the full domain — nothing prunes in the lsn dimension
+    val ll = seedOne("lex")
+    Compaction.compact(ll, targetFileRows = 32L,
+      clusterCols = Seq("ts", "_lsn"))
+    val (ktsL, totL) = ll.scanRangeFiles("ts", tsWin._1, tsWin._2)
+    val (klsnL, _) = ll.scanRangeFiles("_lsn", lsnWin._1, lsnWin._2)
+    assert(ktsL.size <= totL / 2, "lexicographic still prunes its lead col")
+    assert(klsnL.size > klsnZ.size,
+      s"zorder must beat lexicographic on the second column " +
+      s"(${klsnZ.size} vs ${klsnL.size} files)")
+    rangeEquals(ll, "_lsn", lsnWin._1, lsnWin._2)
+  }
+
+  test("BitInterleave64: known z-values, order preservation, codegen") {
+    import graft.expressions.{BitInterleave64, NativeKernels}
+    assert(NativeKernels.z2(1L, 0L) == 1L)
+    assert(NativeKernels.z2(0L, 1L) == 2L)
+    assert(NativeKernels.z2(0xFFFFL, 0L) == 0x55555555L)
+    assert(NativeKernels.z2(0L, 0xFFFFL) == 0xAAAAAAAAL)
+    assert(NativeKernels.z3(1L, 1L, 1L) == 7L)
+    assert(NativeKernels.z4(0L, 0L, 0L, 2L) == 128L)
+    // quadrant monotonicity: both lanes smaller => z smaller
+    for (a <- 0 to 15; b <- 0 to 15; a2 <- a + 1 to 16; b2 <- b + 1 to 16)
+      assert(NativeKernels.z2(a.toLong, b.toLong) <
+             NativeKernels.z2(a2.toLong, b2.toLong))
+    // the Catalyst expression agrees with the kernel through codegen
+    import spark.implicits._
+    val bridge = org.apache.spark.sql.graft.GraftBridge
+    val df = (0 until 256).map(i => (i.toLong, (255 - i).toLong)).toDF("a", "b")
+    val got = df.select(bridge.column(BitInterleave64(Seq(
+        bridge.expression(col("a")), bridge.expression(col("b")))))
+      .as("z")).as[Long].collect()
+    (0 until 256).foreach(i =>
+      assert(got(i) == NativeKernels.z2(i.toLong, (255 - i).toLong)))
+  }
 }
