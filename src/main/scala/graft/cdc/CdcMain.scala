@@ -37,10 +37,13 @@ import graft.lake.LakeTable
  *                   (old files resolve by field id; key/internal cols refused)
  *   CdcMain dropcol <lakeDir> <col>     — metadata-only column drop
  *                   (re-added name = new column; old values never resurrect)
- *   CdcMain compact <lakeDir> [tombstoneWatermark] [cluster=<col>]
- *                   [filerows=<n>] [buckets=<a,b,c>] — cluster= sorts each
- *                   bucket's rewrite on <col> (files become range-disjoint
- *                   in it, making zone-map `range` scans selective);
+ *   CdcMain compact <lakeDir> [tombstoneWatermark] [cluster=<col>[,<col>…]]
+ *                   [zorder] [filerows=<n>] [buckets=<a,b,c>] — cluster=
+ *                   sorts each bucket's rewrite on the column(s) (files
+ *                   become range-disjoint in them, making zone-map `range`
+ *                   scans selective); bare `zorder` sorts on the
+ *                   interleaved-bit Z-value of 2-4 cluster columns instead,
+ *                   so EVERY clustered column prunes (pair with filerows=);
  *                   filerows= splits bucket files at n rows; buckets=
  *                   compacts only those buckets (incremental; the commit
  *                   rebases over disjoint concurrent ingest)
@@ -75,6 +78,11 @@ import graft.lake.LakeTable
  *   CdcMain expire  <lakeDir> [keepLast]
  *   CdcMain gc      <lakeDir> [minAgeMs]      — age-fenced orphan cleanup
  *   CdcMain changes <lakeDir> <fromSnapId> [toSnapId]  — snapshot-diff feed
+ *   CdcMain cascade <upLakeDir> <downLakeDir> <ckptDir> [nbuckets=N] —
+ *                   follow an upstream lake's change feed into a downstream
+ *                   LAKE (graft-changes source → GraftCascade.toEvents →
+ *                   graft-lake sink), exactly-once at both ends; drains the
+ *                   backlog and exits, re-run to catch up
  *   CdcMain follow  <lakeDir> <consumerDir> [imagecols=<a,b>] — exactly-once
  *                   downstream drain: folds everything since the consumer's
  *                   persisted cursor into one parquet delta batch, then
