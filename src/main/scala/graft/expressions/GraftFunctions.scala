@@ -37,6 +37,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cosine_f32(a, b)")
         FloatVectorCosine(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[BitInterleave64].getName, "graft_zvalue"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.length <= 4,
+          "graft_zvalue(lane0, lane1[, lane2[, lane3]]) — bigint lanes in [0, 65535]")
+        BitInterleave64(args)
       })
   )
 

@@ -74,4 +74,19 @@ class NativeExpressionsSpec extends AnyFunSuite {
       "SELECT size(graft_minhash64(t, 4, 6)) AS n FROM nat_t").head().getInt(0)
     assert(n == 6)
   }
+
+  test("graft_zvalue SQL function: interleave + null safety + arity check") {
+    registered()
+    import spark.implicits._
+    val got = Seq((65535L, 0L), (0L, 65535L), (1L, 1L))
+      .toDF("a", "b")
+      .selectExpr("graft_zvalue(a, b) AS z").as[Long].collect().toSeq
+    assert(got == Seq(0x55555555L, 0xAAAAAAAAL, 3L))
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .selectExpr("graft_zvalue(a, b) AS z").collect().head
+    assert(n.isNullAt(0))
+    intercept[Exception] {
+      spark.sql("SELECT graft_zvalue(1L)").collect()
+    }
+  }
 }
