@@ -84,16 +84,23 @@ object ChangeFeedReader {
         else base0
       val live = if (base.columns.contains("_tombstone"))
         base.filter(!col("_tombstone")) else base
-      // image cols absent on one side (pre-evolution snapshot) read as nulls
+      // image cols absent on one side (pre-evolution snapshot) read as
+      // nulls OF THE TABLE'S TYPE — a bare lit(null) would give the delta
+      // frame a void column, which breaks schema-pinned streaming
+      // consumers and parquet dumps of the feed. The NEWEST schema is the
+      // type authority: a restart-recovery diff can span two snapshots
+      // that BOTH predate the column a running consumer's schema carries.
       val present = live.columns.toSet
       val images = imageCols.map(c =>
         if (present.contains(c)) col(c)
-        else lit(null).as(c))
+        else typeOf.get(c).map(t => lit(null).cast(t).as(c))
+          .getOrElse(lit(null).as(c)))
       live.select((keyCols.map(col) :+ col("_lsn")) ++ images: _*)
     }
 
     // key-generic: diff on the table's stored key spec
     lazy val keyCols = to.keySpec.keyCols
+    lazy val typeOf = snaps.last.schema.fields.map(f => f.name -> f.dataType).toMap
     val newSide = side(to, diffBuckets)
     val oldSide = fromOpt match {
       case None => spark.createDataFrame(

@@ -170,6 +170,40 @@ class GraftSinkSpec extends AnyFunSuite {
         c.getMessage.contains("bound to checkpoint")))
   }
 
+  test("additive upstream evolution flows through a restarted cascade") {
+    // upstream gains a column between drains: the restarted stream's
+    // schema resolution picks it up (images=* re-resolves at start) and
+    // the sink's merge adopts it additively downstream
+    val dir = TestSpark.tmpDir("gsink-cl-evo")
+    ChangelogGen.write(spark, dir, ChangelogGen.Config(
+      nEvents = 3000, nConvs = 20, turnsPerConv = 6,
+      pUpdate = 0.4, pDelete = 0.1, segSize = 1000,
+      evolveAt = 2000)) // tool_meta exists only from delivery 2000 on
+    val up = new LakeTable(spark, TestSpark.tmpDir("gsink-up-evo"))
+    val driver = new CdcDriver(spark, dir, up, segmentsPerBatch = 1,
+      nBuckets = 8, quiet = true)
+    val down = TestSpark.tmpDir("gsink-down-evo")
+    val ckpt = TestSpark.tmpDir("gsink-ckpt-evo")
+
+    driver.run(maxBatches = 2) // pre-evolution segments only
+    cascade(up, down, ckpt)
+    val downLake = new LakeTable(spark, down)
+    assert(!downLake.read().columns.contains("tool_meta"))
+
+    driver.run() // the rest, including the evolved segments
+    assert(up.read().columns.contains("tool_meta"))
+    cascade(up, down, ckpt) // restarted stream adopts the wider schema
+    assert(downLake.read().columns.contains("tool_meta"))
+    assert(image(downLake) == image(up))
+    // the evolved column's VALUES made it across, not just the column
+    def metaOf(l: LakeTable) = l.read()
+      .filter(col("tool_meta").isNotNull)
+      .select("conv_id", "turn_idx", "tool_meta").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.get(2).toString).toMap
+    assert(metaOf(downLake) == metaOf(up))
+    assert(metaOf(downLake).nonEmpty)
+  }
+
   test("toEvents demands the snapshot stamp and images") {
     val (up, driver) = mkUpstream("opts", events = 800)
     driver.run(maxBatches = 1)
