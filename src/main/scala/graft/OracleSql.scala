@@ -998,6 +998,18 @@ object OracleSql {
          |  event_type AS winner_type FROM (
          |  SELECT user_id, event_id, event_type,
          |    row_number() OVER (PARTITION BY user_id, event_id % 20 ORDER BY event_id DESC) AS rn
-         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+         |  FROM events) WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q74: runtime (join-driven) bucket pruning is IO-only — the result is
+    // the plain LWW election restricted to the dim predicate (the dim is
+    // the distinct conv_id population, so the inner join multiplies nothing)
+    "q74_runtime_prune" ->
+      s"""SELECT conv_id, turn_idx, event_type, lsn FROM (
+         |  SELECT user_id AS conv_id, CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_type, event_id AS lsn,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> 'error' AND conv_id LIKE '%7'""".stripMargin
   )
 }

@@ -1608,6 +1608,39 @@ object Queries {
         col("event_type").as("winner_type"))
   }
 
+  /** A selective dimension joined on the bucket-key column through the V2
+    * catalog: Spark's dynamic pruning ships the dim's distinct keys to the
+    * scan at EXECUTION time ([[graft.sources.GraftScan.filter]]), which
+    * hashes each to its bucket with the write path's shard function and
+    * drops every untouched bucket (bloom/dictionary evidence then drops
+    * files inside survivors). Pruning is IO-only, so the oracle is the
+    * plain LWW election restricted to the dim predicate. */
+  def q74RuntimePrune(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val tag = System.nanoTime()
+    val lake = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q74-rtf-$tag").getAbsolutePath)
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    // the dim must live on disk: a LocalRelation's selective filter would
+    // be constant-folded away before the PartitionPruning rule runs
+    val dimDir = new java.io.File(s"target/q74-dim-$tag").getAbsolutePath
+    t(s, dir, "events").select(col("user_id").as("conv_id")).distinct()
+      .write.mode("overwrite").parquet(dimDir)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.read.parquet(dimDir).createOrReplaceTempView("q74_dim")
+    s.sql(
+      s"""SELECT t.conv_id, t.turn_idx, t.event_type, t._lsn AS lsn
+         |FROM graft.`${lake.root}` t JOIN q74_dim d ON t.conv_id = d.conv_id
+         |WHERE d.conv_id LIKE '%7'""".stripMargin)
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1683,6 +1716,7 @@ object Queries {
     "q70_catalog_delete" -> (q70CatalogDelete _),
     "q71_catalog_changes" -> (q71CatalogChanges _),
     "q72_stream_changes" -> (q72StreamChanges _),
-    "q73_cascade" -> (q73Cascade _)
+    "q73_cascade" -> (q73Cascade _),
+    "q74_runtime_prune" -> (q74RuntimePrune _)
   )
 }

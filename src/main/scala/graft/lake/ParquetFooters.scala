@@ -230,7 +230,17 @@ object ParquetFooters {
     * file); Some(true) = some row group may; None = inconclusive (no bloom
     * or dictionary evidence for some populated row group, unsupported
     * type, or a read error) — callers MUST keep the file. */
-  def mightContain(path: String, column: String, value: Any): Option[Boolean] = {
+  def mightContain(path: String, column: String, value: Any): Option[Boolean] =
+    mightContainAny(path, column, Seq(value))
+
+  /** Multi-value form of [[mightContain]] with ONE footer open per file:
+    * Some(false) = NO listed value can be present in any row group (safe
+    * to skip the file), Some(true) = some row group may contain some
+    * value, None = inconclusive — callers MUST keep the file. The probe
+    * set is bounded by callers (the V2 scan's runtime join filter caps
+    * it), so per-block work stays O(values). */
+  def mightContainAny(path: String, column: String,
+                      values: Seq[Any]): Option[Boolean] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.io.api.Binary
     try {
@@ -250,15 +260,19 @@ object ParquetFooters {
               case Some(c) =>
                 val bf = reader.getBloomFilterDataReader(block).readBloomFilter(c)
                 if (bf != null) {
-                  val h = value match {
-                    case s: String => Some(bf.hash(Binary.fromString(s)))
-                    case i: Int => Some(bf.hash(i))
-                    case l: Long => Some(bf.hash(l))
-                    case _ => None
-                  }
-                  h match {
-                    case Some(hash) => if (bf.findHash(hash)) might = true
-                    case None => inconclusive = true
+                  values.foreach { value =>
+                    if (!might) {
+                      val h = value match {
+                        case s: String => Some(bf.hash(Binary.fromString(s)))
+                        case i: Int => Some(bf.hash(i))
+                        case l: Long => Some(bf.hash(l))
+                        case _ => None
+                      }
+                      h match {
+                        case Some(hash) => if (bf.findHash(hash)) might = true
+                        case None => inconclusive = true
+                      }
+                    }
                   }
                 } else if (allPagesDictEncoded(c) && colDesc.isDefined) {
                   // the concrete reader class is package-private; go through
@@ -270,7 +284,7 @@ object ParquetFooters {
                   else {
                     val dict = dp.getEncoding.initDictionary(colDesc.get, dp)
                     val n = dict.getMaxId + 1
-                    val found = value match {
+                    val found = values.exists {
                       case s: String =>
                         val b = Binary.fromString(s)
                         (0 until n).exists(dict.decodeToBinary(_) == b)

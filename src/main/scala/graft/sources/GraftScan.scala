@@ -5,8 +5,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
@@ -71,7 +73,8 @@ final class GraftScanBuilder(lake: LakeTable, snapshot: Snapshot)
 final class GraftScan(lake: LakeTable, snapshot: Snapshot,
                       required: StructType, pushed: Array[Filter])
     extends Scan with Batch
-    with SupportsReportPartitioning with SupportsReportStatistics {
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   private val spark = lake.spark
   private val ks = snapshot.keySpec
@@ -177,9 +180,9 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
     StructType(snapshot.schema.fields.toIndexedSeq.filter(f => want(f.name)))
   }
 
-  private lazy val partitions: Array[InputPartition] = {
+  private def partitionsFor(files: Seq[DataFileMeta]): Array[InputPartition] = {
     val conf = spark.sessionState.newHadoopConf()
-    val byBucket = keptFiles.groupBy(_.bucket).toSeq.sortBy(_._1)
+    val byBucket = files.groupBy(_.bucket).toSeq.sortBy(_._1)
     // file lengths for split planning: one parallel driver stat pass over
     // the surviving (post-prune) files
     val lens: Map[String, Long] = ParquetFooters.parMap(
@@ -193,13 +196,79 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
     }.toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] = partitions
+  private lazy val basePartitions: Array[InputPartition] =
+    partitionsFor(keptFiles)
+
+  // ------------------------------------------- runtime (join-driven) pruning
+
+  /** Distinct build-side key values delivered by Spark's dynamic pruning at
+    * EXECUTION time (the V2 twin of dynamic partition pruning). Bucket-level
+    * pruning is O(values) hashes regardless of set size; the per-file
+    * bloom/dictionary probe is capped so driver planning stays bounded. */
+  @volatile private var runtimeKept: Option[Seq[DataFileMeta]] = None
+
+  private val MaxMembershipProbeValues = 64
+
+  /** Runtime-filterable only for a single-column bucket key: the shard hash
+    * covers ALL bucket columns, so a per-column IN-set can address buckets
+    * only when the bucket key IS that one column. (Multi-column keys still
+    * get ordinary plan-time pruning.) */
+  override def filterAttributes(): Array[NamedReference] =
+    if (ks.bucketCols.size == 1)
+      Array(Expressions.column(ks.bucketCols.head))
+    else Array.empty
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val col = ks.bucketCols.head
+    def refIs(e: V2Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.mkString(".") == col
+      case _ => false
+    }
+    // Spark ships the build side's distinct join keys as IN (single value: =)
+    val values: Seq[Any] = predicates.toSeq.flatMap { p =>
+      p.name match {
+        case "IN" | "=" if p.children.nonEmpty && refIs(p.children.head) =>
+          p.children.tail.toSeq.collect { case l: V2Literal[_] =>
+            CatalystTypeConverters.convertToScala(l.value, l.dataType)
+          }
+        case _ => Seq.empty
+      }
+    }.filter(_ != null).distinct
+    if (values.nonEmpty) {
+      val buckets = values
+        .map(v => LakeTable.bucketOfValues(Seq(v), snapshot.nBuckets)).toSet
+      val byBucket = keptFiles.filter(f => buckets.contains(f.bucket))
+      // within surviving buckets: bloom/dictionary evidence per file (CoW)
+      // or whole delta chain (MoR — single chain files must never drop, a
+      // pruned newer version would elect a stale winner)
+      val kept =
+        if (values.size > MaxMembershipProbeValues) byBucket
+        else {
+          val verdicts = ParquetFooters.parMap(byBucket)(f =>
+            (f, ParquetFooters.mightContainAny(f.path, col, values)))
+          if (!snapshot.mor) verdicts.filter(_._2 != Some(false)).map(_._1)
+          else verdicts.groupBy(_._1.bucket).values.collect {
+            case fs if fs.exists(_._2 != Some(false)) => fs.map(_._1)
+          }.toSeq.flatten
+        }
+      runtimeKept = Some(kept)
+      GraftScan.lastRuntimeFilter = Some(GraftScan.RuntimeFilterReport(
+        col, values.size, basePartitions.length,
+        kept.map(_.bucket).distinct.size, keptFiles.size, kept.size))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeKept match {
+      case Some(files) => partitionsFor(files)
+      case None => basePartitions
+    }
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array[V2Expression](
         Expressions.bucket(snapshot.nBuckets, ks.bucketCols: _*)),
-      partitions.length)
+      basePartitions.length)
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = keptFiles.map(_.rows).sum
@@ -247,6 +316,17 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
     new GraftReaderFactory(readFunc, readStruct, snapshot.mor,
       keyOrds, lsnOrd, tombOrd, projOrds)
   }
+}
+
+object GraftScan {
+  /** Driver-side observability for runtime (join-driven) filtering: what
+    * the most recent executed runtime filter pruned. Specs assert on it; an
+    * operator can poll it after a join to see dynamic-pruning
+    * effectiveness without reading event logs. */
+  final case class RuntimeFilterReport(column: String, values: Int,
+      bucketsBefore: Int, bucketsAfter: Int,
+      filesBefore: Int, filesAfter: Int)
+  @volatile var lastRuntimeFilter: Option[RuntimeFilterReport] = None
 }
 
 /** One bucket's surviving chain: (path, fileLength) pairs. The partition

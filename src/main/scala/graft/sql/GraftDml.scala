@@ -148,15 +148,20 @@ object GraftDml {
 
   /** `MERGE INTO t [AS a] USING (<subquery>)|<view> [AS] s ON <key equi
     * conjunction> WHEN MATCHED THEN UPDATE SET c = expr, … | WHEN MATCHED
-    * THEN DELETE | WHEN NOT MATCHED THEN INSERT *` — compiled to ONE
-    * synthesized op-tagged batch (U/D for matched, I for not-matched)
-    * through the same maintenance MERGE as every other DML verb.
+    * THEN DELETE | WHEN NOT MATCHED THEN INSERT * | WHEN NOT MATCHED BY
+    * SOURCE THEN DELETE | WHEN NOT MATCHED BY SOURCE THEN UPDATE SET …` —
+    * compiled to ONE synthesized op-tagged batch (U/D for matched, I for
+    * not-matched, D/U for target rows absent from the source) through the
+    * same maintenance MERGE as every other DML verb.
     *
     * Deliberate subset: the ON clause must be an equality conjunction over
     * EXACTLY the table's key columns (the engine's merge primitive is
-    * key-addressed — an arbitrary theta-ON would be a different operator),
-    * and `WHEN NOT MATCHED BY SOURCE` is unsupported (that is a full-table
-    * anti-scan; express it as a DELETE WHERE with a NOT EXISTS instead). */
+    * key-addressed — an arbitrary theta-ON would be a different operator).
+    * Cost note: a BY SOURCE clause turns the plan's left join into a FULL
+    * OUTER join — every live target row must be checked against the source,
+    * so the statement reads the whole table (inherent to the semantics, the
+    * "sync table to source" shape); without it the target side is only
+    * joined, never anti-scanned. */
   private def parseMerge(lake: LakeTable, s: String,
                          maxAttempts: Int): CdcApply.ApplyStats = {
     val spark = lake.spark
@@ -214,29 +219,40 @@ object GraftDml {
       s"MERGE ON must cover exactly the key columns " +
       s"${ks.keyCols.mkString(", ")} (got ${covered.toSeq.sorted.mkString(", ")})")
 
-    // WHEN clause parsing (UPDATE SET | DELETE | INSERT *)
+    // WHEN clause parsing (UPDATE SET | DELETE | INSERT * | BY SOURCE …)
     var matchedSets: Option[Seq[(String, String)]] = None
     var matchedDelete = false
     var insertAll = false
+    var bySourceSets: Option[Seq[(String, String)]] = None
+    var bySourceDelete = false
+    def parseSets(clause: String): Seq[(String, String)] = {
+      // index the ORIGINAL clause (cl is whitespace-normalized)
+      val si = topLevelKeyword(clause, "set").getOrElse(
+        throw new IllegalArgumentException(s"UPDATE needs SET: $clause"))
+      splitTopLevel(clause.substring(si + "set".length), ',').map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0, s"malformed assignment: $a")
+        (a.substring(0, eq).trim, a.substring(eq + 1).trim)
+      }
+    }
     var rest = s.substring(wi)
     while (rest.nonEmpty) {
       val next = topLevelKeyword(rest.substring(4), "when").map(_ + 4)
       val clause = next.map(rest.substring(0, _)).getOrElse(rest).trim
       val cl = clause.toLowerCase(java.util.Locale.ROOT)
         .replaceAll("\\s+", " ")
-      if (cl.startsWith("when matched then update set ")) {
+      if (cl.startsWith("when not matched by source then update set ")) {
+        require(bySourceSets.isEmpty && !bySourceDelete,
+          "at most one WHEN NOT MATCHED BY SOURCE clause is supported")
+        bySourceSets = Some(parseSets(clause))
+      } else if (cl == "when not matched by source then delete") {
+        require(bySourceSets.isEmpty && !bySourceDelete,
+          "at most one WHEN NOT MATCHED BY SOURCE clause is supported")
+        bySourceDelete = true
+      } else if (cl.startsWith("when matched then update set ")) {
         require(matchedSets.isEmpty && !matchedDelete,
           "at most one WHEN MATCHED clause is supported")
-        // index the ORIGINAL clause (cl is whitespace-normalized)
-        val si = topLevelKeyword(clause, "set").getOrElse(
-          throw new IllegalArgumentException(s"UPDATE needs SET: $clause"))
-        val sets = splitTopLevel(
-          clause.substring(si + "set".length), ',').map { a =>
-          val eq = a.indexOf('=')
-          require(eq > 0, s"malformed assignment: $a")
-          (a.substring(0, eq).trim, a.substring(eq + 1).trim)
-        }
-        matchedSets = Some(sets)
+        matchedSets = Some(parseSets(clause))
       } else if (cl == "when matched then delete") {
         require(matchedSets.isEmpty && !matchedDelete,
           "at most one WHEN MATCHED clause is supported")
@@ -245,12 +261,14 @@ object GraftDml {
         insertAll = true
       } else throw new IllegalArgumentException(
         "unsupported MERGE clause (WHEN MATCHED THEN UPDATE SET …, WHEN " +
-        s"MATCHED THEN DELETE, WHEN NOT MATCHED THEN INSERT *): $clause")
+        "MATCHED THEN DELETE, WHEN NOT MATCHED THEN INSERT *, WHEN NOT " +
+        s"MATCHED BY SOURCE THEN DELETE | UPDATE SET …): $clause")
       rest = next.map(rest.substring(_)).getOrElse("")
     }
-    require(matchedSets.isDefined || matchedDelete || insertAll,
+    require(matchedSets.isDefined || matchedDelete || insertAll ||
+      bySourceSets.isDefined || bySourceDelete,
       "MERGE needs at least one supported WHEN clause")
-    matchedSets.foreach(_.foreach { case (c, _) =>
+    (matchedSets.toSeq ++ bySourceSets.toSeq).foreach(_.foreach { case (c, _) =>
       val cn = c.stripPrefix(s"$tAlias.")
       require(!ks.keyCols.contains(cn),
         s"key column $cn cannot be SET")
@@ -265,17 +283,27 @@ object GraftDml {
         .alias(tAlias)
       val joinCond = ks.keyCols
         .map(k => col(s"$sAlias.$k") === col(s"$tAlias.$k")).reduce(_ && _)
-      val joined = src.join(tgt, joinCond, "left")
+      val needBySource = bySourceSets.isDefined || bySourceDelete
+      // a BY SOURCE clause needs the unmatched TARGET rows too — full
+      // outer; otherwise the cheaper left join (target never anti-scanned)
+      val joined = src.join(tgt, joinCond,
+        if (needBySource) "full_outer" else "left")
       // key columns are null-free in the table, so a null target key IS
-      // "not matched"
-      val isMatched = col(s"$tAlias.${ks.keyCols.head}").isNotNull
+      // "not matched"; under full outer a null SOURCE key marks a target
+      // row no source row addressed
+      val tgtPresent = col(s"$tAlias.${ks.keyCols.head}").isNotNull
+      val srcPresent = col(s"$sAlias.${ks.keyCols.head}").isNotNull
+      val isMatched =
+        if (needBySource) tgtPresent && srcPresent else tgtPresent
       val tableCols = cur.schema.fields.map(_.name)
         .filterNot(n => n.startsWith("_")).toSeq
       val srcCols = src.columns.toSet // alias() leaves column names intact
-      def img(fromTarget: Boolean): Seq[org.apache.spark.sql.Column] =
+      def img(fromTarget: Boolean,
+              sets: Option[Seq[(String, String)]])
+          : Seq[org.apache.spark.sql.Column] =
         tableCols.map { c =>
           if (fromTarget) {
-            matchedSets.flatMap(_.find(_._1.stripPrefix(s"$tAlias.") == c))
+            sets.flatMap(_.find(_._1.stripPrefix(s"$tAlias.") == c))
               .map { case (_, e) => expr(e).as(c) }
               .getOrElse(col(s"$tAlias.$c").as(c))
           } else if (ks.keyCols.contains(c) || srcCols.contains(c))
@@ -285,13 +313,24 @@ object GraftDml {
       val legs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       if (matchedSets.isDefined)
         legs += joined.filter(isMatched)
-          .select(img(fromTarget = true) :+ lit(Schemas.OpUpdate).as("op"): _*)
+          .select(img(fromTarget = true, matchedSets) :+
+            lit(Schemas.OpUpdate).as("op"): _*)
       if (matchedDelete)
         legs += joined.filter(isMatched)
-          .select(img(fromTarget = true) :+ lit(Schemas.OpDelete).as("op"): _*)
+          .select(img(fromTarget = true, None) :+
+            lit(Schemas.OpDelete).as("op"): _*)
       if (insertAll)
-        legs += joined.filter(!isMatched)
-          .select(img(fromTarget = false) :+ lit(Schemas.OpInsert).as("op"): _*)
+        legs += joined.filter(!tgtPresent)
+          .select(img(fromTarget = false, None) :+
+            lit(Schemas.OpInsert).as("op"): _*)
+      if (bySourceSets.isDefined)
+        legs += joined.filter(tgtPresent && !srcPresent)
+          .select(img(fromTarget = true, bySourceSets) :+
+            lit(Schemas.OpUpdate).as("op"): _*)
+      if (bySourceDelete)
+        legs += joined.filter(tgtPresent && !srcPresent)
+          .select(img(fromTarget = true, None) :+
+            lit(Schemas.OpDelete).as("op"): _*)
       val batch = legs.result().reduce(_ unionByName _)
       applySynthesized(lake, cur, batch, validate = true)
     }

@@ -237,6 +237,52 @@ class GraftDmlSpec extends AnyFunSuite {
     assert(lake.lookup("conv03").count() == 2)
   }
 
+  test("MERGE INTO: NOT MATCHED BY SOURCE DELETE syncs table to source") {
+    val lake = seed("dml-merge-bysrc")
+    import spark.implicits._
+    // source = the desired final population: conv00/conv01 (all turns) + one
+    // new key; everything else must go
+    val keep = (0 until 2).flatMap(c =>
+      (0 until 4).map(t => (f"conv$c%02d", t, s"sync-$c-$t")))
+    (keep :+ (("convN", 0, "new")))
+      .toDF("conv_id", "turn_idx", "text")
+      .createOrReplaceTempView("sync_src")
+    val st = GraftDml.sql(lake,
+      "MERGE INTO lake AS t USING sync_src AS s " +
+      "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+      "WHEN MATCHED THEN UPDATE SET text = s.text " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    // 8 matched updates + 1 insert + 88 source-absent deletes
+    assert(!st.skipped && st.rowsIn == 97)
+    assert(st.actions.getOrElse("deleted", 0L) == 88)
+    val rows = lake.read()
+    assert(rows.count() == 9)
+    assert(keysOf(rows) ==
+      (keep.map(k => (k._1, k._2)).toSet + (("convN", 0))))
+    assert(rows.filter(col("conv_id") === "conv00" && col("turn_idx") === 1)
+      .head().getAs[String]("text") == "sync-0-1")
+    assert(lake.lookup("conv05").isEmpty, "source-absent rows must delete")
+  }
+
+  test("MERGE INTO: NOT MATCHED BY SOURCE UPDATE SET flags stale rows only") {
+    val lake = seed("dml-merge-bysrc-upd")
+    import spark.implicits._
+    Seq(("conv00", 0)).toDF("conv_id", "turn_idx")
+      .createOrReplaceTempView("still_live")
+    val st = GraftDml.sql(lake,
+      "MERGE INTO lake AS t USING still_live AS s " +
+      "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET role = 'stale'")
+    assert(st.rowsIn == 95)
+    val rows = lake.read()
+    assert(rows.count() == 96, "the UPDATE leg must not delete anything")
+    assert(rows.filter(col("role") === "stale").count() == 95)
+    assert(rows.filter(col("conv_id") === "conv00" && col("turn_idx") === 0)
+      .head().getAs[String]("role") == "user",
+      "the one source-matched row keeps its image")
+  }
+
   test("MERGE refusals: non-key ON, missing alias, key SET") {
     val lake = seed("dml-merge-refuse")
     intercept[IllegalArgumentException] {
