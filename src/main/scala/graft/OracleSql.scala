@@ -1010,6 +1010,16 @@ object OracleSql {
          |    row_number() OVER (PARTITION BY user_id, event_id % 20
          |                       ORDER BY event_id DESC) AS rn
          |  FROM events)
-         |WHERE rn = 1 AND event_type <> 'error' AND conv_id LIKE '%7'""".stripMargin
+         |WHERE rn = 1 AND event_type <> 'error' AND conv_id LIKE '%7'""".stripMargin,
+
+    // q75: the audited metadata count must equal the LWW election's
+    // cardinality counted the slow way
+    "q75_meta_count" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT user_id, event_id % 20 AS turn_idx, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }

@@ -1641,6 +1641,31 @@ object Queries {
          |WHERE d.conv_id LIKE '%7'""".stripMargin)
   }
 
+  /** Metadata-only COUNT(*): the audited live-row count (change-feed
+    * transitions folded per commit) answers a bare `SELECT count(*)`
+    * through the V2 catalog from the snapshot JSON — zero data IO
+    * ([[graft.sources.GraftCountScan]]). The oracle counts the LWW
+    * election the slow way. */
+  def q75MetaCount(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q75-cnt-${System.nanoTime()}").getAbsolutePath)
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") < mid),
+      epoch = 1, nBuckets = 16)
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") >= mid),
+      epoch = 2, nBuckets = 16)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"SELECT count(*) AS n FROM graft.`${lake.root}`")
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1717,6 +1742,7 @@ object Queries {
     "q71_catalog_changes" -> (q71CatalogChanges _),
     "q72_stream_changes" -> (q72StreamChanges _),
     "q73_cascade" -> (q73Cascade _),
-    "q74_runtime_prune" -> (q74RuntimePrune _)
+    "q74_runtime_prune" -> (q74RuntimePrune _),
+    "q75_meta_count" -> (q75MetaCount _)
   )
 }

@@ -483,7 +483,9 @@ object CdcApply {
           "durationSec" -> 0.0, "failedEvents" -> nInvalid.toDouble),
         bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor,
         sourceEpochs = srcEpochs,
-        lastFieldId = lastFieldId)
+        lastFieldId = lastFieldId,
+        // empty/fully-quarantined batch: the live set is untouched
+        liveRows = cur.map(_.liveRows).getOrElse(0L))
       val committed =
         try lake.commit(snap, maintenance = maintenance)
         catch {
@@ -712,6 +714,17 @@ object CdcApply {
       .filterNot(r => !morMode && touched.contains(r.bucket))
 
     val durationSec = (System.nanoTime() - t0) / 1e9
+    // Exact live-count lineage: the change feed's audited transitions give
+    // the merge's net live delta (inserted - deleted; delete_noop and
+    // carried are net-zero by construction). A cf-disabled commit has no
+    // audited delta, so it poisons the count to "unknown" rather than
+    // letting a metadata COUNT(*) drift from the truth.
+    val parentLive = cur.map(_.liveRows).getOrElse(0L)
+    val liveRows =
+      if (fold) parentLive // a fold rewrites chains; the live set is untouched
+      else if (!cfOn || parentLive < 0) -1L
+      else parentLive + actionCounts.getOrElse("inserted", 0L) -
+        actionCounts.getOrElse("deleted", 0L)
     val snap = Snapshot(snapshotId, parentId, commitEpoch, targetSchema.json,
       schemaVersion, nB, carried ++ newRefs, lineage,
       Map("rowsIn" -> rowsIn.toDouble, "rowsOut" -> rowsOut.toDouble,
@@ -721,7 +734,8 @@ object CdcApply {
         actionCounts.map { case (k, v) => s"cf_$k" -> v.toDouble },
       bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = tableMor,
       sourceEpochs = srcEpochs,
-      lastFieldId = lastFieldId)
+      lastFieldId = lastFieldId,
+      liveRows = liveRows)
     val committed =
       try phase("commit") { lake.commit(snap, maintenance = maintenance) }
       catch {

@@ -1026,6 +1026,10 @@ object CdcMain {
             else s""""sourceEpochs":{${snap.sourceEpochsOrEmpty.toSeq.sorted
               .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},"""
           println(s"""{"rows":${row.getLong(0)},"checksum":${row.getDecimal(1)},""" +
+            // audited metadata count (-1 = unknown): must equal "rows"
+            // whenever >= 0 — the scanned count is the ground truth this
+            // cross-checks against
+            s""""liveRowsMeta":${snap.liveRows},""" +
             s""""snapshotId":${snap.snapshotId},"epoch":${snap.epoch},""" +
             morInfo + srcInfo +
             s""""schemaVersion":${snap.schemaVersion},""" +

@@ -71,6 +71,7 @@ object Clone {
         "rows" -> snap.totalRows.toDouble),
       bucketCols = snap.bucketCols, keyCols = snap.keyCols, mor = snap.mor,
       sourceEpochs = snap.sourceEpochsOrEmpty,
-      lastFieldId = snap.lastFieldId))
+      lastFieldId = snap.lastFieldId,
+      liveRows = snap.liveRows))
   }
 }

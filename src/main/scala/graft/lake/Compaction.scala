@@ -266,7 +266,8 @@ object Compaction {
               (if (alignedRebucket) 1.0 else 0.0)),
           bucketCols = ks.bucketCols, keyCols = ks.keyCols, mor = cur.mor,
           sourceEpochs = cur.sourceEpochsOrEmpty,
-          lastFieldId = cur.lastFieldId)
+          lastFieldId = cur.lastFieldId,
+          liveRows = cur.liveRows) // rewrites never change the live set
         lake.commit(snap, maintenance = true)
     }
     val filesBefore = bucketSubset match {

@@ -113,7 +113,18 @@ final case class Snapshot(
       * recycled (recycling would resurrect the dropped column's stored
       * values under the new name). 0 in pre-field-id metadata -> callers
       * fall back to the schema-derived max. */
-    lastFieldId: Long = 0L) {
+    lastFieldId: Long = 0L,
+    /** EXACT live (non-tombstone, LWW-resolved) row count, maintained from
+      * the change feed's audited state transitions (`inserted - deleted`
+      * per merge; maintenance rewrites and folds carry it — they never
+      * change the live set). -1 = unknown: pre-liveRows metadata, a commit
+      * made with the change feed disabled, or a merge-on-read table (MoR
+      * appends are blind to stored state by design — there is no
+      * write-side transition audit to account from). Powers metadata-only
+      * `SELECT count(*)` through the V2 catalog on copy-on-write tables —
+      * O(1) driver work, zero data IO; unknown counts fall back to the
+      * real scan. */
+    liveRows: Long = -1L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
   /** Null-safe (pre-multi-source metadata deserializes the field as null)
@@ -588,7 +599,8 @@ final class LakeTable(val spark: SparkSession, val root: String) {
         base.lineage, metrics,
         bucketCols = base.bucketCols, keyCols = base.keyCols, mor = base.mor,
         sourceEpochs = base.sourceEpochsOrEmpty,
-        lastFieldId = base.lastFieldId)
+        lastFieldId = base.lastFieldId,
+        liveRows = base.liveRows) // rewrites never change the live set
       try return commit(snap, maintenance = true)
       catch {
         case e: CommitConflictException =>

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -49,11 +50,13 @@ import graft.lake.{DataFileMeta, LakeTable, ParquetFooters, Snapshot}
   */
 final class GraftScanBuilder(lake: LakeTable, snapshot: Snapshot)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val publicSchema = GraftTable.publicSchema(snapshot)
   private var required: StructType = publicSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCount = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -66,8 +69,45 @@ final class GraftScanBuilder(lake: LakeTable, snapshot: Snapshot)
     required = requiredSchema
   }
 
+  /** COMPLETE pushdown of a bare `SELECT count(*)`: answered from the
+    * snapshot's audited live-row count — O(1) driver metadata, zero data
+    * IO, zero Spark jobs ([[GraftCountScan]] is a LocalScan). Eligible only
+    * when no predicate survives (every filter here is residual, so ANY
+    * WHERE clause blocks the pushdown) and the count lineage is exact
+    * (`Snapshot.liveRows` >= 0 — a change-feed-disabled commit or a
+    * merge-on-read table, whose blind appends have no write-side audit,
+    * reports unknown and falls back to the real scan). Time travel
+    * composes — this builder already holds the `VERSION AS OF` snapshot,
+    * whose own liveRows answers. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!canPushCount(agg)) false
+    else { pushedCount = true; true }
+
+  private def canPushCount(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+    agg.aggregateExpressions.length == 1 &&
+    agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
+    snapshot.liveRows >= 0
+
   override def build(): Scan =
-    new GraftScan(lake, snapshot, required, pushed)
+    if (pushedCount) new GraftCountScan(lake, snapshot)
+    else new GraftScan(lake, snapshot, required, pushed)
+}
+
+/** Metadata-only COUNT(*): a [[LocalScan]] the planner lowers to a
+  * driver-side LocalTableScanExec — the count of a 100 TB lake costs one
+  * snapshot-JSON read and zero executor work. */
+final class GraftCountScan(lake: LakeTable, snapshot: Snapshot)
+    extends LocalScan {
+  override def readSchema(): StructType = StructType(Seq(
+    StructField("count(*)", LongType, nullable = false)))
+  override def rows(): Array[InternalRow] =
+    Array(InternalRow(snapshot.liveRows))
+  override def description(): String =
+    s"graft ${lake.root} metadata count(*)=${snapshot.liveRows}"
 }
 
 final class GraftScan(lake: LakeTable, snapshot: Snapshot,
