@@ -1010,7 +1010,8 @@ object OracleSql {
          |    row_number() OVER (PARTITION BY user_id, event_id % 20
          |                       ORDER BY event_id DESC) AS rn
          |  FROM events)
-         |WHERE rn = 1 AND event_type <> 'error' AND conv_id LIKE '%7'""".stripMargin,
+         |WHERE rn = 1 AND event_type <> 'error'
+         |  AND CAST(conv_id AS VARCHAR) LIKE '%7'""".stripMargin,
 
     // q75: the audited metadata count must equal the LWW election's
     // cardinality counted the slow way

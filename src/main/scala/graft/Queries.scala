@@ -1638,7 +1638,7 @@ object Queries {
     s.sql(
       s"""SELECT t.conv_id, t.turn_idx, t.event_type, t._lsn AS lsn
          |FROM graft.`${lake.root}` t JOIN q74_dim d ON t.conv_id = d.conv_id
-         |WHERE d.conv_id LIKE '%7'""".stripMargin)
+         |WHERE CAST(d.conv_id AS STRING) LIKE '%7'""".stripMargin)
   }
 
   /** Metadata-only COUNT(*): the audited live-row count (change-feed

@@ -284,15 +284,23 @@ object ParquetFooters {
                   else {
                     val dict = dp.getEncoding.initDictionary(colDesc.get, dp)
                     val n = dict.getMaxId + 1
-                    val found = values.exists {
+                    // probe supported-typed values for a definitive verdict;
+                    // unsupported-typed values only force inconclusive when no
+                    // supported value already proves the file might match
+                    val (supported, unsupported) = values.partition {
+                      case _: String | _: Int | _: Long => true
+                      case _ => false
+                    }
+                    val found = supported.exists {
                       case s: String =>
                         val b = Binary.fromString(s)
                         (0 until n).exists(dict.decodeToBinary(_) == b)
                       case i: Int => (0 until n).exists(dict.decodeToInt(_) == i)
                       case l: Long => (0 until n).exists(dict.decodeToLong(_) == l)
-                      case _ => inconclusive = true; true
+                      case _ => false
                     }
-                    if (found && !inconclusive) might = true
+                    if (found) might = true
+                    else if (unsupported.nonEmpty) inconclusive = true
                   }
                 } else inconclusive = true
             }

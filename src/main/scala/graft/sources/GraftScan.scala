@@ -248,54 +248,79 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
   @volatile private var runtimeKept: Option[Seq[DataFileMeta]] = None
 
   private val MaxMembershipProbeValues = 64
+  /** Bucket addressing hashes the (capped) cross product of the per-column
+    * IN-sets — O(tuples) driver hashes. Above the cap the bucket set is
+    * near-saturated anyway (tuples >> buckets), so skipping loses nothing. */
+  private val MaxBucketTuples = 1 << 16
 
-  /** Runtime-filterable only for a single-column bucket key: the shard hash
-    * covers ALL bucket columns, so a per-column IN-set can address buckets
-    * only when the bucket key IS that one column. (Multi-column keys still
-    * get ordinary plan-time pruning.) */
+  /** Every bucket column is runtime-filterable. A join on ALL of them
+    * addresses buckets through the cross product of the per-column IN-sets
+    * (a superset of the true tuple set — always safe to prune with); a join
+    * on a subset still gets per-file membership evidence on its columns. */
   override def filterAttributes(): Array[NamedReference] =
-    if (ks.bucketCols.size == 1)
-      Array(Expressions.column(ks.bucketCols.head))
-    else Array.empty
+    ks.bucketCols.map(c => Expressions.column(c)).toArray
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
-    val col = ks.bucketCols.head
-    def refIs(e: V2Expression): Boolean = e match {
-      case n: NamedReference => n.fieldNames.mkString(".") == col
-      case _ => false
+    def refName(e: V2Expression): Option[String] = e match {
+      case n: NamedReference => Some(n.fieldNames.mkString("."))
+      case _ => None
     }
-    // Spark ships the build side's distinct join keys as IN (single value: =)
-    val values: Seq[Any] = predicates.toSeq.flatMap { p =>
+    // Spark ships each build side's distinct join keys as a per-column IN
+    // (single value: =) over the declared filter attributes
+    val byCol: Map[String, Seq[Any]] = predicates.toSeq.flatMap { p =>
       p.name match {
-        case "IN" | "=" if p.children.nonEmpty && refIs(p.children.head) =>
-          p.children.tail.toSeq.collect { case l: V2Literal[_] =>
-            CatalystTypeConverters.convertToScala(l.value, l.dataType)
+        case "IN" | "=" if p.children.nonEmpty =>
+          refName(p.children.head).filter(ks.bucketCols.contains).map { c =>
+            c -> p.children.tail.toSeq.collect { case l: V2Literal[_] =>
+              CatalystTypeConverters.convertToScala(l.value, l.dataType)
+            }.filter(_ != null).distinct
           }
-        case _ => Seq.empty
+        case _ => None
       }
-    }.filter(_ != null).distinct
-    if (values.nonEmpty) {
-      val buckets = values
-        .map(v => LakeTable.bucketOfValues(Seq(v), snapshot.nBuckets)).toSet
-      val byBucket = keptFiles.filter(f => buckets.contains(f.bucket))
-      // within surviving buckets: bloom/dictionary evidence per file (CoW)
-      // or whole delta chain (MoR — single chain files must never drop, a
-      // pruned newer version would elect a stale winner)
-      val kept =
-        if (values.size > MaxMembershipProbeValues) byBucket
-        else {
-          val verdicts = ParquetFooters.parMap(byBucket)(f =>
-            (f, ParquetFooters.mightContainAny(f.path, col, values)))
-          if (!snapshot.mor) verdicts.filter(_._2 != Some(false)).map(_._1)
-          else verdicts.groupBy(_._1.bucket).values.collect {
-            case fs if fs.exists(_._2 != Some(false)) => fs.map(_._1)
-          }.toSeq.flatten
-        }
-      runtimeKept = Some(kept)
-      GraftScan.lastRuntimeFilter = Some(GraftScan.RuntimeFilterReport(
-        col, values.size, basePartitions.length,
-        kept.map(_.bucket).distinct.size, keptFiles.size, kept.size))
+    }.groupBy(_._1).map { case (c, vs) =>
+      // several independent filters on one column are each a necessary
+      // condition — the smallest set prunes hardest
+      c -> vs.map(_._2).minBy(_.size)
     }
+    if (byCol.isEmpty || byCol.values.exists(_.isEmpty)) return
+
+    // 1. bucket pruning: needs a value set for EVERY bucket column (the
+    //    shard hash covers all of them); candidate buckets = hashes of the
+    //    per-column cross product, intersected with the plan-time survivors
+    val haveAllCols = ks.bucketCols.forall(byCol.contains)
+    val tupleCount: Long =
+      if (!haveAllCols) Long.MaxValue
+      else ks.bucketCols.map(c => byCol(c).size.toLong)
+        .foldLeft(1L)((a, b) => math.min(a * b, Long.MaxValue / 2))
+    val bucketKept: Seq[DataFileMeta] =
+      if (haveAllCols && tupleCount <= MaxBucketTuples) {
+        val tuples = ks.bucketCols.map(byCol)
+          .foldLeft(Seq(Seq.empty[Any]))((acc, vs) =>
+            acc.flatMap(t => vs.map(t :+ _)))
+        val buckets = tuples
+          .map(t => LakeTable.bucketOfValues(t, snapshot.nBuckets)).toSet
+        keptFiles.filter(f => buckets.contains(f.bucket))
+      } else keptFiles
+
+    // 2. within surviving buckets: bloom/dictionary evidence per column,
+    //    per file (CoW) or whole delta chain (MoR — single chain files must
+    //    never drop, a pruned newer version would elect a stale winner)
+    val kept = byCol.foldLeft(bucketKept) { case (fs, (c, values)) =>
+      if (values.size > MaxMembershipProbeValues) fs
+      else {
+        val verdicts = ParquetFooters.parMap(fs)(f =>
+          (f, ParquetFooters.mightContainAny(f.path, c, values)))
+        if (!snapshot.mor) verdicts.filter(_._2 != Some(false)).map(_._1)
+        else verdicts.groupBy(_._1.bucket).values.collect {
+          case g if g.exists(_._2 != Some(false)) => g.map(_._1)
+        }.toSeq.flatten
+      }
+    }
+    runtimeKept = Some(kept)
+    GraftScan.runtimeFilterReports.put(lake.root, GraftScan.RuntimeFilterReport(
+      byCol.keys.toSeq.sorted, byCol.values.map(_.size).sum,
+      basePartitions.length, kept.map(_.bucket).distinct.size,
+      keptFiles.size, kept.size))
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -360,13 +385,27 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
 
 object GraftScan {
   /** Driver-side observability for runtime (join-driven) filtering: what
-    * the most recent executed runtime filter pruned. Specs assert on it; an
-    * operator can poll it after a join to see dynamic-pruning
-    * effectiveness without reading event logs. */
-  final case class RuntimeFilterReport(column: String, values: Int,
+    * the most recent executed runtime filter pruned, PER TABLE ROOT —
+    * concurrent queries on different tables never clobber each other's
+    * report. Specs assert on it; an operator can poll it after a join to
+    * see dynamic-pruning effectiveness without reading event logs. */
+  final case class RuntimeFilterReport(columns: Seq[String], values: Int,
       bucketsBefore: Int, bucketsAfter: Int,
       filesBefore: Int, filesAfter: Int)
-  @volatile var lastRuntimeFilter: Option[RuntimeFilterReport] = None
+  private val MaxReports = 256
+  private[sources] val runtimeFilterReports =
+    new java.util.concurrent.ConcurrentHashMap[String, RuntimeFilterReport] {
+      // bounded: a long-lived session querying many ephemeral tables must
+      // not grow driver state without bound
+      override def put(k: String, v: RuntimeFilterReport): RuntimeFilterReport = {
+        if (size() >= MaxReports && !containsKey(k)) clear()
+        super.put(k, v)
+      }
+    }
+  def runtimeFilterReport(root: String): Option[RuntimeFilterReport] =
+    Option(runtimeFilterReports.get(root))
+  def clearRuntimeFilterReport(root: String): Unit =
+    runtimeFilterReports.remove(root)
 }
 
 /** One bucket's surviving chain: (path, fileLength) pairs. The partition

@@ -275,6 +275,15 @@ object GraftDml {
       require(!cn.startsWith("_") && cn != "op",
         s"internal column $cn cannot be SET")
     })
+    // on the BY SOURCE leg the source side of the full-outer join is all
+    // NULLs — an expression naming the source alias would silently null the
+    // column; standard MERGE dialects reject it, so do we
+    bySourceSets.foreach(_.foreach { case (c, e) =>
+      val noLits = e.replaceAll("'(?:[^']|'')*'", "''")
+      require(!s"\\b$sAlias\\s*\\.".r.findFirstIn(noLits).isDefined,
+        s"NOT MATCHED BY SOURCE UPDATE cannot reference source alias " +
+        s"$sAlias (source columns are NULL on that leg): $c = $e")
+    })
 
     withConflictRetry(maxAttempts) {
       val cur = lake.currentSnapshot.get

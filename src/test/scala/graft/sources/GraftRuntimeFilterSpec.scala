@@ -7,14 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.cdc.CdcApply
 import graft.lake.LakeTable
+import graft.model.Schemas.KeySpec
 
 /** Runtime (join-driven) filtering — the V2 twin of dynamic partition
-  * pruning. A selective dimension joined on the bucket-key column must
+  * pruning. A selective dimension joined on the bucket-key column(s) must
   * prune the fact lake's input partitions AT EXECUTION time: Spark ships
   * the build side's distinct keys to [[GraftScan.filter]], the scan hashes
-  * each to its bucket (the exact write-path shard function) and drops every
-  * untouched bucket, then bloom/dictionary evidence drops files inside
-  * surviving buckets (whole chains on MoR). Results must equal the
+  * them to buckets (the exact write-path shard function — for multi-column
+  * bucket keys, over the cross product of the per-column IN-sets) and drops
+  * every untouched bucket, then bloom/dictionary evidence drops files
+  * inside survivors (whole chains on MoR). Results must equal the
   * unfiltered join exactly — pruning is IO-only, never semantics. */
 class GraftRuntimeFilterSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
@@ -85,7 +87,7 @@ class GraftRuntimeFilterSpec extends AnyFunSuite {
         .select(col("conv_id"), col("turn_idx"), col("text"))
         .collect().map(_.toString).sorted
 
-      GraftScan.lastRuntimeFilter = None
+      GraftScan.clearRuntimeFilterReport(dir)
       val df = spark.sql(joinSql(dir, s"rtf_dim_$mor"))
       val got = df.collect().map(_.toString).sorted
       assert(got.toSeq == expected.toSeq, "runtime-filtered join diverges")
@@ -93,9 +95,9 @@ class GraftRuntimeFilterSpec extends AnyFunSuite {
       // the hook is only written from GraftScan.filter, which Spark invokes
       // exclusively when a planned runtime filter reaches the scan — its
       // presence proves DPP planned AND executed
-      val rep = GraftScan.lastRuntimeFilter.getOrElse(
+      val rep = GraftScan.runtimeFilterReport(dir).getOrElse(
         fail("scan.filter() was never invoked — no runtime filter planned"))
-      assert(rep.column == "conv_id" && rep.values == picked.size)
+      assert(rep.columns == Seq("conv_id") && rep.values == picked.size)
       // exact bucket arithmetic: only the picked conversations' buckets open
       val wantBuckets = picked
         .map(v => LakeTable.bucketOfValues(Seq(v), nBuckets)).toSet
@@ -114,16 +116,78 @@ class GraftRuntimeFilterSpec extends AnyFunSuite {
     // every conversation picked: bucket set covers everything, the filter
     // becomes a no-op prune — results must still be exact
     dimView("rtf_dim_all", (0 until nConvs).map(c => f"conv$c%02d"))
-    GraftScan.lastRuntimeFilter = None
+    GraftScan.clearRuntimeFilterReport(dir)
     val df = spark.sql(joinSql(dir, "rtf_dim_all"))
     val got = df.collect().map(_.toString).sorted
     val expected = lake.read()
       .select(col("conv_id"), col("turn_idx"), col("text"))
       .collect().map(_.toString).sorted
     assert(got.toSeq == expected.toSeq)
-    GraftScan.lastRuntimeFilter.foreach { rep =>
+    GraftScan.runtimeFilterReport(dir).foreach { rep =>
       assert(rep.bucketsAfter == rep.bucketsBefore,
         "all keys picked: every bucket must survive")
+    }
+  }
+
+  /** Multi-column bucket key (the reference's enrolment shape,
+    * user-org test.cql:3-17): a join on BOTH bucket columns addresses
+    * buckets through the cross product of the per-column IN-sets — a
+    * superset of the true tuple set, so pruning stays safe while the
+    * picked pairs' buckets are guaranteed kept. */
+  test("multi-column bucket key: join on all columns prunes buckets") {
+    import spark.implicits._
+    val nB = 16
+    val dir = TestSpark.tmpDir("rtf-multi")
+    val lake = new LakeTable(spark, dir)
+    val keys = KeySpec(Seq("userid", "courseid"),
+      Seq("userid", "courseid", "batchid"))
+    val ev = (0 until 48).flatMap { u =>
+      (0 until 4).map { c =>
+        (f"user$u%02d", f"course$c", s"batch${c % 2}",
+         (u * 4 + c).toLong, u * 10 + c)
+      }
+    }.toDF("userid", "courseid", "batchid", "_lsn", "progress")
+      .withColumn("op", lit("U"))
+      .withColumn("_src_part", lit(0))
+      .withColumn("_src_off", col("_lsn"))
+    CdcApply.apply(lake, ev, epoch = 1, nBuckets = nB, keys = keys)
+
+    // parquet-backed dim of (userid, courseid) pairs, selectively flagged
+    val dimDir = TestSpark.tmpDir("rtf-multi-dim")
+    val picked = Set(("user03", "course1"), ("user17", "course2"))
+    (0 until 48).flatMap { u => (0 until 4).map { c =>
+      val id = (f"user$u%02d", f"course$c")
+      (id._1, id._2, if (picked.contains(id)) 1 else 0)
+    }}.toDF("userid", "courseid", "pick")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("rtf_multi_dim")
+
+    val expected = lake.read()
+      .join(spark.read.parquet(dimDir).filter(col("pick") === 1)
+              .select("userid", "courseid"),
+            Seq("userid", "courseid"))
+      .select("userid", "courseid", "batchid", "progress")
+      .collect().map(_.toString).sorted
+
+    GraftScan.clearRuntimeFilterReport(dir)
+    val got = spark.sql(
+      s"""SELECT t.userid, t.courseid, t.batchid, t.progress
+         |FROM graft.`$dir` t JOIN rtf_multi_dim d
+         |  ON t.userid = d.userid AND t.courseid = d.courseid
+         |WHERE d.pick = 1""".stripMargin)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == expected.toSeq, "multi-column runtime join diverges")
+
+    val rep = GraftScan.runtimeFilterReport(dir).getOrElse(
+      fail("scan.filter() was never invoked — no runtime filter planned"))
+    assert(rep.columns == Seq("courseid", "userid"),
+      s"both bucket columns must be runtime-filtered, got ${rep.columns}")
+    // cross product of 2 userids x 2 courseids = 4 tuples -> at most 4
+    // buckets survive (the 2 true pairs' buckets are among them)
+    assert(rep.bucketsAfter <= 4 && rep.bucketsAfter < rep.bucketsBefore,
+      s"no real pruning: ${rep.bucketsBefore} -> ${rep.bucketsAfter}")
+    picked.foreach { case (u, c) =>
+      assert(got.exists(_.contains(u)), s"picked pair ($u,$c) lost")
     }
   }
 }

@@ -301,6 +301,15 @@ class GraftDmlSpec extends AnyFunSuite {
         "MERGE INTO lake AS t USING (SELECT 1) ON t.conv_id = s.conv_id " +
         "WHEN MATCHED THEN DELETE") // subquery without alias
     }
+    // BY SOURCE UPDATE referencing the source alias: source columns are all
+    // NULL on that leg (full-outer anti side) — SET text = s.text would
+    // silently null the column; standard MERGE dialects reject it, so do we
+    intercept[IllegalArgumentException] {
+      GraftDml.sql(lake,
+        "MERGE INTO lake AS t USING fixes AS s " +
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET text = s.text")
+    }
   }
 
   test("a concurrent source commit retries the MERGE — both effects land") {
