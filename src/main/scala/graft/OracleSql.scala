@@ -1021,6 +1021,36 @@ object OracleSql {
          |    row_number() OVER (PARTITION BY user_id, event_id % 20
          |                       ORDER BY event_id DESC) AS rn
          |  FROM events)
-         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+         |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // q76: a filtered metadata count (WHERE fully covered by the kept
+    // files' zone bounds, so answered from per-file live counts) must
+    // equal the LWW election restricted by the same predicate
+    "q76_meta_count_where" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT user_id, event_id % 20 AS turn_idx, event_id AS lsn,
+         |    event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND event_type <> 'error'
+         |  AND turn_idx >= 0 AND lsn >= 0""".stripMargin,
+
+    // q77: zone-derived min/max on a delete-free ingest must equal the
+    // aggregates over the LWW election (no deletes -> every key's winner
+    // is live; min/max are insensitive to which version wins only for the
+    // key columns, so aggregate over the winners exactly as stored)
+    "q77_meta_minmax" ->
+      s"""SELECT CAST(min(lsn) AS BIGINT) AS min_lsn,
+         |  CAST(max(lsn) AS BIGINT) AS max_lsn,
+         |  CAST(min(turn_idx) AS INT) AS min_turn,
+         |  CAST(max(turn_idx) AS INT) AS max_turn
+         |FROM (
+         |  SELECT CAST(event_id % 20 AS INT) AS turn_idx,
+         |    event_id AS lsn,
+         |    row_number() OVER (PARTITION BY user_id, event_id % 20
+         |                       ORDER BY event_id DESC) AS rn
+         |  FROM events WHERE event_type <> 'error')
+         |WHERE rn = 1""".stripMargin
   )
 }

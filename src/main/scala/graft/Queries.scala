@@ -1666,6 +1666,57 @@ object Queries {
     s.sql(s"SELECT count(*) AS n FROM graft.`${lake.root}`")
   }
 
+  /** Filtered metadata COUNT: a WHERE whose every conjunct is fully
+    * covered by the kept files' zone bounds is CLAIMED by the scan builder
+    * and the count answers as the sum of exact per-file live counts —
+    * still zero data IO ([[graft.sources.GraftAggScan]]). `turn_idx` spans
+    * [0, 19] in every file, so `turn_idx >= 0` covers each one fully while
+    * remaining a real predicate to the oracle. */
+  def q76MetaCountWhere(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("user_id").as("conv_id"),
+      pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+      col("event_type"),
+      col("event_id").as("_lsn"),
+      pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+      col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q76-cnt-${System.nanoTime()}").getAbsolutePath)
+    val mid = ev.agg(max("_lsn")).head().getLong(0) / 2
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") < mid),
+      epoch = 1, nBuckets = 16)
+    graft.cdc.CdcApply.apply(lake, ev.filter(col("_lsn") >= mid),
+      epoch = 2, nBuckets = 16)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"""SELECT count(*) AS n FROM graft.`${lake.root}`
+             |WHERE turn_idx >= 0 AND _lsn >= 0""".stripMargin)
+  }
+
+  /** Metadata MIN/MAX: on a tombstone-free copy-on-write lake (no delete
+    * events ingested) min/max of zone-eligible columns fold the per-file
+    * zone bounds — zero data IO. The oracle computes the same aggregates
+    * over the LWW election. */
+  def q77MetaMinMax(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type") =!= "error") // no deletes: tombstone-free
+      .select(
+        lit("U").as("op"),
+        col("user_id").as("conv_id"),
+        pmod(col("event_id"), lit(20)).cast("int").as("turn_idx"),
+        col("event_type"),
+        col("event_id").as("_lsn"),
+        pmod(col("event_id"), lit(8)).cast("int").as("_src_part"),
+        col("event_id").as("_src_off"))
+    val lake = new graft.lake.LakeTable(s,
+      new java.io.File(s"target/q77-mm-${System.nanoTime()}").getAbsolutePath)
+    graft.cdc.CdcApply.apply(lake, ev, epoch = 1, nBuckets = 16)
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"""SELECT min(_lsn) AS min_lsn, max(_lsn) AS max_lsn,
+             |  min(turn_idx) AS min_turn, max(turn_idx) AS max_turn
+             |FROM graft.`${lake.root}`""".stripMargin)
+  }
+
   // ----------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1743,6 +1794,8 @@ object Queries {
     "q72_stream_changes" -> (q72StreamChanges _),
     "q73_cascade" -> (q73Cascade _),
     "q74_runtime_prune" -> (q74RuntimePrune _),
-    "q75_meta_count" -> (q75MetaCount _)
+    "q75_meta_count" -> (q75MetaCount _),
+    "q76_meta_count_where" -> (q76MetaCountWhere _),
+    "q77_meta_minmax" -> (q77MetaMinMax _)
   )
 }

@@ -696,7 +696,8 @@ object CdcApply {
         val st = graft.lake.ParquetFooters.writeStats(p,
           if (statsIsString) Some(statsCol) else None)
         DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
-          st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes)
+          st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes,
+          st.liveRows, st.zoneNullFree, st.zoneFieldIds)
       }
     }
     val rowsOut = newFiles.map(_.rows).sum

@@ -236,7 +236,8 @@ object Compaction {
         val st = ParquetFooters.writeStats(p,
           if (statsIsString) Some(statsCol) else None)
         DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
-          st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes)
+          st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes,
+          st.liveRows, st.zoneNullFree, st.zoneFieldIds)
       }
     }
 

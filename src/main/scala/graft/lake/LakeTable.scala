@@ -23,13 +23,44 @@ final case class DataFileMeta(
     zoneMaxs: Array[Long] = Array.empty,
     /** compressed data bytes (0 in pre-bytes manifests = "no stats") —
       * feeds size-aware maintenance advice (Doctor) */
-    bytes: Long = 0L) {
+    bytes: Long = 0L,
+    /** EXACT non-tombstone row count (= `rows` for tombstone-free files);
+      * -1 = unknown (pre-liveRows manifest, or an undecodable tombstone
+      * chunk). On copy-on-write snapshots the per-file live counts sum to
+      * the snapshot's live count, which powers metadata-only filtered
+      * COUNT(*) and the tombstone-free gate of min/max pushdown. */
+    liveRows: Long = -1L,
+    /** aligned with zoneCols: column provably null-free in this file
+      * (zone bounds say nothing about nulls, so exact predicate coverage
+      * needs this); null/empty in pre-feature manifests = unknown. */
+    zoneNullFree: Array[Boolean] = Array.empty,
+    /** aligned with zoneCols: the parquet FIELD ID the file stores the
+      * column under (0 = none recorded). Stats are name-keyed while reads
+      * resolve by id — after a drop+re-add of a name, an old file's stats
+      * describe bytes the read surfaces as NULLs, so EXACT consumers
+      * (filter claiming, min/max pushdown) must match ids first; IO-only
+      * pruning needs no such check (a pruned old file's read-NULLs could
+      * not have matched the predicate anyway). */
+    zoneFieldIds: Array[Long] = Array.empty) {
   /** [min, max] of `column` in this file, None when not collected (pre-zone
     * manifest, all-null file, or a block without stats). */
   def zone(column: String): Option[(Long, Long)] = {
     if (zoneCols == null || zoneMins == null || zoneMaxs == null) return None
     val i = zoneCols.indexOf(column)
     if (i < 0) None else Some((zoneMins(i), zoneMaxs(i)))
+  }
+  /** Is `column` provably null-free in this file? Pre-feature manifests
+    * (no flags recorded) answer false — never claim what wasn't audited. */
+  def nullFree(column: String): Boolean = {
+    if (zoneCols == null || zoneNullFree == null) return false
+    val i = zoneCols.indexOf(column)
+    i >= 0 && i < zoneNullFree.length && zoneNullFree(i)
+  }
+  /** Field id the file stores `column` under; 0 = none recorded. */
+  def zoneFieldId(column: String): Long = {
+    if (zoneCols == null || zoneFieldIds == null) return 0L
+    val i = zoneCols.indexOf(column)
+    if (i >= 0 && i < zoneFieldIds.length) zoneFieldIds(i) else 0L
   }
   /** Can this file contain a value of `column` in [lo, hi]? No stats = yes. */
   def mayOverlap(column: String, lo: Long, hi: Long): Boolean =

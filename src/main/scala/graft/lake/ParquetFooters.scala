@@ -169,7 +169,29 @@ object ParquetFooters {
                                   zoneMaxs: Array[Long],
                                   /** compressed data bytes (block sums) —
                                     * feeds size-aware maintenance advice */
-                                  bytes: Long = 0L)
+                                  bytes: Long = 0L,
+                                  /** EXACT non-tombstone row count (`rows`
+                                    * when the file has no `_tombstone`
+                                    * column) — feeds metadata-only filtered
+                                    * COUNT(*) and the tombstone-free gate
+                                    * of min/max pushdown */
+                                  liveRows: Long = -1L,
+                                  /** aligned with zoneCols: the column is
+                                    * provably null-free in this file (every
+                                    * block's numNulls recorded as 0) —
+                                    * required before a range predicate on
+                                    * it can be CLAIMED as exactly covered
+                                    * (zone bounds say nothing about nulls) */
+                                  zoneNullFree: Array[Boolean] = Array.empty,
+                                  /** aligned with zoneCols: the parquet
+                                    * FIELD ID the file stores the column
+                                    * under (0 = none). Zone stats are
+                                    * name-keyed, but reads resolve by id —
+                                    * after a drop+re-add of the same name
+                                    * an old file's stats describe a column
+                                    * the read returns as NULLs, so exact
+                                    * claims must match ids first */
+                                  zoneFieldIds: Array[Long] = Array.empty)
   def writeStats(path: String, stringCol: Option[String]): WriteFileStats =
     withFooter(path) { footer =>
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -178,6 +200,12 @@ object ParquetFooters {
       val zMin = scala.collection.mutable.Map[String, Long]()
       val zMax = scala.collection.mutable.Map[String, Long]()
       val dropped = scala.collection.mutable.Set[String]()
+      val nulled = scala.collection.mutable.Set[String]()
+      // live (non-tombstone) rows: a block contributes rows - trues, where
+      // trues comes from boolean stats when decisive (all-false/all-null ->
+      // 0; all-true -> rows - nulls); a mixed block defers to an exact
+      // single-column page decode after the footer pass
+      var sawTomb = false; var tombTrues = 0L; var tombAmbiguous = false
       footer.getBlocks.forEach { block =>
         rows += block.getRowCount
         bytes += block.getCompressedSize
@@ -191,6 +219,22 @@ object ParquetFooters {
             if (mnK == null || lo < mnK) mnK = lo
             if (mxK == null || hi > mxK) mxK = hi
           }
+          if (name == "_tombstone" && populated) {
+            sawTomb = true
+            if (c.getPrimitiveType.getPrimitiveTypeName != BOOLEAN)
+              tombAmbiguous = true
+            else if (hasStats) {
+              val mx = st.genericGetMax.asInstanceOf[java.lang.Boolean]
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Boolean]
+              if (!mx) () // no trues in this block
+              else if (mn && st.isNumNullsSet)
+                tombTrues += block.getRowCount - st.getNumNulls
+              else tombAmbiguous = true // mixed: decode decides
+            } else if (st != null && st.isNumNullsSet &&
+                       st.getNumNulls == block.getRowCount) {
+              () // all-null block: every row live
+            } else tombAmbiguous = true
+          }
           if (!name.contains('.') &&
               (c.getPrimitiveType.getPrimitiveTypeName == INT64 ||
                c.getPrimitiveType.getPrimitiveTypeName == INT32)) {
@@ -199,20 +243,83 @@ object ParquetFooters {
               val hi = st.genericGetMax.asInstanceOf[Number].longValue()
               if (!zMin.get(name).exists(_ <= lo)) zMin(name) = lo
               if (!zMax.get(name).exists(_ >= hi)) zMax(name) = hi
+              if (!(st.isNumNullsSet && st.getNumNulls == 0L)) nulled += name
             } else if (populated &&
                        !(st != null && st.isNumNullsSet &&
                          st.getNumNulls == block.getRowCount)) {
               // populated block, no usable bounds, not provably all-null
               dropped += name
-            }
+            } else nulled += name // all-null block: not null-free
           }
         }
       }
       val keep = (zMin.keySet -- dropped).toArray.sorted
+      val live =
+        if (!sawTomb) rows
+        else if (!tombAmbiguous) rows - tombTrues
+        else countBooleanTrue(path, "_tombstone")
+          .map(rows - _).getOrElse(-1L)
+      val schema = footer.getFileMetaData.getSchema
+      val ids = keep.map { c =>
+        if (!schema.containsField(c)) 0L
+        else Option(schema.getType(schema.getFieldIndex(c)).getId)
+          .map(_.intValue.toLong).getOrElse(0L)
+      }
       WriteFileStats(rows, Option(mnK).getOrElse(""),
         Option(mxK).getOrElse(""), keep,
-        keep.map(zMin), keep.map(zMax), bytes)
+        keep.map(zMin), keep.map(zMax), bytes, live,
+        keep.map(c => !nulled.contains(c)), ids)
     }
+
+  /** EXACT count of `true` values in a top-level boolean column, decoding
+    * ONLY that column's pages (a projected row-group read — the boolean
+    * chunk is bit-packed, ~rows/8 bytes of IO). Used when footer boolean
+    * stats cannot decide a file's tombstone count (mixed true/false
+    * blocks). None on any decode failure — the caller records the live
+    * count as UNKNOWN rather than guessing (exactness is the whole point
+    * of the stat). */
+  private def countBooleanTrue(path: String, column: String): Option[Long] = {
+    import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(path), conf))
+      try {
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        if (!fileSchema.containsField(column)) return Some(0L)
+        val projection = new org.apache.parquet.schema.MessageType(
+          fileSchema.getName,
+          fileSchema.getType(fileSchema.getFieldIndex(column)))
+        reader.setRequestedSchema(projection)
+        val cd = projection.getColumns.get(0)
+        val prim = new PrimitiveConverter {}
+        val group: GroupConverter = new GroupConverter {
+          override def getConverter(i: Int): Converter = prim
+          override def start(): Unit = ()
+          override def end(): Unit = ()
+        }
+        val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
+        var trues = 0L
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val crs = new org.apache.parquet.column.impl.ColumnReadStoreImpl(
+            pages, group, projection, createdBy)
+          val cr = crs.getColumnReader(cd)
+          val n = pages.getRowCount
+          var i = 0L
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == cd.getMaxDefinitionLevel &&
+                cr.getBoolean) trues += 1
+            cr.consume()
+            i += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+        Some(trues)
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
 
   /** Exact-or-probabilistic membership probe for `value` in `column`,
     * per row group, without touching data pages:

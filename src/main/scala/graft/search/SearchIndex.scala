@@ -157,7 +157,8 @@ object SearchIndex {
     val metas = ParquetFooters.parMap(files) { case (b, p) =>
       val st = ParquetFooters.writeStats(p, Some("term"))
       DataFileMeta(p, b, st.rows, st.minKey, st.maxKey,
-        st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes)
+        st.zoneCols, st.zoneMins, st.zoneMaxs, st.bytes,
+        st.liveRows, st.zoneNullFree, st.zoneFieldIds)
     }
     val newRefs = index.writeManifests(snapshotId, metas.groupBy(_.bucket))
     val carried = replaceBuckets match {

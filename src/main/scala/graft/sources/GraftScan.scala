@@ -56,11 +56,68 @@ final class GraftScanBuilder(lake: LakeTable, snapshot: Snapshot)
   private val publicSchema = GraftTable.publicSchema(snapshot)
   private var required: StructType = publicSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedCount = false
+  private var kept: Option[Seq[DataFileMeta]] = None
+  private var aggResult: Option[(StructType, Array[Any], String)] = None
+
+  /** Filter CLAIMING (exact pushdown, not just IO pruning): a conjunct is
+    * accepted — removed from the residual Spark re-applies — when the
+    * plan-time file pruning already makes it a tautology: every kept file's
+    * zone bounds lie FULLY inside the predicate's range and the column is
+    * provably null-free in that file (zone bounds say nothing about nulls,
+    * and a NULL compares to neither side). Copy-on-write only — claiming
+    * requires per-row exactness, and claimed conjuncts are what unlocks
+    * aggregate pushdown (Spark only pushes an Aggregate whose child has no
+    * post-scan Filter). Files pruned by the same predicate provably hold
+    * no matching row, so dropping them keeps the claim exact. */
+  /** Do this file's name-keyed zone stats describe what a read of `c`
+    * RETURNS? Reads resolve columns by field id — after a drop+re-add of
+    * the same name an old file's stats describe bytes the read surfaces as
+    * NULLs. Exact claims therefore require the file's recorded id to match
+    * the current schema's (or a pre-field-id table, where names are stable
+    * because rename/drop is refused). */
+  private def statsTrusted(f: DataFileMeta, c: String): Boolean =
+    snapshot.schema.fields.find(_.name == c)
+      .flatMap(graft.model.Schemas.fieldId) match {
+      case Some(id) => f.zoneFieldId(c) == id
+      case None => f.zoneFieldId(c) == 0L
+    }
+
+  private def residualOf(filters: Array[Filter],
+                         files: Seq[DataFileMeta]): Array[Filter] = {
+    if (snapshot.mor) return filters
+    def coveredBy(c: String, lo: Long, hi: Long): Boolean =
+      GraftScan.zoneEligible(snapshot, c) && files.forall { f =>
+        statsTrusted(f, c) && f.nullFree(c) && f.zone(c).exists {
+          case (mn, mx) => mn >= lo && mx <= hi }
+      }
+    filters.filterNot {
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        GraftScan.zoneEligible(snapshot, c) &&
+        files.forall(f => statsTrusted(f, c) && f.nullFree(c))
+      case EqualTo(c, v) =>
+        GraftScan.statsLong(v).exists(x => coveredBy(c, x, x))
+      case GreaterThan(c, v) =>
+        GraftScan.statsLong(v).exists(x =>
+          x < Long.MaxValue && coveredBy(c, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        GraftScan.statsLong(v).exists(x => coveredBy(c, x, Long.MaxValue))
+      case LessThan(c, v) =>
+        GraftScan.statsLong(v).exists(x =>
+          x > Long.MinValue && coveredBy(c, Long.MinValue, x - 1))
+      case LessThanOrEqual(c, v) =>
+        GraftScan.statsLong(v).exists(x => coveredBy(c, Long.MinValue, x))
+      case _ => false
+    }
+  }
+
+  private var residual: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters // all residual: pruning is an IO optimization, never semantics
+    val files = GraftScan.planKept(snapshot, filters)
+    kept = Some(files)
+    residual = residualOf(filters, files)
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -69,49 +126,118 @@ final class GraftScanBuilder(lake: LakeTable, snapshot: Snapshot)
     required = requiredSchema
   }
 
-  /** COMPLETE pushdown of a bare `SELECT count(*)`: answered from the
-    * snapshot's audited live-row count — O(1) driver metadata, zero data
-    * IO, zero Spark jobs ([[GraftCountScan]] is a LocalScan). Eligible only
-    * when no predicate survives (every filter here is residual, so ANY
-    * WHERE clause blocks the pushdown) and the count lineage is exact
-    * (`Snapshot.liveRows` >= 0 — a change-feed-disabled commit or a
-    * merge-on-read table, whose blind appends have no write-side audit,
-    * reports unknown and falls back to the real scan). Time travel
-    * composes — this builder already holds the `VERSION AS OF` snapshot,
-    * whose own liveRows answers. */
+  /** COMPLETE pushdown of metadata-answerable aggregates — zero data IO,
+    * zero Spark jobs ([[GraftAggScan]] is a LocalScan):
+    *
+    *  - bare `count(*)`: the snapshot's audited live-row count
+    *    (`Snapshot.liveRows`, O(1)), or — covering cf-disabled lineages
+    *    too — the sum of per-file live counts.
+    *  - `count(*)` under a WHERE whose every conjunct was CLAIMED (see
+    *    [[pushFilters]]): the sum of the KEPT files' exact per-file live
+    *    counts — pruned files provably hold no matching row, kept files'
+    *    rows all match, and tombstones are already excluded per file.
+    *  - `min(col)` / `max(col)` over zone-eligible columns when every kept
+    *    file is tombstone-free (liveRows == rows — a tombstoned row's value
+    *    sits in the zone bounds but not in the live set) and carries zone
+    *    stats: fold of the per-file bounds. Parquet min/max skip nulls,
+    *    matching SQL MIN/MAX.
+    *
+    * Merge-on-read tables refuse (multi-version chains have no per-file
+    * truth pre-election); any unclaimed residual refuses (Spark would not
+    * offer the Aggregate anyway); unknown live counts refuse. Time travel
+    * composes — the builder holds the `VERSION AS OF` snapshot. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPushCount(agg)
+    planAgg(agg).isDefined
 
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (!canPushCount(agg)) false
-    else { pushedCount = true; true }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = planAgg(agg)
+    aggResult.isDefined
+  }
 
-  private def canPushCount(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-    agg.aggregateExpressions.length == 1 &&
-    agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
-    snapshot.liveRows >= 0
+  /** min/max answerable iff every kept file is tombstone-free (a
+    * tombstoned row's value sits in the zone bounds but not in the live
+    * set), carries trusted zone stats for the column, and — because an
+    * all-null file is indistinguishable from a stats-less one — has them
+    * at all. Parquet min/max skip nulls, matching SQL MIN/MAX. */
+  private def minMaxEligible(files: Seq[DataFileMeta], c: String): Boolean =
+    GraftScan.zoneEligible(snapshot, c) && files.forall(f =>
+      f.liveRows == f.rows && statsTrusted(f, c) && f.zone(c).isDefined)
 
-  override def build(): Scan =
-    if (pushedCount) new GraftCountScan(lake, snapshot)
-    else new GraftScan(lake, snapshot, required, pushed)
+  private def planAgg(agg: Aggregation): Option[(StructType, Array[Any], String)] = {
+    if (snapshot.mor || agg.groupByExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
+    val files = kept.getOrElse(GraftScan.planKept(snapshot, pushed))
+    // every pushed conjunct must have been claimed for the file set to be
+    // the predicate's exact extent (Spark only offers the Aggregate when
+    // no residual Filter remains, so this re-check is belt+braces)
+    val filtered = pushed.nonEmpty
+    if (filtered && residual.nonEmpty) return None
+    def colName(e: V2Expression): Option[String] = e match {
+      case n: NamedReference if n.fieldNames.length == 1 =>
+        Some(n.fieldNames.head)
+      case _ => None
+    }
+    def fieldType(c: String): Option[DataType] =
+      snapshot.schema.fields.find(_.name == c).map(_.dataType)
+    /** zone-domain long -> Catalyst internal value of the column's type */
+    def internal(c: String, v: Long): Any = fieldType(c) match {
+      case Some(IntegerType) => v.toInt
+      case Some(ShortType) => v.toShort
+      case Some(ByteType) => v.toByte
+      case Some(DateType) => v.toInt // days
+      case _ => v // long / timestamp micros
+    }
+    val parts = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        val n =
+          if (!filtered && snapshot.liveRows >= 0) snapshot.liveRows
+          else if (files.forall(_.liveRows >= 0)) files.map(_.liveRows).sum
+          else return None
+        (StructField("count(*)", LongType, nullable = false), n: Any)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        val c = colName(m.column).getOrElse(return None)
+        if (!minMaxEligible(files, c)) return None
+        val v: Any =
+          if (files.isEmpty) null
+          else internal(c, files.flatMap(_.zone(c)).map(_._1).min)
+        (StructField(s"min($c)", fieldType(c).getOrElse(return None)), v)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        val c = colName(m.column).getOrElse(return None)
+        if (!minMaxEligible(files, c)) return None
+        val v: Any =
+          if (files.isEmpty) null
+          else internal(c, files.flatMap(_.zone(c)).map(_._2).max)
+        (StructField(s"max($c)", fieldType(c).getOrElse(return None)), v)
+      case _ => return None
+    }
+    Some((StructType(parts.map(_._1)), parts.map(_._2).toArray,
+      parts.map(_._1.name).mkString(", ")))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, values, desc)) =>
+      new GraftAggScan(lake, snapshot, schema, values, desc)
+    case None => new GraftScan(lake, snapshot, required, pushed, kept)
+  }
 }
 
-/** Metadata-only COUNT(*): a [[LocalScan]] the planner lowers to a
-  * driver-side LocalTableScanExec — the count of a 100 TB lake costs one
-  * snapshot-JSON read and zero executor work. */
-final class GraftCountScan(lake: LakeTable, snapshot: Snapshot)
+/** Metadata-only aggregate answer: a [[LocalScan]] the planner lowers to a
+  * driver-side LocalTableScanExec — COUNT(*) (optionally under a fully
+  * claimed WHERE) and zone-derived MIN/MAX of a 100 TB lake cost one
+  * snapshot-metadata read and zero executor work. */
+final class GraftAggScan(lake: LakeTable, snapshot: Snapshot,
+                         schema: StructType, values: Array[Any], desc: String)
     extends LocalScan {
-  override def readSchema(): StructType = StructType(Seq(
-    StructField("count(*)", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] =
-    Array(InternalRow(snapshot.liveRows))
+    Array(InternalRow.fromSeq(values.toIndexedSeq))
   override def description(): String =
-    s"graft ${lake.root} metadata count(*)=${snapshot.liveRows}"
+    s"graft ${lake.root} metadata agg [$desc] = ${values.mkString(", ")}"
 }
 
 final class GraftScan(lake: LakeTable, snapshot: Snapshot,
-                      required: StructType, pushed: Array[Filter])
+                      required: StructType, pushed: Array[Filter],
+                      preKept: Option[Seq[DataFileMeta]] = None)
     extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -127,82 +253,10 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
     s"graft ${lake.root} snapshot=${snapshot.snapshotId} " +
     s"buckets=${snapshot.nBuckets}${if (snapshot.mor) " mor" else ""}"
 
-  // ------------------------------------------------- plan-time file pruning
+  // ---------------------------- plan-time file pruning (see GraftScan.planKept)
 
-  /** long value in the zone-stats physical domain (micros for timestamps,
-    * days for dates), None for types zone maps don't cover. */
-  private def statsLong(v: Any): Option[Long] = v match {
-    case i: Int => Some(i.toLong)
-    case l: Long => Some(l)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case t: java.sql.Timestamp =>
-      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
-    case i: java.time.Instant =>
-      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
-    case d: java.time.LocalDate => Some(d.toEpochDay)
-    case _ => None
-  }
-
-  private def zoneEligible(name: String): Boolean =
-    snapshot.schema.fields.exists(f => f.name == name && (f.dataType match {
-      case IntegerType | LongType | ShortType | ByteType |
-           TimestampType | DateType => true
-      case _ => false
-    }))
-
-  private lazy val keptFiles: Seq[DataFileMeta] = {
-    // 1. zone ranges (conjunction; intersect per-column bounds)
-    val ranges = pushed.toSeq.flatMap {
-      case EqualTo(c, v) if zoneEligible(c) =>
-        statsLong(v).map(x => (c, x, x))
-      case GreaterThan(c, v) if zoneEligible(c) =>
-        statsLong(v).map(x => (c, x + 1, Long.MaxValue))
-      case GreaterThanOrEqual(c, v) if zoneEligible(c) =>
-        statsLong(v).map(x => (c, x, Long.MaxValue))
-      case LessThan(c, v) if zoneEligible(c) =>
-        statsLong(v).map(x => (c, Long.MinValue, x - 1))
-      case LessThanOrEqual(c, v) if zoneEligible(c) =>
-        statsLong(v).map(x => (c, Long.MinValue, x))
-      case _ => None
-    }
-    val byCol = ranges.groupBy(_._1).map { case (c, rs) =>
-      (c, rs.map(_._2).max, rs.map(_._3).min)
-    }.toSeq
-    val zoneKept =
-      if (byCol.isEmpty) snapshot.files
-      else LakeTable.pruneByRanges(snapshot, byCol)._1
-
-    // 2. full bucket-key equality -> bucket + key-range + membership
-    val eqs: Map[String, Any] = pushed.collect {
-      case EqualTo(c, v) if v != null => c -> v
-    }.toMap
-    val keyVals: Option[Seq[Any]] =
-      if (ks.bucketCols.forall(eqs.contains)) Some(ks.bucketCols.map(eqs))
-      else None
-    val keyKept = keyVals match {
-      case Some(vs) =>
-        val keyFiles = LakeTable.pruneByKey(snapshot, vs).map(_.path).toSet
-        LakeTable.filterByMembership(
-          zoneKept.filter(f => keyFiles.contains(f.path)),
-          ks.bucketCols.head, vs.head)
-      case None => zoneKept
-    }
-
-    // 3. string equality on non-key columns -> bloom/dictionary evidence
-    val probedAlready: Set[String] =
-      if (keyVals.isDefined) Set(ks.bucketCols.head) else Set.empty
-    val strEqs = pushed.collect {
-      case EqualTo(c, v: String)
-        if v != null && !probedAlready.contains(c) &&
-           snapshot.schema.fields.exists(f =>
-             f.name == c && f.dataType == StringType) => (c, v)
-    }
-    strEqs.distinct.foldLeft(keyKept) { case (fs, (c, v)) =>
-      LakeTable.pruneByMembership(snapshot, fs, c, v)
-    }
-  }
+  private lazy val keptFiles: Seq[DataFileMeta] =
+    preKept.getOrElse(GraftScan.planKept(snapshot, pushed))
 
   // -------------------------------------------------- partitions + readers
 
@@ -384,6 +438,86 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
 }
 
 object GraftScan {
+  /** long value in the zone-stats physical domain (micros for timestamps,
+    * days for dates), None for types zone maps don't cover. */
+  private[sources] def statsLong(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private[sources] def zoneEligible(snapshot: Snapshot, name: String): Boolean =
+    snapshot.schema.fields.exists(f => f.name == name && (f.dataType match {
+      case IntegerType | LongType | ShortType | ByteType |
+           TimestampType | DateType => true
+      case _ => false
+    }))
+
+  /** PLAN-time file pruning from lake metadata (shared by the builder —
+    * which also needs the kept set for filter claiming and aggregate
+    * pushdown — and the scan): the three ladders documented on the class. */
+  private[sources] def planKept(snapshot: Snapshot,
+                                pushed: Array[Filter]): Seq[DataFileMeta] = {
+    val ks = snapshot.keySpec
+    // 1. zone ranges (conjunction; intersect per-column bounds)
+    val ranges = pushed.toSeq.flatMap {
+      case EqualTo(c, v) if zoneEligible(snapshot, c) =>
+        statsLong(v).map(x => (c, x, x))
+      case GreaterThan(c, v) if zoneEligible(snapshot, c) =>
+        statsLong(v).map(x => (c, x + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) if zoneEligible(snapshot, c) =>
+        statsLong(v).map(x => (c, x, Long.MaxValue))
+      case LessThan(c, v) if zoneEligible(snapshot, c) =>
+        statsLong(v).map(x => (c, Long.MinValue, x - 1))
+      case LessThanOrEqual(c, v) if zoneEligible(snapshot, c) =>
+        statsLong(v).map(x => (c, Long.MinValue, x))
+      case _ => None
+    }
+    val byCol = ranges.groupBy(_._1).map { case (c, rs) =>
+      (c, rs.map(_._2).max, rs.map(_._3).min)
+    }.toSeq
+    val zoneKept =
+      if (byCol.isEmpty) snapshot.files
+      else LakeTable.pruneByRanges(snapshot, byCol)._1
+
+    // 2. full bucket-key equality -> bucket + key-range + membership
+    val eqs: Map[String, Any] = pushed.collect {
+      case EqualTo(c, v) if v != null => c -> v
+    }.toMap
+    val keyVals: Option[Seq[Any]] =
+      if (ks.bucketCols.forall(eqs.contains)) Some(ks.bucketCols.map(eqs))
+      else None
+    val keyKept = keyVals match {
+      case Some(vs) =>
+        val keyFiles = LakeTable.pruneByKey(snapshot, vs).map(_.path).toSet
+        LakeTable.filterByMembership(
+          zoneKept.filter(f => keyFiles.contains(f.path)),
+          ks.bucketCols.head, vs.head)
+      case None => zoneKept
+    }
+
+    // 3. string equality on non-key columns -> bloom/dictionary evidence
+    val probedAlready: Set[String] =
+      if (keyVals.isDefined) Set(ks.bucketCols.head) else Set.empty
+    val strEqs = pushed.collect {
+      case EqualTo(c, v: String)
+        if v != null && !probedAlready.contains(c) &&
+           snapshot.schema.fields.exists(f =>
+             f.name == c && f.dataType == StringType) => (c, v)
+    }
+    strEqs.distinct.foldLeft(keyKept) { case (fs, (c, v)) =>
+      LakeTable.pruneByMembership(snapshot, fs, c, v)
+    }
+  }
+
   /** Driver-side observability for runtime (join-driven) filtering: what
     * the most recent executed runtime filter pruned, PER TABLE ROOT —
     * concurrent queries on different tables never clobber each other's

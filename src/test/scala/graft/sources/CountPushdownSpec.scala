@@ -8,12 +8,20 @@ import graft.TestSpark
 import graft.cdc.CdcApply
 import graft.lake.LakeTable
 
-/** Metadata-only COUNT(*): `Snapshot.liveRows` is maintained from the
-  * change feed's audited transitions (inserted - deleted per merge), so a
-  * bare `SELECT count(*)` through the V2 catalog answers from the snapshot
-  * JSON — provably without data IO (the spec deletes a data file from disk
-  * and the count still answers). Any WHERE clause or a poisoned lineage
-  * (change-feed-disabled commit) falls back to the real scan. */
+/** Metadata-only aggregates through the V2 catalog, provably without data
+  * IO (the spec deletes a data file from disk and the answers survive):
+  *
+  *  - bare `SELECT count(*)`: `Snapshot.liveRows` (audited change-feed
+  *    transitions), or the sum of per-file live counts when the audit is
+  *    poisoned (cf-disabled commits);
+  *  - `count(*)` under a WHERE whose every conjunct is CLAIMED (each kept
+  *    file's zone bounds fully inside the range, column null-free): sum of
+  *    the kept files' exact live counts;
+  *  - `min/max(col)` on tombstone-free copy-on-write files: zone-bound
+  *    folds.
+  *
+  * Partial coverage, tombstones (for min/max), and merge-on-read all fall
+  * back to the real scan — exactness is the gate, never an estimate. */
 class CountPushdownSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = TestSpark.spark
@@ -63,15 +71,65 @@ class CountPushdownSpec extends AnyFunSuite {
     assert(countSql(dir) == truth)
 
     // the proof it never touched data: remove a data file from disk —
-    // the metadata count still answers, a WHERE-count (real scan) breaks
+    // the metadata count still answers; a PARTIALLY-covered WHERE (files
+    // span turn_idx 0..3, so >= 2 covers no file fully) must stay a real
+    // scan and break on the missing file
     val victim = lake.currentSnapshot.get.files.head.path
     assert(new java.io.File(victim).delete(), s"could not delete $victim")
     assert(countSql(dir) == truth,
       "count(*) read data files — pushdown did not happen")
     intercept[Exception] {
-      spark.sql(s"SELECT count(*) FROM graft.`$dir` WHERE turn_idx >= 0")
+      spark.sql(s"SELECT count(*) FROM graft.`$dir` WHERE turn_idx >= 2")
         .head()
     }
+  }
+
+  test("fully-covered WHERE: filtered count answers from per-file live counts") {
+    val (lake, dir) = seed("cnt-covered", mor = false)
+    val truth = lake.read().count() // 124, with tombstones in the files
+    // turn_idx in [0, 3] and _lsn <= 5000 hold on EVERY file -> claimed ->
+    // the filtered count is the sum of exact per-file live counts
+    assert(countSql(dir, " WHERE turn_idx >= 0") == truth)
+    assert(countSql(dir, " WHERE _lsn <= 5000 AND turn_idx <= 3") == truth)
+    // proof of zero data IO: the covered count survives a deleted file
+    val victim = lake.currentSnapshot.get.files.head.path
+    assert(new java.io.File(victim).delete(), s"could not delete $victim")
+    assert(countSql(dir, " WHERE turn_idx >= 0") == truth,
+      "covered filtered count read data files — claiming did not happen")
+  }
+
+  test("min/max answer from zone bounds on tombstone-free files") {
+    val dir = TestSpark.tmpDir("cnt-minmax")
+    val lake = new LakeTable(spark, dir)
+    val w1 = (0 until 32).flatMap(c =>
+      (0 until 4).map(t => (f"conv$c%02d", t, (c * 4 + t).toLong, "U")))
+    CdcApply.apply(lake, batch(w1), epoch = 1, nBuckets = 8)
+    val row = spark.sql(
+      s"SELECT min(_lsn), max(_lsn), max(turn_idx) FROM graft.`$dir`").head()
+    assert(row.getLong(0) == 0L && row.getLong(1) == 127L &&
+      row.getInt(2) == 3)
+    // combined with a fully-covered WHERE, still metadata-only
+    val filtered = spark.sql(
+      s"SELECT max(_lsn), count(*) FROM graft.`$dir` WHERE turn_idx >= 0")
+      .head()
+    assert(filtered.getLong(0) == 127L && filtered.getLong(1) == 128L)
+    // zero-IO proof
+    val victim = lake.currentSnapshot.get.files.head.path
+    assert(new java.io.File(victim).delete(), s"could not delete $victim")
+    assert(spark.sql(s"SELECT max(_lsn) FROM graft.`$dir`").head()
+      .getLong(0) == 127L, "max read data files — pushdown did not happen")
+  }
+
+  test("tombstones refuse min/max (a dead row's value sits in the bounds)") {
+    val (lake, dir) = seed("cnt-minmax-tomb", mor = false)
+    // deletes landed: conv00/conv01 rows are tombstoned, so their _lsn
+    // values (1000..1007) are in the files' zone bounds but NOT live —
+    // pushdown must refuse and the real scan must exclude them
+    val got = spark.sql(s"SELECT max(_lsn) FROM graft.`$dir`").head().getLong(0)
+    val truth = lake.read().agg(max(col("_lsn"))).head().getLong(0)
+    assert(got == truth, "max over a tombstoned table diverges")
+    assert(got < 1000L || got >= 1100L,
+      "a tombstoned row's lsn leaked into max")
   }
 
   test("merge-on-read: blind appends report unknown; count falls back") {
@@ -91,12 +149,18 @@ class CountPushdownSpec extends AnyFunSuite {
     assert(countSql(dir, " WHERE turn_idx >= 2") == truth)
   }
 
-  test("change-feed-disabled commit poisons the lineage; count falls back") {
+  test("change-feed-disabled commit: per-file live counts still answer") {
     val (lake, dir) = seed("cnt-nocf", mor = false, cf = false)
     assert(lake.currentSnapshot.get.liveRows == -1L,
       "a cf-disabled merge must not claim an audited count")
-    assert(countSql(dir) == lake.read().count(),
-      "fallback scan count diverges")
+    val truth = lake.read().count()
+    assert(countSql(dir) == truth)
+    // the audit is poisoned but the per-FILE live counts (footer-derived
+    // at write time) are exact on CoW — the count is still metadata-only
+    val victim = lake.currentSnapshot.get.files.head.path
+    assert(new java.io.File(victim).delete(), s"could not delete $victim")
+    assert(countSql(dir) == truth,
+      "cf-disabled count read data files — per-file sum did not happen")
   }
 
   test("DML and maintenance keep the audited count exact") {
