@@ -412,14 +412,23 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
       refs.nonEmpty && refs.subsetOf(readNames) &&
       (!snapshot.mor || refs.subsetOf(ks.keyCols.toSet))
     }
+    // COLUMNAR on copy-on-write: no election to run, only the tombstone
+    // filter — batches flow zero-copy (clean batch: a reprojected
+    // ColumnarBatch over the same vectors; tombstoned batch: live rows
+    // compacted into fresh on-heap vectors). MoR stays row-based — the
+    // per-bucket LWW election is inherently row-at-a-time.
     val fmt = new ParquetFileFormat
+    val columnar = !snapshot.mor && readStruct.fields.nonEmpty &&
+      fmt.supportBatch(spark, readStruct) &&
+      readStruct.fields.forall(f =>
+        GraftReaderFactory.columnarCopyable(f.dataType))
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark,
       dataSchema = snapshot.schema,
       partitionSchema = StructType(Nil),
       requiredSchema = readStruct,
       filters = parquetFilters,
-      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
 
     val keyOrds =
@@ -433,7 +442,7 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
         readStruct.fieldIndex("_tombstone") else -1
     val projOrds = required.fields.map(f => readStruct.fieldIndex(f.name))
     new GraftReaderFactory(readFunc, readStruct, snapshot.mor,
-      keyOrds, lsnOrd, tombOrd, projOrds)
+      keyOrds, lsnOrd, tombOrd, projOrds, columnar, required)
   }
 }
 
@@ -552,20 +561,130 @@ final case class GraftInputPartition(bucket: Int,
     new GenericInternalRow(Array[Any](bucket))
 }
 
+object GraftReaderFactory {
+  /** Types the columnar tombstone-compaction copy supports (the clean-batch
+    * path is type-agnostic, but a single tombstoned batch must not strand
+    * the partition mid-stream, so eligibility is decided up front). */
+  private[sources] def columnarCopyable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType |
+         TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+}
+
 final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     readStruct: StructType, mor: Boolean,
-    keyOrds: Array[Int], lsnOrd: Int, tombOrd: Int, projOrds: Array[Int])
+    keyOrds: Array[Int], lsnOrd: Int, tombOrd: Int, projOrds: Array[Int],
+    columnar: Boolean = false, required: StructType = StructType(Nil))
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  private def partitionedFile(path: String, len: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(path), 0L, len,
+      Array.empty[String], 0L, 0L, Map.empty)
+
+  /** Columnar read of a copy-on-write bucket: the vectorized parquet
+    * reader's batches pass through ZERO-COPY (a reprojected ColumnarBatch
+    * over the same vectors — `_tombstone` and any other reader-internal
+    * column dropped) whenever the batch holds no tombstoned row, which on
+    * a mostly-live table is virtually every batch; a batch with tombstones
+    * gets its live rows compacted into fresh on-heap vectors (bounded by
+    * the reader's batch size, ~4k rows — never the partition). */
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val batches: Iterator[ColumnarBatch] =
+      p.files.iterator.flatMap { case (path, len) =>
+        readFunc(partitionedFile(path, len)).asInstanceOf[Iterator[Any]]
+          .collect { case b: ColumnarBatch => b }
+      }
+    val outTypes = required.fields.map(_.dataType)
+
+    def deadCount(b: ColumnarBatch): Int = {
+      if (tombOrd < 0) return 0
+      val tv = b.column(tombOrd)
+      var dead = 0; var i = 0; val n = b.numRows()
+      while (i < n) {
+        if (!tv.isNullAt(i) && tv.getBoolean(i)) dead += 1
+        i += 1
+      }
+      dead
+    }
+
+    def project(b: ColumnarBatch): ColumnarBatch =
+      new ColumnarBatch(
+        projOrds.map(b.column(_)
+          : org.apache.spark.sql.vectorized.ColumnVector), b.numRows())
+
+    def compactLive(b: ColumnarBatch, live: Int): ColumnarBatch = {
+      import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+      val out = OnHeapColumnVector.allocateColumns(math.max(live, 1), required)
+      val tv = b.column(tombOrd)
+      var outRow = 0; var i = 0; val n = b.numRows()
+      while (i < n) {
+        if (tv.isNullAt(i) || !tv.getBoolean(i)) {
+          var j = 0
+          while (j < projOrds.length) {
+            val src = b.column(projOrds(j)); val dst = out(j)
+            if (src.isNullAt(i)) dst.putNull(outRow)
+            else outTypes(j) match {
+              case BooleanType => dst.putBoolean(outRow, src.getBoolean(i))
+              case ByteType => dst.putByte(outRow, src.getByte(i))
+              case ShortType => dst.putShort(outRow, src.getShort(i))
+              case IntegerType | DateType => dst.putInt(outRow, src.getInt(i))
+              case LongType | TimestampType | TimestampNTZType =>
+                dst.putLong(outRow, src.getLong(i))
+              case FloatType => dst.putFloat(outRow, src.getFloat(i))
+              case DoubleType => dst.putDouble(outRow, src.getDouble(i))
+              case StringType =>
+                val s = src.getUTF8String(i).getBytes
+                dst.putByteArray(outRow, s, 0, s.length)
+              case BinaryType =>
+                val s = src.getBinary(i)
+                dst.putByteArray(outRow, s, 0, s.length)
+              case dt => throw new IllegalStateException(
+                s"columnar copy of unexpected type $dt") // gated up front
+            }
+            j += 1
+          }
+          outRow += 1
+        }
+        i += 1
+      }
+      new ColumnarBatch(
+        out.map(v => v: org.apache.spark.sql.vectorized.ColumnVector), live)
+    }
+
+    new PartitionReader[ColumnarBatch] {
+      private var current: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (batches.hasNext) {
+          val b = batches.next()
+          val dead = deadCount(b)
+          val live = b.numRows() - dead
+          if (live > 0) {
+            current = if (dead == 0) project(b) else compactLive(b, live)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = ()
+    }
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
 
     def fileRows(path: String, len: Long): Iterator[InternalRow] =
-      readFunc(PartitionedFile(InternalRow.empty,
-        SparkPath.fromPathString(path), 0L, len,
-        Array.empty[String], 0L, 0L, Map.empty))
+      readFunc(partitionedFile(path, len))
         .asInstanceOf[Iterator[Any]].flatMap {
           case b: ColumnarBatch => b.rowIterator().asScala
           case r: InternalRow => Iterator.single(r)
