@@ -285,8 +285,8 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
         p -> hp.getFileSystem(conf).getFileStatus(hp).getLen
       }.toMap
     byBucket.map { case (b, fs) =>
-      GraftInputPartition(b, fs.map(f => (f.path, lens(f.path))).toArray)
-        : InputPartition
+      GraftInputPartition(b, fs.map(f => (f.path, lens(f.path))).toArray,
+        fs.map(_.rows).sum): InputPartition
     }.toArray
   }
 
@@ -441,8 +441,14 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
       if (readStruct.fieldNames.contains("_tombstone"))
         readStruct.fieldIndex("_tombstone") else -1
     val projOrds = required.fields.map(f => readStruct.fieldIndex(f.name))
+    // MoR election strategy cutover: chains up to this many rows elect in
+    // an executor-heap hash map (fast path); larger chains — a hot bucket
+    // at 100x scale must not OOM — go through the SPILLABLE sort election
+    val hashElectMax = spark.conf
+      .getOption("spark.graft.mor.electHashMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
     new GraftReaderFactory(readFunc, readStruct, snapshot.mor,
-      keyOrds, lsnOrd, tombOrd, projOrds, columnar, required)
+      keyOrds, lsnOrd, tombOrd, projOrds, columnar, required, hashElectMax)
   }
 }
 
@@ -551,11 +557,13 @@ object GraftScan {
     runtimeFilterReports.remove(root)
 }
 
-/** One bucket's surviving chain: (path, fileLength) pairs. The partition
-  * KEY is the bucket id — the value of the reported `bucket` transform —
-  * which is what lets Spark line buckets up across two scans. */
+/** One bucket's surviving chain: (path, fileLength) pairs plus the chain's
+  * total metadata row count (sizes the MoR election strategy). The
+  * partition KEY is the bucket id — the value of the reported `bucket`
+  * transform — which is what lets Spark line buckets up across two scans. */
 final case class GraftInputPartition(bucket: Int,
-                                     files: Array[(String, Long)])
+                                     files: Array[(String, Long)],
+                                     rows: Long = 0L)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
@@ -577,8 +585,102 @@ final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     readStruct: StructType, mor: Boolean,
     keyOrds: Array[Int], lsnOrd: Int, tombOrd: Int, projOrds: Array[Int],
-    columnar: Boolean = false, required: StructType = StructType(Nil))
+    columnar: Boolean = false, required: StructType = StructType(Nil),
+    hashElectMaxRows: Long = 4000000L)
     extends PartitionReaderFactory {
+
+  /** Hash election: one pass, O(live keys in chain) executor heap — the
+    * fast path for ordinarily-sized buckets. Ties on _lsn are
+    * byte-identical redeliveries (LwwResolve contract) — last wins. */
+  private def hashElect(raw: Iterator[InternalRow]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keyOrds.map(i =>
+      BoundReference(i, readStruct.fields(i).dataType, nullable = true)))
+    val lsns = new java.util.HashMap[UnsafeRow, java.lang.Long]()
+    val winners = new java.util.HashMap[UnsafeRow, InternalRow]()
+    raw.foreach { r =>
+      val k = keyProj(r)
+      val lsn = if (lsnOrd < 0) 0L else r.getLong(lsnOrd)
+      val cur = lsns.get(k)
+      if (cur == null || lsn >= cur) {
+        val kc = k.copy()
+        lsns.put(kc, lsn)
+        winners.put(kc, r.copy())
+      }
+    }
+    winners.values().iterator().asScala
+  }
+
+  /** SPILLABLE election for chains past `hashElectMaxRows` (a hot bucket at
+    * 100x scale must not OOM an executor): the chain is fed through
+    * Spark's external row sorter — which spills to disk under memory
+    * pressure — ordered by (key ASC, _lsn DESC), and the winner of each
+    * key is the FIRST row of its group, elected streaming with O(1) state.
+    * Same tie semantics as the hash path (equal-lsn rows are byte-identical
+    * redeliveries, any wins). */
+  private def sortElect(raw: Iterator[InternalRow]): Iterator[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder, SortPrefix}
+    import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+    if (lsnOrd < 0 || keyOrds.isEmpty) return hashElect(raw)
+    val firstType = readStruct.fields(keyOrds(0)).dataType
+    val prefixComparator = firstType match {
+      case StringType => PrefixComparators.STRING
+      case BinaryType => PrefixComparators.BINARY
+      case IntegerType | LongType | ShortType | ByteType |
+           TimestampType | DateType => PrefixComparators.LONG
+      case _ => return hashElect(raw) // no order-consistent prefix
+    }
+    val sortExprs =
+      keyOrds.toIndexedSeq.map(i => SortOrder(
+        BoundReference(i, readStruct.fields(i).dataType, nullable = true),
+        Ascending)) :+
+      SortOrder(BoundReference(lsnOrd, readStruct.fields(lsnOrd).dataType,
+        nullable = true), Descending)
+    val ordering = new LazilyGeneratedOrdering(sortExprs)
+    val prefixExpr = SortPrefix(sortExprs.head)
+    val prefixProj = UnsafeProjection.create(Seq(prefixExpr))
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        val pr = prefixProj.apply(row)
+        result.isNull = pr.isNullAt(0)
+        result.value =
+          if (result.isNull) prefixExpr.nullValue else pr.getLong(0)
+        result
+      }
+    }
+    val pageSize = org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+    val sorter = UnsafeExternalRowSorter.create(
+      readStruct, ordering, prefixComparator, prefixComputer, pageSize, false)
+    val toUnsafe = UnsafeProjection.create(readStruct)
+    val sorted = sorter.sort(raw.map(toUnsafe.apply))
+    val keyProj = UnsafeProjection.create(keyOrds.map(i =>
+      BoundReference(i, readStruct.fields(i).dataType, nullable = true)))
+    new Iterator[InternalRow] {
+      private var lastKey: UnsafeRow = _
+      private var nextRow: InternalRow = _
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && sorted.hasNext) {
+          val r = sorted.next()
+          val k = keyProj(r)
+          if (lastKey == null || k != lastKey) {
+            lastKey = k.copy()
+            // the sorter's iterator REUSES its row buffer on next() — the
+            // winner must be copied out (winners only, never the chain)
+            nextRow = r.copy()
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; advance(); r
+      }
+    }
+  }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
@@ -698,27 +800,8 @@ final class GraftReaderFactory(
 
     val resolved: Iterator[InternalRow] =
       if (!mor) raw.filter(live)
-      else {
-        // per-bucket LWW election: every version of a key lives in this
-        // partition's chain, so a local hash election replaces the
-        // table-scan path's clustering exchange. Ties on _lsn are
-        // byte-identical redeliveries (LwwResolve contract) — last wins.
-        val keyProj = UnsafeProjection.create(keyOrds.map(i =>
-          BoundReference(i, readStruct.fields(i).dataType, nullable = true)))
-        val lsns = new java.util.HashMap[UnsafeRow, java.lang.Long]()
-        val winners = new java.util.HashMap[UnsafeRow, InternalRow]()
-        raw.foreach { r =>
-          val k = keyProj(r)
-          val lsn = if (lsnOrd < 0) 0L else r.getLong(lsnOrd)
-          val cur = lsns.get(k)
-          if (cur == null || lsn >= cur) {
-            val kc = k.copy()
-            lsns.put(kc, lsn)
-            winners.put(kc, r.copy())
-          }
-        }
-        winners.values().iterator().asScala.filter(live)
-      }
+      else if (p.rows <= hashElectMaxRows) hashElect(raw).filter(live)
+      else sortElect(raw).filter(live)
 
     val proj = UnsafeProjection.create(projOrds.map(i =>
       BoundReference(i, readStruct.fields(i).dataType, nullable = true)))
