@@ -38,6 +38,18 @@ object GraftFunctions {
         require(args.length == 2, "graft_cosine_f32(a, b)")
         FloatVectorCosine(args.head, args(1))
       }),
+    (FunctionIdentifier("graft_rhpsig64"),
+      new ExpressionInfo(classOf[RhpSignature64].getName, "graft_rhpsig64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_rhpsig64(vec, planes, seed)")
+        val seed = args(2) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"seed must be an integer literal, got $other")
+        }
+        RhpSignature64(args.head, intArg(args(1), "planes"), seed)
+      }),
     (FunctionIdentifier("graft_zvalue"),
       new ExpressionInfo(classOf[BitInterleave64].getName, "graft_zvalue"),
       (args: Seq[Expression]) => {

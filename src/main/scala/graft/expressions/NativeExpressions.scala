@@ -74,6 +74,77 @@ object NativeKernels {
   def z3(a: Long, b: Long, c: Long): Long = zloop(Array(a, b, c))
   def z4(a: Long, b: Long, c: Long, d: Long): Long = zloop(Array(a, b, c, d))
 
+  /** Random-hyperplane LSH signature in ONE fused loop — the native form
+    * of `SimilarityOps.rhpSignature`, bit-for-bit identical to the
+    * declarative expression (same xxhash64-derived weights, same
+    * index-order summation) but O(1) expression nodes where the
+    * declarative tree is O(dim x planes) hash nodes — codegen-hostile past
+    * dim ~128. Weight(p, i) = pmod(xxhash64(seed, p, i), 1e6)/1e6 - 0.5,
+    * reproducing Spark's XxHash64 chain over (long seed, int p, int i). */
+  def rhpSig(vec: ArrayData, planes: Int, seed: Long, isDouble: Boolean): Long = {
+    val dim = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val hp = XXH64.hashInt(p, XXH64.hashLong(seed, 42L))
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = XXH64.hashInt(i, hp)
+        val m = ((h % 1000000L) + 1000000L) % 1000000L
+        val w = m.toDouble / 1000000.0 - 0.5
+        val x = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+        proj += x * w
+        i += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** The `nProbe` nearest IVF cells of a vector by (squared L2, cell id):
+    * one fused pass over the broadcast centroid matrix — no per-row
+    * struct/array materialization, no O(cells) expression tree. `cents`
+    * is (cellIds, matrix) as broadcast by `SimilarityOps.ivfTopK`. */
+  def ivfNearestCells(v: ArrayData,
+                      cents: (Array[Int], Array[Array[Double]]),
+                      nProbe: Int, isDouble: Boolean): ArrayData = {
+    val (ids, mat) = cents
+    val n = mat.length
+    val keep = math.min(nProbe, n)
+    val bestD = new Array[Double](keep)
+    val bestC = new Array[Int](keep)
+    java.util.Arrays.fill(bestD, Double.PositiveInfinity)
+    java.util.Arrays.fill(bestC, Int.MaxValue)
+    var c = 0
+    while (c < n) {
+      val ce = mat(c)
+      val dim = math.min(v.numElements(), ce.length)
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = (if (isDouble) v.getDouble(i) else v.getFloat(i).toDouble) - ce(i)
+        d += x * x
+        i += 1
+      }
+      val id = ids(c)
+      // insertion into the small sorted (d, id) top list
+      if (d < bestD(keep - 1) ||
+          (d == bestD(keep - 1) && id < bestC(keep - 1))) {
+        var j = keep - 1
+        while (j > 0 && (d < bestD(j - 1) ||
+               (d == bestD(j - 1) && id < bestC(j - 1)))) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1)
+          j -= 1
+        }
+        bestD(j) = d; bestC(j) = id
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(bestC)
+  }
+
   /** Fused cosine: dot(a,b) / (|a||b|) in double precision, index order. */
   def cosineF32(a: ArrayData, b: ArrayData): Double = {
     val len = math.min(a.numElements(), b.numElements())
@@ -138,6 +209,80 @@ case class FloatVectorCosine(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVectorCosine =
     copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH signature as one codegen'd node — the scale form
+  * of `SimilarityOps.rhpSignature` for wide vectors / many planes, where
+  * the declarative tree (dim x planes xxhash64 nodes) overwhelms codegen.
+  * Registered as SQL function `graft_rhpsig64(vec, planes, seed)`. */
+case class RhpSignature64(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 63, s"planes must be in [1, 63]: $planes")
+
+  private def isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got $dt")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rhpsig64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.rhpSig(input.asInstanceOf[ArrayData], planes, seed, isDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.NativeKernels.rhpSig($c, $planes, ${seed}L, $isDouble)")
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSignature64 =
+    copy(child = newChild)
+}
+
+/** The `nProbe` nearest IVF cells by (squared L2, cell id) against a
+  * TORRENT-BROADCAST centroid matrix: the expression serializes as a tiny
+  * broadcast handle, so the plan (and every task binary) stays KB-sized
+  * even at 65k cells x 768 dims (~400 MB of centroids) — the scale ceiling
+  * the earlier centroid-literal formulation hit. Internal to
+  * `SimilarityOps.ivfTopK` (a Broadcast cannot be a SQL literal). */
+case class IvfNearestCells(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Double]])],
+    nProbe: Int)
+    extends UnaryExpression {
+  require(nProbe > 0, s"nProbe must be positive: $nProbe")
+
+  private def isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got $dt")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeKernels.ivfNearestCells(
+      input.asInstanceOf[ArrayData], bc.value, nProbe, isDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("ivfBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.NativeKernels.ivfNearestCells($c, " +
+      s"(scala.Tuple2) $bcRef.value(), $nProbe, $isDouble)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfNearestCells =
+    copy(child = newChild)
 }
 
 /** Z-value (Morton code) of 2–4 long lanes, each expected in [0, 65535]

@@ -54,8 +54,23 @@ object SimilarityOps {
   /** Random-hyperplane LSH signature: `planes` sign bits, one per
     * pseudo-random hyperplane. Plane p's component i is derived
     * deterministically from xxhash64(p, i) — no RNG state, reproducible at
-    * any parallelism. Returns a bigint bucket id. */
+    * any parallelism. Returns a bigint bucket id.
+    *
+    * Two bit-identical implementations (NativeExpressionsSpec pins the
+    * equality): the declarative tree below for small shapes, and the
+    * fused-loop [[graft.expressions.RhpSignature64]] kernel once
+    * `planes > 16 || dim > 128` — at dim 768 the declarative form is
+    * dim x planes xxhash64 nodes, which overwhelms whole-stage codegen. */
   def rhpSignature(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column =
+    if (planes > 16 || dim > 128) {
+      val bridge = org.apache.spark.sql.graft.GraftBridge
+      bridge.column(graft.expressions.RhpSignature64(
+        bridge.expression(vec), planes, seed))
+    } else rhpSignatureDeclarative(vec, dim, planes, seed)
+
+  /** The declarative form — public so the spec can pin native equality. */
+  def rhpSignatureDeclarative(vec: Column, dim: Int, planes: Int,
+                              seed: Long = 42L): Column =
     (0 until planes).map { p =>
       val proj = (0 until dim).map { i =>
         // hash -> pseudo-uniform in [-0.5, 0.5)
@@ -116,21 +131,41 @@ object SimilarityOps {
   /** IVF (inverted-file) ANN: k-means-lite coarse quantizer. Centroids are
     * the per-cell mean of a deterministic hash-assignment refined by
     * `iters` Lloyd iterations (all DataFrame aggs, driver collects only
-    * `cells` centroid vectors). Search probes `nProbe` nearest cells.
-    * `cells <= 0` derives the cell count from the corpus size (cellsFor). */
+    * `cells` centroid rows). Search probes `nProbe` nearest cells.
+    * `cells <= 0` derives the cell count from the corpus size (cellsFor).
+    *
+    * Scale design: the centroid matrix travels as a TORRENT BROADCAST
+    * consumed by the fused-loop [[graft.expressions.IvfNearestCells]]
+    * kernel — the plan and every task binary stay KB-sized even at
+    * production cell counts (65k cells x 768 dims ~ 400 MB), where the
+    * earlier literal-expression formulation built tens of millions of
+    * plan nodes on the driver. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, cells: Int, k: Int, nProbe: Int = 2, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val bridge = org.apache.spark.sql.graft.GraftBridge
     val nCells = if (cells > 0) cells else cellsFor(corpus.count())
+
+    def broadcastCents(cents: Array[(Int, Seq[Double])])
+        : org.apache.spark.broadcast.Broadcast[(Array[Int], Array[Array[Double]])] = {
+      val sorted = cents.sortBy(_._1)
+      spark.sparkContext.broadcast(
+        (sorted.map(_._1), sorted.map(_._2.toArray)))
+    }
+    def nearestCells(v: Column, bc: org.apache.spark.broadcast.Broadcast[
+        (Array[Int], Array[Array[Double]])], n: Int): Column =
+      bridge.column(graft.expressions.IvfNearestCells(
+        bridge.expression(v), bc, n))
 
     val base = corpus.select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
     // initial assignment: hash of id -> cell
     var assigned = base.withColumn("_cell",
       pmod(xxhash64(col("_id")), lit(nCells.toLong)).cast("int"))
-    var centroids: Array[(Int, Seq[Double])] = null
+    var bc: org.apache.spark.broadcast.Broadcast[
+      (Array[Int], Array[Array[Double]])] = null
     for (_ <- 0 until iters) {
       // per-dimension mean via posexplode + avg (map-side combinable; the
       // driver only ever collects `cells` centroid rows)
@@ -141,17 +176,16 @@ object SimilarityOps {
         .agg(transform(
           array_sort(collect_list(struct(col("_i"), col("_m")))),
           x => x.getField("_m")).as("_centroid"))
-      centroids = cents.as[(Int, Seq[Double])].collect()
+      bc = broadcastCents(cents.as[(Int, Seq[Double])].collect())
       assigned = base.withColumn("_cell",
-        nearestCell(col("_v"), centroidLiteral(centroids, dim)))
+        element_at(nearestCells(col("_v"), bc, 1), 1))
     }
-    val centArr = centroidLiteral(centroids, dim)
 
     val c = assigned.select(col("_id").as("neighbor_id"), col("_v").as("_cv"),
       col("_cell").as("_probe"))
     val q = queries
       .select(col(idCol).as("query_id"), transform(col(vecCol), _.cast("double")).as("_qv"))
-      .withColumn("_probe", explode(nearestCells(col("_qv"), centArr, nProbe)))
+      .withColumn("_probe", explode(nearestCells(col("_qv"), bc, nProbe)))
     val scored = q.join(c, Seq("_probe"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -161,26 +195,4 @@ object SimilarityOps {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
-
-  /** Centroids as a literal array<struct<cell:int, v:array<double>>> —
-    * broadcast-by-literal (tiny: cells × dim doubles). */
-  private def centroidLiteral(cents: Array[(Int, Seq[Double])], dim: Int): Column =
-    array(cents.sortBy(_._1).map { case (cell, v) =>
-      struct(lit(cell).as("cell"), array(v.map(lit): _*).as("v"))
-    }.toIndexedSeq: _*)
-
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
-
-  private def nearestCell(v: Column, cents: Column): Column =
-    element_at(array_sort(transform(cents,
-      c => struct(l2sq(v, c.getField("v")).as("d"), c.getField("cell").as("cell")))), 1)
-      .getField("cell")
-
-  private def nearestCells(v: Column, cents: Column, n: Int): Column =
-    transform(
-      slice(array_sort(transform(cents,
-        c => struct(l2sq(v, c.getField("v")).as("d"), c.getField("cell").as("cell")))),
-        1, n),
-      x => x.getField("cell"))
 }

@@ -176,4 +176,71 @@ class SimilarityOpsSpec extends AnyFunSuite {
     val recall = hits.sum / hits.size
     assert(recall >= 0.6, s"IVF recall@5 = $recall")
   }
+
+  /** Production embedding shapes: dim 768 with thousands of cells/planes.
+    * The centroid-literal formulation built cells x dim plan nodes (tens of
+    * millions at this shape — driver planning alone went quadratic) and
+    * the declarative RHP signature built dim x planes hash nodes that
+    * overwhelmed codegen; the broadcast-matrix IVF kernel and the fused
+    * RHP kernel keep both plans O(1) nodes. Timed so a regression back to
+    * tree-building shows up as a wall-clock cliff, and recall-checked so
+    * the kernels stay semantically right, not just fast. */
+  test("dim-768 embeddings with 4k cells and 24 planes stay fast and correct") {
+    val wideDim = 768
+    def wideVec(id: Int): Array[Float] = {
+      val c = id % 8
+      (0 until wideDim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((id, i, 13))
+        val jitter = (math.abs(h % 1000) / 1000.0f - 0.5f) * 0.2f
+        (if (i % 8 == c) 1.0f else 0.0f) + jitter
+      }.toArray
+    }
+    val wide = (0 until 400).map(id => (id.toLong, wideVec(id)))
+    val wideDf = wide.toDF("vec_id", "embedding")
+    val queries = wideDf.filter(col("vec_id") < 10)
+    def wideCosine(a: Array[Float], b: Array[Float]): Double = cosine(a, b)
+    val truth = wide.take(10).map { case (qid, qv) =>
+      qid -> wide.filter(_._1 != qid)
+        .map { case (id, v) => (id, wideCosine(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    }.toMap
+
+    val t0 = System.nanoTime()
+    val ivf = SimilarityOps.ivfTopK(wideDf, queries, "vec_id", "embedding",
+        dim = wideDim, cells = 4096, k = 5, nProbe = 8, iters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val ivfSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val lsh = SimilarityOps.lshTopK(wideDf, queries, "vec_id", "embedding",
+        dim = wideDim, planes = 24, k = 5, multiProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val lshSec = (System.nanoTime() - t1) / 1e9
+
+    info(f"dim-768: ivf(4096 cells) $ivfSec%.1f s, lsh(24 planes) $lshSec%.1f s")
+    // 4096 cells over 400 vectors: most cells empty, each vector near-alone —
+    // nProbe=8 still must find some true neighbors; with 24 planes over 400
+    // vectors most buckets are singletons, so only sanity-check non-failure
+    val ivfHits = truth.map { case (q, t) =>
+      t.count(ivf.getOrElse(q, Set.empty).contains).toDouble / t.size }
+    assert(ivfHits.sum / ivfHits.size >= 0.2,
+      s"wide IVF recall collapsed: ${ivfHits.sum / ivfHits.size}")
+    assert(ivfSec < 120 && lshSec < 120,
+      s"wide-shape ANN regressed to tree-building: ivf $ivfSec s, lsh $lshSec s")
+  }
+
+  test("native RHP signature is bit-identical to the declarative tree") {
+    // same vectors, both paths forced explicitly — planes>16 triggers the
+    // kernel inside rhpSignature, the declarative helper pins the truth
+    val native = df.select(col("vec_id"),
+        SimilarityOps.rhpSignature(col("embedding"), dim, 20).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val declarative = df.select(col("vec_id"),
+        SimilarityOps.rhpSignatureDeclarative(col("embedding"), dim, 20).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == declarative,
+      "fused RHP kernel diverges from the declarative signature")
+  }
 }
