@@ -382,6 +382,91 @@ object Bench {
            f""""pos_files_pruned":$posFilesPruned}""")
       } finally { rm(lastMorLake); rm(trickleCl) }
     }
+    // ---- V2 catalog surfaces (q68/q69/q74/q75-shape): columnar CoW scan
+    // vs forced row mode, storage-partitioned join, runtime (join-driven)
+    // pruning, and metadata-only counts — tracked per round like
+    // cdc/mor/lookup. SPARK_GRAFT_CATALOG_EVENTS=0 disables.
+    val catEvents =
+      sys.env.getOrElse("SPARK_GRAFT_CATALOG_EVENTS", "4000000").toLong
+    if (catEvents > 0) {
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val catCl = new java.io.File(base, "catalog-changelog")
+      val catLake = new java.io.File(base, "lake-catalog")
+      val catLake2 = new java.io.File(base, "lake-catalog2")
+      val catDim = new java.io.File(base, "catalog-dim")
+      try {
+        ChangelogGen.write(spark, catCl.getPath, ChangelogGen.Config(
+          nEvents = catEvents, nConvs = math.max(catEvents / 200, 10L),
+          skew = 1.2, segSize = math.max(catEvents / 4, 1L)))
+        val lake = new LakeTable(spark, catLake.getPath)
+        new CdcDriver(spark, catCl.getPath, lake, segmentsPerBatch = 4,
+          nBuckets = 64, quiet = true).run()
+        val lake2 = new LakeTable(spark, catLake2.getPath)
+        new CdcDriver(spark, catCl.getPath, lake2, segmentsPerBatch = 4,
+          nBuckets = 64, quiet = true).run()
+        spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val root = lake.root
+        def scanSec(columnar: Boolean): Double = {
+          spark.conf.set("spark.graft.catalog.columnar", columnar.toString)
+          try timeSec {
+            spark.sql(
+              s"SELECT conv_id, turn_idx, role, text FROM graft.`$root`")
+              .write.format("noop").mode("overwrite").save()
+          } finally spark.conf.set("spark.graft.catalog.columnar", "true")
+        }
+        scanSec(true) // warm manifests/listing once, untimed
+        // interleaved columnar/row pairs, median — same discipline as cdc
+        val scans = (1 to math.min(benchRuns, 3)).map { i =>
+          if (i % 2 == 1) { val c = scanSec(true); val r = scanSec(false); (c, r) }
+          else { val r = scanSec(false); val c = scanSec(true); (c, r) }
+        }
+        val colSec = median(scans.map(_._1))
+        val rowSec = median(scans.map(_._2))
+        def msOf(f: => Unit): Double = {
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e6 }
+        val cntMs = msOf {
+          spark.sql(s"SELECT count(*) FROM graft.`$root`").head() }
+        val cntWhereMs = msOf { spark.sql(
+          s"SELECT count(*) FROM graft.`$root` WHERE turn_idx >= 0").head() }
+        // runtime (join-driven) pruning: selective parquet-backed dim
+        val picked = lake.read().select("conv_id").distinct()
+          .orderBy("conv_id").limit(8).collect().map(_.getString(0)).toSeq
+        lake.read().select("conv_id").distinct()
+          .withColumn("pick",
+            when(col("conv_id").isin(picked: _*), 1).otherwise(0))
+          .write.mode("overwrite").parquet(catDim.getPath)
+        spark.read.parquet(catDim.getPath)
+          .createOrReplaceTempView("bench_cat_dim")
+        graft.sources.GraftScan.clearRuntimeFilterReport(root)
+        val dppSec = timeSec {
+          spark.sql(
+            s"""SELECT t.conv_id, t.turn_idx, t.text FROM graft.`$root` t
+               |JOIN bench_cat_dim d ON t.conv_id = d.conv_id
+               |WHERE d.pick = 1""".stripMargin)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val rep = graft.sources.GraftScan.runtimeFilterReport(root)
+        // storage-partitioned join: two equally-bucketed lakes on the
+        // bucket+key columns — plans with zero exchanges (q69 shape)
+        val spjSec = timeSec {
+          spark.sql(
+            s"""SELECT count(*) FROM graft.`$root` t
+               |JOIN graft.`${lake2.root}` u
+               |  ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx""".stripMargin)
+            .head()
+        }
+        cdcParts += "catalog" ->
+          (f""""catalog":{"events":$catEvents,""" +
+           f""""scan_columnar_sec":$colSec%.2f,"scan_row_sec":$rowSec%.2f,""" +
+           f""""columnar_speedup":${rowSec / colSec}%.2f,""" +
+           f""""meta_count_ms":$cntMs%.0f,"meta_count_where_ms":$cntWhereMs%.0f,""" +
+           f""""dpp_join_sec":$dppSec%.2f,""" +
+           s""""dpp_buckets":"${rep.map(r => s"${r.bucketsBefore}->${r.bucketsAfter}").getOrElse("none")}",""" +
+           f""""spj_join_sec":$spjSec%.2f}""")
+      } finally {
+        sampleDisk(); rm(catLake); rm(catLake2); rm(catDim); rm(catCl)
+      }
+    }
     emit()
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -22,13 +22,17 @@ import graft.lake.LakeTable
  */
 object CdcDriver {
   /** Effective retention for a run: the caller's `keepSnapshots`, floored
-    * at 2 when a derived table or search index is attached (their
-    * catch-up/refresh base is at most one snapshot back, crash windows
-    * included, so it must never be expired from under them); 0 = keep
-    * everything. Shared by the batch driver and the streaming tailer. */
-  private[cdc] def effectiveKeep(keepSnapshots: Int, hasDerived: Boolean): Int =
+    * when a derived table or search index is attached (their catch-up /
+    * refresh base must never be expired from under them); 0 = keep
+    * everything. With a BATCHED index refresh (`indexEvery` > 1) the
+    * index's diff base lags up to `indexEvery` main commits — each possibly
+    * paired with a fold maintenance commit — so the floor grows to
+    * 2 x indexEvery. Shared by the batch driver and the streaming tailer. */
+  private[cdc] def effectiveKeep(keepSnapshots: Int, hasDerived: Boolean,
+                                 indexEvery: Int = 1): Int =
     if (keepSnapshots <= 0) 0
-    else if (hasDerived) math.max(keepSnapshots, 2)
+    else if (hasDerived)
+      math.max(keepSnapshots, math.max(2, 2 * math.max(indexEvery, 1)))
     else keepSnapshots
 
   /** Per-batch retention step shared by the batch driver and the tailer. */
@@ -69,6 +73,16 @@ final class CdcDriver(
     /** auto-compact the index once any bucket's delta chain reaches this
       * many segments (LSM merge policy; 0 = never — manual CLI only) */
     indexCompactChain: Int = 16,
+    /** refresh the search index every N applied batches instead of every
+      * batch (1 = per batch). The refresh is a NET snapshot diff, so
+      * batching both amortizes the fixed posting-write fan-out (one
+      * bucketed delta write per refresh, not per batch) and indexes a
+      * hot key's text ONCE per window instead of once per update — the
+      * posting write amplification that capped index-on replay
+      * throughput. The run's final batch always triggers a catch-up
+      * refresh, so a completed run leaves the index current; retention is
+      * floored at 2 x indexEvery so the diff base survives (effectiveKeep). */
+    indexEvery: Int = 1,
     /** snapshot retention: after each batch, expire all but the newest N
       * snapshots of the lake (and derived agg table), reclaiming data files
       * only they reference. 0 = keep everything (manual `expire` CLI).
@@ -173,6 +187,7 @@ final class CdcDriver(
       }).getOrElse(0L)
     val pending = segs.filter(_ >= applied)
     val out = scala.collection.mutable.ArrayBuffer[CdcApply.ApplyStats]()
+    var appliedBatches = 0L
     pending.grouped(segmentsPerBatch).take(maxBatches).foreach { group =>
       val paths = group.map(s => s"$changelogDir/seg=$s")
       val probe =
@@ -231,11 +246,14 @@ final class CdcDriver(
       }
       val keep = CdcDriver.effectiveKeep(keepSnapshots,
         aggLake.isDefined || searchIndex.isDefined || replica.isDefined ||
-          matView.isDefined)
+          matView.isDefined, indexEvery)
       if (!stats.skipped) {
+        appliedBatches += 1
         searchIndex.foreach { si =>
-          graft.search.SearchIndex.refresh(spark, lake, si)
-          graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
+          if (indexEvery <= 1 || appliedBatches % indexEvery == 0) {
+            graft.search.SearchIndex.refresh(spark, lake, si)
+            graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
+          }
         }
         replica.foreach(r =>
           Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
@@ -254,6 +272,13 @@ final class CdcDriver(
           f""""durationSec":${s.durationSec}%.3f,"rowsPerSec":${s.eventsPerSec}%.1f,""" +
           s""""skipped":${s.skipped},"changeFeed":{$cf}}""")
       }
+    }
+    // batched refresh: the window may end mid-cycle — catch the index up so
+    // a completed run always leaves it current (fenced no-op when it is)
+    if (indexEvery > 1 && appliedBatches > 0) searchIndex.foreach { si =>
+      graft.search.SearchIndex.refresh(spark, lake, si)
+      graft.search.SearchIndex.maybeCompact(si, indexCompactChain,
+        CdcDriver.effectiveKeep(keepSnapshots, hasDerived = true, indexEvery))
     }
     out.toSeq
   }

@@ -172,7 +172,7 @@ object CdcMain {
   private def flag(rest: List[String], name: String): Option[String] =
     rest.find(_.startsWith(name + "=")).map(_.drop(name.length + 1))
   private val flagNames =
-    Seq("idx", "idxchain", "keep", "morchain", "rep", "rwhere", "rcols",
+    Seq("idx", "idxchain", "idxevery", "keep", "morchain", "rep", "rwhere", "rcols",
       "cluster", "filerows", "imagecols", "buckets", "format", "agg",
       "mv", "mvagg", "source", "partbase", "olderthan", "segsize", "convs",
       "images", "startfrom", "nbuckets", "asof", "join")
@@ -246,6 +246,9 @@ object CdcMain {
         // keep=<n>: snapshot retention (expire after each batch; 0 = all)
         searchIndex = flag(rest, "idx").map(d => new LakeTable(spark, d)),
         indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
+        // idxevery=<n>: refresh the index every n batches (net snapshot
+        // diff, so hot keys index once per window — see CdcDriver)
+        indexEvery = flag(rest, "idxevery").map(_.toInt).getOrElse(1),
         keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0),
         mor = rest.contains("mor"),
         morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16),
@@ -905,6 +908,7 @@ object CdcMain {
           aggLake = Some(new LakeTable(spark, s"$workDir/agg")),
           searchIndex = if (rest.contains("noidx")) None
             else Some(new LakeTable(spark, s"$workDir/idx")),
+          indexEvery = flag(rest, "idxevery").map(_.toInt).getOrElse(1),
           replica = Some(new LakeTable(spark, s"$workDir/replica")),
           replicaWhere = "role = 'assistant'",
           replicaCols = Seq("role", "text", "ts"),

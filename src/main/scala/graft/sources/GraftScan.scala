@@ -418,7 +418,11 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
     // compacted into fresh on-heap vectors). MoR stays row-based — the
     // per-bucket LWW election is inherently row-at-a-time.
     val fmt = new ParquetFileFormat
+    // spark.graft.catalog.columnar=false forces the row path — the bench's
+    // A/B switch for the columnar-vs-row catalog-scan cost, not a tuning knob
     val columnar = !snapshot.mor && readStruct.fields.nonEmpty &&
+      spark.conf.getOption("spark.graft.catalog.columnar")
+        .forall(_.toBoolean) &&
       fmt.supportBatch(spark, readStruct) &&
       readStruct.fields.forall(f =>
         GraftReaderFactory.columnarCopyable(f.dataType))

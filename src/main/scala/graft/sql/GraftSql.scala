@@ -96,8 +96,9 @@ object GraftSql {
     import spark.implicits._
     val lake = new LakeTable(spark, root)
     val files = lake.currentSnapshot.toSeq.flatMap(_.files).map(f =>
-      (f.path, f.bucket, f.rows, f.bytes, f.minKey, f.maxKey))
-      .toDF("path", "bucket", "rows", "bytes", "min_key", "max_key")
+      (f.path, f.bucket, f.rows, f.liveRows, f.bytes, f.minKey, f.maxKey))
+      .toDF("path", "bucket", "rows", "live_rows", "bytes",
+        "min_key", "max_key")
     val snaps = lake.snapshots.map { s =>
       (s.snapshotId, s.parentId, s.epoch, s.schemaVersion, s.nBuckets,
        s.mor, s.totalRows, s.totalFiles,
