@@ -310,6 +310,7 @@ object CdcMain {
         trigger = trig,
         searchIndex = flag(rest, "idx").map(d => new LakeTable(spark, d)),
         indexCompactChain = flag(rest, "idxchain").map(_.toInt).getOrElse(16),
+        indexEvery = flag(rest, "idxevery").map(_.toInt).getOrElse(1),
         keepSnapshots = flag(rest, "keep").map(_.toInt).getOrElse(0),
         mor = rest.contains("mor"),
         morCompactChain = flag(rest, "morchain").map(_.toInt).getOrElse(16),

@@ -57,6 +57,13 @@ object CdcStream {
       /** auto-compact the index once any bucket's delta chain reaches this
         * many segments (LSM merge policy; 0 = never) */
       indexCompactChain: Int = 16,
+      /** refresh the index every N applied micro-batches (1 = per batch;
+        * see CdcDriver.indexEvery — the refresh is a net snapshot diff, so
+        * batching amortizes the posting fan-out). A live tailer's index
+        * lags at most N batches; a drained (AvailableNow) run may leave it
+        * mid-window — the stream START catches it up, as does the `index`
+        * CLI. Retention floors at 2 x indexEvery (effectiveKeep). */
+      indexEvery: Int = 1,
       /** expire all but the newest N snapshots after each micro-batch
         * (0 = keep everything); floor 2 when a derived table/index is
         * attached — see CdcDriver.keepSnapshots */
@@ -100,6 +107,11 @@ object CdcStream {
     val mvCfg =
       if (matViewAggs.nonEmpty) Some(MatView.Config(matViewAggs)) else None
     matView.foreach(v => MatView.catchUp(spark, lake, v, mvCfg))
+    // batched index refresh: a prior drained run may have ended mid-window
+    // — catch the index up before tailing (fenced no-op when current)
+    if (indexEvery > 1)
+      searchIndex.foreach(si => graft.search.SearchIndex.refresh(spark, lake, si))
+    var appliedBatches = 0L
     val src =
       if (format == "json") {
         val rs = graft.changelog.JsonChangelog.rowSchema(changelogDir)
@@ -170,12 +182,16 @@ object CdcStream {
         }
         val keep = CdcDriver.effectiveKeep(keepSnapshots,
           aggLake.isDefined || searchIndex.isDefined || replica.isDefined ||
-            matView.isDefined)
+            matView.isDefined, indexEvery)
+        if (!stats.skipped) appliedBatches += 1
         searchIndex.foreach { si =>
-          graft.search.SearchIndex.refresh(spark, lake, si)
-          // LSM merge policy: a live tailer refreshes the index per
-          // micro-batch, so chains grow without bound unless merged here
-          graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
+          if (indexEvery <= 1 ||
+              (!stats.skipped && appliedBatches % indexEvery == 0)) {
+            graft.search.SearchIndex.refresh(spark, lake, si)
+            // LSM merge policy: a live tailer refreshes the index per
+            // window, so chains grow without bound unless merged here
+            graft.search.SearchIndex.maybeCompact(si, indexCompactChain, keep)
+          }
         }
         replica.foreach(r =>
           Replica.refreshAttached(spark, lake, r, replicaWhere, replicaCols))
@@ -201,6 +217,7 @@ object CdcStream {
       changeFeed: Boolean = true,
       searchIndex: Option[LakeTable] = None,
       indexCompactChain: Int = 16,
+      indexEvery: Int = 1,
       keepSnapshots: Int = 0,
       mor: Boolean = false,
       morCompactChain: Int = 16,
@@ -215,8 +232,11 @@ object CdcStream {
     start(spark, changelogDir, lake, checkpointDir, schema, nBuckets,
       saltBuckets, maxFilesPerTrigger, aggLake, trigger, patchEnabled,
       changeFeed, searchIndex, indexCompactChain,
-      keepSnapshots, mor, morCompactChain, replica, replicaWhere,
-      replicaCols, matView = matView, matViewAggs = matViewAggs,
+      indexEvery = indexEvery,
+      keepSnapshots = keepSnapshots, mor = mor,
+      morCompactChain = morCompactChain, replica = replica,
+      replicaWhere = replicaWhere,
+      replicaCols = replicaCols, matView = matView, matViewAggs = matViewAggs,
       source = source, partBase = partBase,
       format = format).awaitTermination()
 
@@ -246,6 +266,7 @@ object CdcStream {
       changeFeed: Boolean = true,
       searchIndex: Option[LakeTable] = None,
       indexCompactChain: Int = 16,
+      indexEvery: Int = 1,
       keepSnapshots: Int = 0,
       restartAttempts: Int = 3,
       restartDelayMs: Long = 30000L,
@@ -267,9 +288,12 @@ object CdcStream {
       val q = start(spark, changelogDir, lake, checkpointDir, schema,
         nBuckets, saltBuckets, maxFilesPerTrigger, aggLake, trigger,
         patchEnabled, changeFeed, searchIndex, indexCompactChain,
-        keepSnapshots, mor, morCompactChain, replica, replicaWhere,
-        replicaCols, matView, matViewAggs, source, partBase, onBatch,
-        format)
+        indexEvery = indexEvery, keepSnapshots = keepSnapshots, mor = mor,
+        morCompactChain = morCompactChain, replica = replica,
+        replicaWhere = replicaWhere, replicaCols = replicaCols,
+        matView = matView, matViewAggs = matViewAggs, source = source,
+        partBase = partBase, onBatch = onBatch,
+        format = format)
       try {
         q.awaitTermination()
         running = false // clean termination (drain done or caller stop)
