@@ -707,7 +707,15 @@ final class GraftReaderFactory(
     val batches: Iterator[ColumnarBatch] =
       p.files.iterator.flatMap { case (path, len) =>
         readFunc(partitionedFile(path, len)).asInstanceOf[Iterator[Any]]
-          .collect { case b: ColumnarBatch => b }
+          .map {
+            case b: ColumnarBatch => b
+            // the format was built with RETURNING_BATCH=true under a
+            // supportBatch schema — a row here would mean silent data loss
+            // downstream, so fail loudly instead of filtering it out
+            case other => throw new IllegalStateException(
+              s"vectorized parquet read of $path returned " +
+              s"${other.getClass.getName} instead of a ColumnarBatch")
+          }
       }
     val outTypes = required.fields.map(_.dataType)
 
