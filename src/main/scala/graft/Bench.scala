@@ -395,15 +395,26 @@ object Bench {
       val catLake2 = new java.io.File(base, "lake-catalog2")
       val catDim = new java.io.File(base, "catalog-dim")
       try {
+        // segment size capped at 4M so a raised SPARK_GRAFT_CATALOG_EVENTS
+        // stays within the per-batch heap guidance (build.sbt -Xmx notes)
         ChangelogGen.write(spark, catCl.getPath, ChangelogGen.Config(
           nEvents = catEvents, nConvs = math.max(catEvents / 200, 10L),
-          skew = 1.2, segSize = math.max(catEvents / 4, 1L)))
+          skew = 1.2,
+          segSize = math.max(math.min(catEvents / 4, 4000000L), 1L)))
+        // keepSnapshots=2: without retention a multi-batch CoW build holds
+        // every superseded bucket file — at a raised CATALOG_EVENTS that is
+        // O(batches x table) disk and an ENOSPC (measured the hard way)
         val lake = new LakeTable(spark, catLake.getPath)
-        new CdcDriver(spark, catCl.getPath, lake, segmentsPerBatch = 4,
-          nBuckets = 64, quiet = true).run()
+        new CdcDriver(spark, catCl.getPath, lake, segmentsPerBatch = 2,
+          nBuckets = 64, quiet = true, keepSnapshots = 2).run()
         val lake2 = new LakeTable(spark, catLake2.getPath)
-        new CdcDriver(spark, catCl.getPath, lake2, segmentsPerBatch = 4,
-          nBuckets = 64, quiet = true).run()
+        new CdcDriver(spark, catCl.getPath, lake2, segmentsPerBatch = 2,
+          nBuckets = 64, quiet = true, keepSnapshots = 2).run()
+        // tombstone-GC compaction (feed done => watermark above all lsns):
+        // clean files flip the scan columnar, which is what the A/B below
+        // measures against the forced row path
+        graft.lake.Compaction.compact(lake, tombstoneWatermark = Long.MaxValue)
+        lake.expireSnapshots(2)
         spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
         val root = lake.root
         def scanSec(columnar: Boolean): Double = {

@@ -260,15 +260,24 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
 
   // -------------------------------------------------- partitions + readers
 
+  /** Every kept file provably tombstone-free (exact per-file live counts)?
+    * Then the scan need not read `_tombstone` at all — no decode, no
+    * per-row liveness check on either path. Runtime filtering only
+    * shrinks the kept set, so the proof survives it. */
+  private lazy val allKeptClean: Boolean =
+    !snapshot.mor && keptFiles.nonEmpty &&
+    keptFiles.forall(f => f.liveRows >= 0 && f.liveRows == f.rows)
+
   /** Columns the READER needs beyond the projection: MoR election needs the
     * key columns + `_lsn`; live-row filtering needs `_tombstone` when the
-    * snapshot stores it. Read schema keeps the snapshot's field ids so
-    * rename/drop evolution resolves by id against old files. */
+    * snapshot stores it (skipped when every kept file is provably clean).
+    * Read schema keeps the snapshot's field ids so rename/drop evolution
+    * resolves by id against old files. */
   private lazy val readStruct: StructType = {
     val names = required.fields.map(_.name).toSeq
     val extra =
       (if (snapshot.mor) ks.keyCols :+ "_lsn" else Seq.empty) ++
-      (if (snapshot.schema.fieldNames.contains("_tombstone"))
+      (if (snapshot.schema.fieldNames.contains("_tombstone") && !allKeptClean)
          Seq("_tombstone") else Seq.empty)
     val want = (names ++ extra.filterNot(names.contains)).toSet
     StructType(snapshot.schema.fields.toIndexedSeq.filter(f => want(f.name)))
@@ -286,7 +295,12 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
       }.toMap
     byBucket.map { case (b, fs) =>
       GraftInputPartition(b, fs.map(f => (f.path, lens(f.path))).toArray,
-        fs.map(_.rows).sum): InputPartition
+        fs.map(_.rows).sum,
+        // provably tombstone-free files (exact per-file live counts): the
+        // columnar reader passes their batches through without even
+        // scanning the tombstone vector
+        fs.map(f => f.liveRows >= 0 && f.liveRows == f.rows).toArray)
+        : InputPartition
     }.toArray
   }
 
@@ -418,9 +432,16 @@ final class GraftScan(lake: LakeTable, snapshot: Snapshot,
     // compacted into fresh on-heap vectors). MoR stays row-based — the
     // per-bucket LWW election is inherently row-at-a-time.
     val fmt = new ParquetFileFormat
-    // spark.graft.catalog.columnar=false forces the row path — the bench's
-    // A/B switch for the columnar-vs-row catalog-scan cost, not a tuning knob
+    // COLUMNAR only when it provably cannot lose: every kept file
+    // tombstone-free (allKeptClean), so batches pass through untouched —
+    // measured A/B: on tombstone-sprinkled files virtually every ~4k-row
+    // batch pays a live-row compaction copy and the columnar path runs
+    // ~0.8x the row path (whose per-row work rides the same vectorized
+    // decoder), while on clean files the passthrough wins. Tombstone-GC
+    // compaction makes an aged table clean, flipping its scans columnar.
+    // spark.graft.catalog.columnar=false forces the row path (bench A/B).
     val columnar = !snapshot.mor && readStruct.fields.nonEmpty &&
+      allKeptClean &&
       spark.conf.getOption("spark.graft.catalog.columnar")
         .forall(_.toBoolean) &&
       fmt.supportBatch(spark, readStruct) &&
@@ -567,7 +588,10 @@ object GraftScan {
   * transform — which is what lets Spark line buckets up across two scans. */
 final case class GraftInputPartition(bucket: Int,
                                      files: Array[(String, Long)],
-                                     rows: Long = 0L)
+                                     rows: Long = 0L,
+                                     /** aligned with files: provably
+                                       * tombstone-free (metadata-exact) */
+                                     clean: Array[Boolean] = Array.empty)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucket))
@@ -704,11 +728,14 @@ final class GraftReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    val batches: Iterator[ColumnarBatch] =
-      p.files.iterator.flatMap { case (path, len) =>
+    val batches: Iterator[(ColumnarBatch, Boolean)] =
+      p.files.iterator.zipWithIndex.flatMap { case ((path, len), fi) =>
+        // a metadata-clean file (exact live count == rows) skips even the
+        // tombstone-vector scan — its batches pass through untouched
+        val fileClean = fi < p.clean.length && p.clean(fi)
         readFunc(partitionedFile(path, len)).asInstanceOf[Iterator[Any]]
           .map {
-            case b: ColumnarBatch => b
+            case b: ColumnarBatch => (b, fileClean)
             // the format was built with RETURNING_BATCH=true under a
             // supportBatch schema — a row here would mean silent data loss
             // downstream, so fail loudly instead of filtering it out
@@ -778,8 +805,8 @@ final class GraftReaderFactory(
       private var current: ColumnarBatch = _
       override def next(): Boolean = {
         while (batches.hasNext) {
-          val b = batches.next()
-          val dead = deadCount(b)
+          val (b, fileClean) = batches.next()
+          val dead = if (fileClean) 0 else deadCount(b)
           val live = b.numRows() - dead
           if (live > 0) {
             current = if (dead == 0) project(b) else compactLive(b, live)

@@ -11,13 +11,16 @@ import graft.TestSpark
 import graft.cdc.CdcApply
 import graft.lake.LakeTable
 
-/** Columnar V2 catalog reads on copy-on-write: no election to run, only
-  * the tombstone filter, so batches flow zero-copy from the vectorized
-  * parquet reader (clean batches reprojected over the same vectors;
-  * tombstoned batches compacted). The plan must SHOW a columnar scan, the
-  * results must equal the engine's own read path exactly — including
-  * tombstone filtering — and merge-on-read must stay row-based (the
-  * per-bucket LWW election is row-at-a-time). */
+/** Columnar V2 catalog reads on copy-on-write, gated on PROVABLY
+  * tombstone-free kept files (exact per-file live counts): batches then
+  * pass through zero-copy from the vectorized parquet reader, and the
+  * scan doesn't even read `_tombstone`. A tombstone-sprinkled table stays
+  * row-based — measured A/B showed the per-batch live-row compaction copy
+  * running ~0.8x the row path, whose per-row work rides the same
+  * vectorized decoder — and tombstone-GC compaction flips an aged table's
+  * scans columnar. Results must equal the engine's own read path exactly
+  * in every mode, and merge-on-read stays row-based (the per-bucket LWW
+  * election is row-at-a-time). */
 class ColumnarReadSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = TestSpark.spark
@@ -62,29 +65,47 @@ class ColumnarReadSpec extends AnyFunSuite {
       .getOrElse(fail("no BatchScanExec in the plan"))
   }
 
-  test("CoW catalog scan is columnar and equals the engine read exactly") {
+  test("tombstoned CoW stays row-based; tombstone-GC flips it columnar") {
     val (lake, dir) = seed("col-cow", mor = false)
-    val df = spark.sql(
-      s"SELECT conv_id, turn_idx, role, text, ts FROM graft.`$dir`")
-    assert(scanOf(df).supportsColumnar,
-      "copy-on-write catalog scan must be columnar")
-    val got = df.collect().map(_.toString).sorted.toSeq
+    val sql = s"SELECT conv_id, turn_idx, role, text, ts FROM graft.`$dir`"
     val want = lake.read()
       .select("conv_id", "turn_idx", "role", "text", "ts")
       .collect().map(_.toString).sorted.toSeq
+
+    // deletes sprinkled tombstones into the files: the scan must refuse
+    // columnar (per-batch compaction copies measured slower than rows)
+    val dirty = spark.sql(sql)
+    assert(!scanOf(dirty).supportsColumnar,
+      "a tombstone-sprinkled scan must stay row-based")
+    assert(dirty.collect().map(_.toString).sorted.toSeq == want)
+
+    // tombstone-GC compaction (source done => watermark above all lsns)
+    // makes every file provably clean -> the same scan goes columnar and
+    // no longer reads _tombstone at all
+    graft.lake.Compaction.compact(lake, tombstoneWatermark = Long.MaxValue)
+    val clean = spark.sql(sql)
+    assert(scanOf(clean).supportsColumnar,
+      "a provably tombstone-free scan must be columnar")
+    val got = clean.collect().map(_.toString).sorted.toSeq
     assert(got == want, "columnar read diverges from the engine read")
     // tombstoned keys must be gone
     assert(!got.exists(_.startsWith("[conv00,0,")),
       "a tombstoned row leaked through the columnar path")
   }
 
-  test("columnar batches compact tombstones without copying clean batches") {
-    val (lake, dir) = seed("col-count", mor = false)
-    // row counts: 24*4 seeded - 6 deleted = 90
-    val n = spark.sql(
-      s"SELECT conv_id FROM graft.`$dir` WHERE role = 'user'").count()
+  test("a delete-free table is columnar from birth; filters stay exact") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("col-clean")
+    val lake = new LakeTable(spark, dir)
+    val w = (0 until 24).flatMap(c =>
+      (0 until 4).map(t => (f"conv$c%02d", t, (c * 4 + t).toLong, "U")))
+    CdcApply.apply(lake, batch(w), epoch = 1, nBuckets = 8)
+    val df = spark.sql(
+      s"SELECT conv_id, turn_idx FROM graft.`$dir` WHERE role = 'user'")
+    assert(scanOf(df).supportsColumnar,
+      "an insert-only table's files are clean — scan must be columnar")
     val want = lake.read().filter(col("role") === "user").count()
-    assert(n == want)
+    assert(df.count() == want)
   }
 
   test("merge-on-read stays row-based (election is row-at-a-time)") {
