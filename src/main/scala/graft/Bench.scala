@@ -386,8 +386,11 @@ object Bench {
     // vs forced row mode, storage-partitioned join, runtime (join-driven)
     // pruning, and metadata-only counts — tracked per round like
     // cdc/mor/lookup. SPARK_GRAFT_CATALOG_EVENTS=0 disables.
+    // default sized so the scan A/B discriminates: at 4M events (400k live
+    // rows) both modes sit inside the ~0.17 s fixed cost (planning + 64
+    // tasks); 64M events (6.4M rows) shows the columnar 1.48x cleanly
     val catEvents =
-      sys.env.getOrElse("SPARK_GRAFT_CATALOG_EVENTS", "4000000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_CATALOG_EVENTS", "64000000").toLong
     if (catEvents > 0) {
       import org.apache.spark.sql.functions.{col, count, lit, when}
       val catCl = new java.io.File(base, "catalog-changelog")
